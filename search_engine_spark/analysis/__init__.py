@@ -1,0 +1,8 @@
+from .text import (  # noqa: F401
+    QUERY_STOPWORDS,
+    extract_text,
+    extract_text_series,
+    preprocess_query,
+    tokenize,
+    tokenize_series,
+)

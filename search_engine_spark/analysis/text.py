@@ -1,0 +1,78 @@
+"""Pinned text analysis: HTML extraction, tokenization, query preprocessing.
+
+The analyzer contract (FIXTURES.md §3) re-derives what the reference delegated
+to the Atlas Search ``lucene.standard`` analyzer (reference:
+``search_utils.py:79-97`` builds ``$search`` stages over analyzed ``name`` /
+``barcode`` paths).  Pinned, locale-free rules so token streams are
+byte-identical across numpy/pandas/Arrow versions:
+
+- NFC normalize -> ``str.lower()`` -> split on any codepoint outside the
+  explicit class ``[0-9A-Za-zÀ-￿]`` -> drop empties.
+- No stemming, no index-time stopwords.
+
+Query preprocessing mirrors the reference exactly
+(``search_utils.py:62-71``, ``constants.py:15``): on multi-term keywords,
+drop a leading two chars when the 2nd char is a space, and remove the
+currency/measurement stopwords {rs, Rs, RS, rS, gm, ml, kg} (case-exact).
+
+HTML extraction contract: the corpus (FIXTURES.md §1) wraps each document's
+text in a fixed skeleton ``<html><head><title>..</title></head><body><p>TEXT
+</p></body></html>``; ``extract_text`` returns the concatenated contents of
+``<p>`` elements — byte-identical to the ``text`` column for every url (the
+per-row invariant in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+# Explicit codepoint class — never locale/ICU-dependent.
+_TOKEN_CHARS = "0-9A-Za-zÀ-￿"
+_TOKEN_RE = re.compile(f"[{_TOKEN_CHARS}]+")
+_P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
+
+# reference constants.py:15 — case-exact list, applied only to multi-term queries
+QUERY_STOPWORDS = frozenset({"rs", "Rs", "RS", "rS", "gm", "ml", "kg"})
+
+
+def extract_text(html: bytes) -> str:
+    """Concatenated contents of ``<p>`` elements, utf-8 decoded.
+
+    Byte-identical to the source ``text`` for the pinned corpus skeleton.
+    """
+    return b"".join(_P_RE.findall(html)).decode("utf-8")
+
+
+def tokenize(text: str) -> list[str]:
+    """Pinned analyzer: NFC -> lower -> split on non-token codepoints."""
+    return _TOKEN_RE.findall(unicodedata.normalize("NFC", text).lower())
+
+
+def preprocess_query(keyword: str) -> list[str]:
+    """Reference query preprocessing (search_utils.py:62-71) -> analyzed terms.
+
+    Returns the final analyzed term list fed to the planner.  Single-term
+    keywords skip stopword removal (the reference only filters multi-term
+    queries, search_utils.py:75-76).
+    """
+    words = keyword.split(" ")
+    if len(words) > 1:
+        if len(keyword) >= 2 and keyword[1] == " ":
+            keyword = keyword[2:]
+        words = [w for w in keyword.split(" ") if w not in QUERY_STOPWORDS]
+        keyword = " ".join(words)
+    return tokenize(keyword)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (pandas) variants — the forms used inside Arrow UDFs.
+# ---------------------------------------------------------------------------
+
+def extract_text_series(html):  # pd.Series[bytes] -> pd.Series[str]
+    return html.map(extract_text)
+
+
+def tokenize_series(text):  # pd.Series[str] -> pd.Series[list[str]]
+    lowered = text.str.normalize("NFC").str.lower()
+    return lowered.str.findall(_TOKEN_RE)

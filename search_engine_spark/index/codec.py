@@ -1,0 +1,91 @@
+"""Vectorized delta + varint (LEB128) posting-list codec.
+
+Postings for one (term, block) are stored as a single ``binary`` value:
+``varint(doc_gaps) bytes || varint(tfs) bytes`` with the gap-section length
+prefixed, where ``doc_gaps[0] = doc_ids[0]`` and ``doc_gaps[i] =
+doc_ids[i] - doc_ids[i-1]`` over doc_ids sorted ascending.  This mirrors the
+published Lucene postings layout (delta + vint) that backed the reference's
+Atlas Search index, re-implemented in pure numpy so encode/decode run
+vectorized inside Arrow UDFs — no per-row Python.
+
+All loops below are bounded by the max varint width (10 bytes for uint64),
+not by the number of postings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64_7 = np.uint64(7)
+_MASK7 = np.uint64(0x7F)
+_CONT = np.uint8(0x80)
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array. Vectorized over values."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + floor(bits/7) for bits >= 7
+    nb = np.ones(v.size, dtype=np.int64)
+    tmp = v >> _U64_7
+    while tmp.any():
+        nb += tmp > 0
+        tmp >>= _U64_7
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    pos = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nb[:-1], out=pos[1:])
+    cur = v.copy()
+    for k in range(int(nb.max())):
+        mask = nb > k
+        idx = pos[mask] + k
+        chunk = cur[mask]
+        byte = (chunk & _MASK7).astype(np.uint8)
+        more = (nb[mask] > k + 1).astype(np.uint8) << 7
+        out[idx] = byte | more
+        cur[mask] = chunk >> _U64_7
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes | memoryview) -> np.ndarray:
+    """Decode a LEB128 byte stream to uint64. Fully vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & _CONT) == 0)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # significance of each byte = its offset within its value
+    offsets = np.arange(b.size, dtype=np.uint64)
+    offsets -= np.repeat(starts.astype(np.uint64), (ends - starts + 1))
+    contrib = (b & 0x7F).astype(np.uint64) << (offsets * _U64_7)
+    return np.add.reduceat(contrib, starts)
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode sorted doc_ids (delta) + term frequencies into one buffer."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    gaps = np.empty_like(doc_ids)
+    if doc_ids.size:
+        gaps[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    gap_bytes = encode_varints(gaps)
+    tf_bytes = encode_varints(np.ascontiguousarray(tfs, dtype=np.int64))
+    header = encode_varints(np.array([len(gap_bytes)], dtype=np.uint64))
+    return header + gap_bytes + tf_bytes
+
+
+def decode_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_postings` -> (doc_ids int64, tfs int64)."""
+    b = memoryview(buf)
+    if len(b) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy()
+    # header is a single varint; find its end
+    hb = np.frombuffer(b[:10], dtype=np.uint8)
+    hend = int(np.flatnonzero((hb & _CONT) == 0)[0])
+    gap_len = int(decode_varints(b[: hend + 1])[0])
+    gaps = decode_varints(b[hend + 1 : hend + 1 + gap_len]).astype(np.int64)
+    tfs = decode_varints(b[hend + 1 + gap_len :]).astype(np.int64)
+    return np.cumsum(gaps), tfs

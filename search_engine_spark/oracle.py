@@ -1,0 +1,138 @@
+"""Pure-Python reference model (the rank-identity oracle).
+
+The reference repo delegates its entire search core to MongoDB Atlas Search
+(Lucene) and cannot be executed (unresolved merge conflicts + a live-cluster
+dependency — SURVEY.md §0).  This oracle is the deterministic re-derivation of
+those delegated semantics, pinned in FIXTURES.md §3:
+
+- analyzer: ``analysis.tokenize`` (NFC -> lower -> explicit codepoint split)
+- BM25 (Lucene defaults): k1=1.2, b=0.75,
+  idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+  score(t,d) = idf * tf / (tf + k1*(1 - b + b*dl/avgdl))
+- doc score = sum of matched-term scores **in ascending term order** (float
+  determinism); tiebreak (score desc, doc_id asc)
+- dispatch (reference search_utils.py:75-76, app.py:470-471): 1 analyzed term
+  -> autocomplete (prefix disjunction, compound.should minimumShouldMatch=1);
+  >=2 terms -> text clause (disjunction of terms inside one must clause)
+- boosts: constant +5.0 for flagged docs (reference constants.py:16,
+  search_utils.py:168-171); availability +10.0 when the doc's availability
+  counter > 0 (search_utils.py:157-165)
+- pagination: skip/limit over the (score desc, doc_id asc) order, plus the
+  total match count (the reference's $facet count, pipelines.py:27-42)
+
+Doc metadata rules (shared with the Spark engine; derived from the corpus so
+both sides compute them identically): ``boosted = (dl % 37 == 0)``,
+``avail = dl % 7`` where dl = analyzed token count.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from .analysis import preprocess_query, tokenize
+
+K1 = 1.2
+B = 0.75
+CONSTANT_BOOST = 5.0  # reference constants.py:16 PRODUCT_BOOST_CONSTANT_VAL
+AVAIL_BOOST = 10.0  # reference search_utils.py:157 default boost
+
+
+def bm25(tf: int, df: int, dl: int, n_docs: int, avgdl: float) -> float:
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+@dataclass
+class QueryResult:
+    total: int
+    hits: list[tuple[int, float]] = field(default_factory=list)  # (doc_id, score)
+
+
+class OracleIndex:
+    """Dict-based inverted index over (url, text) rows."""
+
+    def __init__(self, rows: list[tuple[str, str]]):
+        # doc_id = zero-based dense rank of url in lexicographic order
+        urls = sorted(u for u, _ in rows)
+        self.url_to_doc = {u: i for i, u in enumerate(urls)}
+        n = len(rows)
+        self.n_docs = n
+        self.doc_len = [0] * n
+        self.postings: dict[str, dict[int, int]] = {}
+        for url, text in rows:
+            d = self.url_to_doc[url]
+            toks = tokenize(text)
+            self.doc_len[d] = len(toks)
+            for t in toks:
+                pl = self.postings.setdefault(t, {})
+                pl[d] = pl.get(d, 0) + 1
+        self.avgdl = sum(self.doc_len) / n if n else 0.0
+        self.terms_sorted = sorted(self.postings)
+
+    # -- metadata rules shared with the Spark engine ------------------------
+    def boosted(self, d: int) -> bool:
+        return self.doc_len[d] % 37 == 0
+
+    def avail(self, d: int) -> int:
+        return self.doc_len[d] % 7
+
+    # -- scoring -------------------------------------------------------------
+    def _score_terms(self, terms: list[str], conjunctive: bool) -> dict[int, float]:
+        terms = sorted(set(terms))  # ascending term order (float determinism)
+        scores: dict[int, float] = {}
+        seen_count: dict[int, int] = {}
+        n_present = 0
+        for t in terms:
+            pl = self.postings.get(t)
+            if not pl:
+                continue
+            n_present += 1
+            df = len(pl)
+            for d, tf in pl.items():
+                scores[d] = scores.get(d, 0.0) + bm25(tf, df, self.doc_len[d], self.n_docs, self.avgdl)
+                seen_count[d] = seen_count.get(d, 0) + 1
+        if conjunctive:
+            # every *queried* term must match (a query term absent from the
+            # corpus entirely -> no results), matching posting intersection
+            need = len(terms)
+            scores = {d: s for d, s in scores.items() if seen_count.get(d, 0) == need and n_present == need}
+        return scores
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """Term-dictionary range scan: terms t with t.startswith(prefix)."""
+        import bisect
+
+        lo = bisect.bisect_left(self.terms_sorted, prefix)
+        out = []
+        for i in range(lo, len(self.terms_sorted)):
+            t = self.terms_sorted[i]
+            if not t.startswith(prefix):
+                break
+            out.append(t)
+        return out
+
+    def search(
+        self,
+        keyword: str,
+        k: int = 10,
+        skip: int = 0,
+        conjunctive: bool = False,
+        constant_boost: bool = False,
+        avail_boost: bool = False,
+    ) -> QueryResult:
+        """Full reference semantics: preprocess -> dispatch -> score -> page."""
+        terms = preprocess_query(keyword)
+        if not terms:
+            return QueryResult(total=0)
+        if len(terms) == 1:
+            match_terms = self.expand_prefix(terms[0])
+            scores = self._score_terms(match_terms, conjunctive=False)
+        else:
+            scores = self._score_terms(terms, conjunctive=conjunctive)
+        if constant_boost:
+            scores = {d: s + (CONSTANT_BOOST if self.boosted(d) else 0.0) for d, s in scores.items()}
+        if avail_boost:
+            scores = {d: s + (AVAIL_BOOST if self.avail(d) > 0 else 0.0) for d, s in scores.items()}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return QueryResult(total=len(ranked), hits=ranked[skip : skip + k])

@@ -1,0 +1,67 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.index.codec import (
+    decode_postings,
+    decode_varints,
+    encode_postings,
+    encode_varints,
+)
+
+
+def test_varint_known_values():
+    assert encode_varints(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert encode_varints(np.array([1], dtype=np.uint64)) == b"\x01"
+    assert encode_varints(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert encode_varints(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert encode_varints(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+def test_varint_empty():
+    assert encode_varints(np.empty(0, dtype=np.uint64)) == b""
+    assert decode_varints(b"").size == 0
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    out = decode_varints(encode_varints(arr))
+    assert out.tolist() == values
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**12), st.integers(1, 10_000)),
+        min_size=0,
+        max_size=300,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_postings_roundtrip(pairs):
+    pairs.sort()
+    doc_ids = np.array([p[0] for p in pairs], dtype=np.int64)
+    tfs = np.array([p[1] for p in pairs], dtype=np.int64)
+    d2, t2 = decode_postings(encode_postings(doc_ids, tfs))
+    assert d2.tolist() == doc_ids.tolist()
+    assert t2.tolist() == tfs.tolist()
+
+
+def test_postings_compression_actually_compresses():
+    # dense doc ids -> small gaps -> ~1 byte/doc + ~1 byte/tf
+    doc_ids = np.arange(0, 100_000, 3, dtype=np.int64)
+    tfs = np.ones(doc_ids.size, dtype=np.int64)
+    buf = encode_postings(doc_ids, tfs)
+    assert len(buf) < doc_ids.size * 2 + 10
+    d2, t2 = decode_postings(buf)
+    np.testing.assert_array_equal(d2, doc_ids)
+    np.testing.assert_array_equal(t2, tfs)
+
+
+def test_decode_rejects_garbage_gracefully():
+    with pytest.raises(Exception):
+        # truncated stream: continuation bit set on final byte
+        decode_varints(b"\x80")
