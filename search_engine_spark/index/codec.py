@@ -63,8 +63,14 @@ def decode_varints(buf: bytes | memoryview) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
-    """Encode sorted doc_ids (delta) + term frequencies into one buffer."""
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
+    """Encode one posting block: sorted doc_ids (delta), tfs, doc lengths.
+
+    Doc lengths ride inline with the postings (one small varint each) so BM25
+    scoring needs **no join against a doc-stats table** at query time — at
+    cluster scale that join would shuffle every candidate posting.  Layout:
+    ``varint(len(gaps_bytes)) || varint(len(tf_bytes)) || gaps || tfs || dls``.
+    """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     gaps = np.empty_like(doc_ids)
     if doc_ids.size:
@@ -72,20 +78,25 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
         np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
     gap_bytes = encode_varints(gaps)
     tf_bytes = encode_varints(np.ascontiguousarray(tfs, dtype=np.int64))
-    header = encode_varints(np.array([len(gap_bytes)], dtype=np.uint64))
-    return header + gap_bytes + tf_bytes
+    dl_bytes = encode_varints(np.ascontiguousarray(dls, dtype=np.int64))
+    header = encode_varints(np.array([len(gap_bytes), len(tf_bytes)], dtype=np.uint64))
+    return header + gap_bytes + tf_bytes + dl_bytes
 
 
-def decode_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of :func:`encode_postings` -> (doc_ids int64, tfs int64)."""
+def decode_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_postings` -> (doc_ids, tfs, dls), all int64."""
     b = memoryview(buf)
     if len(b) == 0:
         z = np.empty(0, dtype=np.int64)
-        return z, z.copy()
-    # header is a single varint; find its end
-    hb = np.frombuffer(b[:10], dtype=np.uint8)
-    hend = int(np.flatnonzero((hb & _CONT) == 0)[0])
-    gap_len = int(decode_varints(b[: hend + 1])[0])
-    gaps = decode_varints(b[hend + 1 : hend + 1 + gap_len]).astype(np.int64)
-    tfs = decode_varints(b[hend + 1 + gap_len :]).astype(np.int64)
-    return np.cumsum(gaps), tfs
+        return z, z.copy(), z.copy()
+    # header is two varints; find their ends
+    hb = np.frombuffer(b[:20], dtype=np.uint8)
+    hends = np.flatnonzero((hb & _CONT) == 0)[:2]
+    hend = int(hends[1])
+    lens = decode_varints(b[: hend + 1])
+    gap_len, tf_len = int(lens[0]), int(lens[1])
+    p = hend + 1
+    gaps = decode_varints(b[p : p + gap_len]).astype(np.int64)
+    tfs = decode_varints(b[p + gap_len : p + gap_len + tf_len]).astype(np.int64)
+    dls = decode_varints(b[p + gap_len + tf_len :]).astype(np.int64)
+    return np.cumsum(gaps), tfs, dls

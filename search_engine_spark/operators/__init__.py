@@ -1,0 +1,37 @@
+"""Operator library.
+
+- ``relational``  — parity with the reference's Mongo aggregation pipelines
+  (SURVEY.md §2.B): filter/project, group/agg, dedup-first, lookup/semi/anti
+  joins, sort+pagination, facet counts, casts.
+- ``events``      — windowed aggregation, sessionization, top-k per group,
+  as-of join (the reference's cron-batch ETL re-expressed declaratively).
+- ``textstats``   — token counting, quality scoring, language-ID heuristic,
+  document fingerprinting over the documents table.
+- ``dedup``       — exact, n-gram Jaccard, MinHash signatures + LSH pairs,
+  SimHash.
+- ``similarity``  — brute-force cosine top-k + LSH-bucketed ANN over the
+  embeddings table.
+- ``multimodal``  — binary-column plumbing (decode stubbed; Spark-side schema,
+  partitioning, Arrow batch shape are real).
+
+Every operator is a ``(spark, sf_dir) -> DataFrame`` callable; most carry a
+DuckDB-equivalent ANSI-SQL oracle string for the correctness gate.  Aggregates
+that sum floats are expressed with exact integer/decimal arithmetic (or
+rounded) so Spark and DuckDB hash identically despite float summation order.
+"""
+
+from . import dedup, events, relational, similarity, textstats  # noqa: F401
+
+
+def all_queries():
+    out = {}
+    for mod in (relational, events, textstats, dedup, similarity):
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for mod in (relational, events, textstats, dedup, similarity):
+        out.update(mod.ORACLES)
+    return out

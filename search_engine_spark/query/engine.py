@@ -1,0 +1,383 @@
+"""BM25 top-k query engine over the posting-segment index.
+
+Reproduces the search semantics the reference delegated to Atlas Search
+(reference search_utils.py:75-117 text/autocomplete dispatch,
+search_utils.py:104-151 compound must/should, search_utils.py:157-171 boosts,
+pipelines.py:27-42 facet count + skip/limit pagination) — rank-identically to
+the pure-Python oracle.
+
+Two physical strategies:
+
+- ``mode="sort"`` (correctness baseline): decode candidate blocks -> vectorized
+  BM25 -> groupBy(doc_id) with ascending-term-order float summation ->
+  ``orderBy(score desc, doc_id asc).offset(skip).limit(k)``.  Catalyst executes
+  the limit as TakeOrderedAndProject — a per-partition bounded heap + driver
+  k-way merge, which is exactly the distributed top-k the north star asks for.
+
+- ``mode="wand"`` (block-max pruned): because every term's postings are
+  bucketed on the SAME global doc-id grid (builder.py), per-range score upper
+  bounds can be summed across query terms.  Phase 1 scores the most promising
+  ranges exactly and takes a threshold θ from the running top-k heap; phase 2
+  skips every remaining range — and, inside surviving ranges, every block —
+  whose upper bound is strictly below θ.  Pruning uses strict inequality so
+  θ-ties (which doc_id tiebreaks could still admit) are never dropped:
+  results stay bit-identical to the baseline.
+
+Float determinism: per-doc scores are summed in ascending term order via
+``sort_array(collect_list(struct(term, score)))`` + ``F.aggregate`` — a
+JVM-side deterministic fold, immune to shuffle/partition ordering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.text import preprocess_query
+from ..catalog import IndexCatalog
+from ..index.codec import decode_postings
+
+K1 = 1.2
+B = 0.75
+CONSTANT_BOOST = 5.0  # reference constants.py:16
+AVAIL_BOOST = 10.0  # reference search_utils.py:157
+
+_SCORED_SCHEMA = "doc_id long, term string, score double, dl int"
+
+
+@dataclass
+class SearchResult:
+    total: int
+    page: pd.DataFrame  # columns: doc_id, score (ranked)
+
+
+def _math_idf(n_docs: int, df: int) -> float:
+    import math
+
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+# term dictionaries up to this size are cached in driver memory; above it the
+# engine falls back to distributed parquet range scans (the cluster-scale path)
+_TERM_DICT_CACHE_MAX = 2_000_000
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.cat = IndexCatalog(index_dir)
+        self.stats = self.cat.read_corpus_stats()
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        self.cuts = list(self.stats["term_cuts"])
+        self._segments_df = spark.read.parquet(self.cat.segments)
+        # small term dicts: one-time sorted load, then O(log V) lookups with
+        # zero Spark jobs per query (the reference's Atlas term dictionary is
+        # equally memory-resident inside Lucene)
+        self._terms_arr: np.ndarray | None = None
+        self._dfs_arr: np.ndarray | None = None
+        tdf = spark.read.parquet(self.cat.term_stats)
+        n_terms = tdf.count()
+        if n_terms <= _TERM_DICT_CACHE_MAX:
+            pdf = tdf.select("term", "df").toPandas().sort_values("term")
+            self._terms_arr = pdf["term"].to_numpy(dtype=object)
+            self._dfs_arr = pdf["df"].to_numpy(dtype=np.int64)
+
+    # ------------------------------------------------------------------ dims
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        if self._terms_arr is not None:
+            idx = np.searchsorted(self._terms_arr, np.array(terms, dtype=object))
+            out = {}
+            for t, i in zip(terms, idx):
+                if i < len(self._terms_arr) and self._terms_arr[i] == t:
+                    out[t] = int(self._dfs_arr[i])
+            return out
+        rows = (
+            self.spark.read.parquet(self.cat.term_stats)
+            .filter(F.col("term").isin(list(terms)))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: r["df"] for r in rows}
+
+    def expand_prefix(self, prefix: str, max_expansions: int | None = None) -> list[str]:
+        """Term-dictionary prefix range scan (reference $search.autocomplete,
+        search_utils.py:182-186; pinned to a range scan in FIXTURES.md)."""
+        if self._terms_arr is not None:
+            lo = np.searchsorted(self._terms_arr, prefix)
+            hi = np.searchsorted(self._terms_arr, prefix + "\U0010ffff")
+            out = [str(t) for t in self._terms_arr[lo:hi] if str(t).startswith(prefix)]
+            return out[:max_expansions] if max_expansions else out
+        q = (
+            self.spark.read.parquet(self.cat.term_stats)
+            .filter(F.col("term").startswith(prefix))
+            .select("term")
+            .orderBy("term")
+        )
+        if max_expansions:
+            q = q.limit(max_expansions)
+        return [r["term"] for r in q.collect()]
+
+    def _pids_for_terms(self, terms: list[str]) -> list[int]:
+        cuts = np.array(self.cuts, dtype=object)
+        return sorted({int(np.searchsorted(cuts, t, side="left")) for t in terms})
+
+    def _candidate_segments(self, terms: list[str], ssegs: list[int] | None = None) -> DataFrame:
+        seg = self._segments_df
+        cond = F.col("term").isin(terms) & F.col("pid").isin(self._pids_for_terms(terms))
+        if ssegs is not None:
+            cond = cond & F.col("sseg").isin([int(s) for s in ssegs])
+        return seg.filter(cond)
+
+    # --------------------------------------------------------------- scoring
+    def _scored_docs(
+        self,
+        terms: list[str],
+        idf: dict[str, float],
+        ssegs: list[int] | None = None,
+        theta: float | None = None,
+        boost_ceiling: float = 0.0,
+    ) -> DataFrame:
+        """Decode candidate blocks -> per-(doc,term) BM25 partial scores."""
+        avgdl = self.avgdl
+        idf_b = self.spark.sparkContext.broadcast(dict(idf))
+        th = theta
+
+        def score_blocks(it):
+            idfs = idf_b.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                outs = []
+                terms_col = pdf["term"].to_numpy(dtype=object)
+                mtn = pdf["max_tf_norm"].to_numpy(dtype=np.float64)
+                for i, buf in enumerate(pdf["postings"]):
+                    t = terms_col[i]
+                    w = idfs.get(t, 0.0)
+                    # block-max pruning: skip blocks that cannot reach θ
+                    if th is not None and w * mtn[i] + boost_ceiling < th:
+                        continue
+                    doc_ids, tfs, dls = decode_postings(buf)
+                    tf = tfs.astype(np.float64)
+                    dl = dls.astype(np.float64)
+                    score = w * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": doc_ids,
+                                "term": t,
+                                "score": score,
+                                "dl": dls.astype(np.int32),
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        segs = self._candidate_segments(terms, ssegs=ssegs)
+        scored = segs.select("term", "max_tf_norm", "postings").mapInPandas(
+            score_blocks, schema=_SCORED_SCHEMA
+        )
+        # deterministic ascending-term-order float summation (JVM-side fold)
+        parts = F.sort_array(F.collect_list(F.struct("term", "score")))
+        return (
+            scored.groupBy("doc_id")
+            .agg(parts.alias("parts"), F.max("dl").alias("dl"))
+            .select(
+                "doc_id",
+                F.aggregate(
+                    "parts", F.lit(0.0), lambda acc, x: acc + x["score"]
+                ).alias("score"),
+                F.size("parts").alias("n_terms"),
+                "dl",
+            )
+        )
+
+    def _apply_boosts(
+        self, scored: DataFrame, constant_boost: bool, avail_boost: bool
+    ) -> DataFrame:
+        """Boost metadata (boosted, avail) derives from dl — no join needed.
+
+        Mirrors reference A6 (constant-score should clause, constants.py:16)
+        and A8 (post-search availability boost, search_utils.py:157-165).
+        """
+        s = F.col("score")
+        if constant_boost:
+            s = s + F.when(F.col("dl") % 37 == 0, F.lit(CONSTANT_BOOST)).otherwise(F.lit(0.0))
+        if avail_boost:
+            s = s + F.when(F.col("dl") % 7 > 0, F.lit(AVAIL_BOOST)).otherwise(F.lit(0.0))
+        return scored.withColumn("score", s)
+
+    # ---------------------------------------------------------------- search
+    def search(
+        self,
+        keyword: str,
+        k: int = 10,
+        skip: int = 0,
+        conjunctive: bool = False,
+        constant_boost: bool = False,
+        avail_boost: bool = False,
+        mode: str = "sort",
+        max_expansions: int | None = None,
+        with_url: bool = False,
+    ) -> SearchResult:
+        terms = preprocess_query(keyword)
+        if not terms:
+            return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
+        single = len(terms) == 1
+        if single:
+            match_terms = self.expand_prefix(terms[0], max_expansions)
+            conj = False
+        else:
+            match_terms = sorted(set(terms))
+            conj = conjunctive
+        if not match_terms:
+            return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
+
+        dfs = self.term_dfs(match_terms)
+        if conj and len(dfs) < len(match_terms):
+            # a required term is absent from the corpus -> empty intersection
+            return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
+        present = sorted(dfs)
+        if not present:
+            return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
+        idf = {t: _math_idf(self.n_docs, d) for t, d in dfs.items()}
+
+        boost_ceiling = (CONSTANT_BOOST if constant_boost else 0.0) + (
+            AVAIL_BOOST if avail_boost else 0.0
+        )
+
+        wand = mode == "wand" and skip == 0
+        if wand:
+            scored = self._wand_scored(present, idf, conj, constant_boost, avail_boost, k, boost_ceiling)
+        else:
+            scored = self._scored_docs(present, idf)
+            if conj:
+                scored = scored.filter(F.col("n_terms") == len(present))
+            scored = self._apply_boosts(scored, constant_boost, avail_boost)
+            # one-pass count + page over a single cached plan — the Spark
+            # equivalent of the reference's $facet {total, data}
+            # (pipelines.py:27-42)
+            scored = scored.persist()
+
+        ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        page_df = ranked.offset(skip).limit(k) if skip else ranked.limit(k)
+        if with_url:
+            urls = self.spark.read.parquet(self.cat.doc_stats).select("doc_id", "url")
+            page_df = page_df.join(urls, "doc_id", "left")
+        page = page_df.select("doc_id", "score", *(["url"] if with_url else [])).toPandas()
+        page = page.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+
+        if wand:
+            # WAND pruned the scored set; the exact total (the reference's
+            # $facet count) needs the unpruned match count — doc_ids only,
+            # no float math
+            total = self._match_count(present, conj)
+        else:
+            total = scored.count()
+            scored.unpersist()
+        return SearchResult(total=total, page=page)
+
+    def _match_count(self, terms: list[str], conjunctive: bool) -> int:
+        """Total match count without decoding scores.
+
+        Disjunctive counts need distinct doc_ids across terms, which requires
+        a decode of doc_ids only (cheap: no float math); conjunctive likewise.
+        Done as a distributed aggregate, not a collect.
+        """
+
+        def docs_only(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                outs = []
+                for t, buf in zip(pdf["term"], pdf["postings"]):
+                    doc_ids, _, _ = decode_postings(buf)
+                    outs.append(pd.DataFrame({"doc_id": doc_ids, "term": t}))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        segs = self._candidate_segments(terms).select("term", "postings")
+        docs = segs.mapInPandas(docs_only, schema="doc_id long, term string")
+        if conjunctive:
+            agg = docs.groupBy("doc_id").agg(F.count("*").alias("nt"))
+            return agg.filter(F.col("nt") == len(terms)).count()
+        return docs.select("doc_id").distinct().count()
+
+    # ------------------------------------------------------------------ WAND
+    def _wand_scored(
+        self,
+        terms: list[str],
+        idf: dict[str, float],
+        conjunctive: bool,
+        constant_boost: bool,
+        avail_boost: bool,
+        k: int,
+        boost_ceiling: float,
+    ) -> DataFrame:
+        """Distributed block-max WAND over the global doc-id grid.
+
+        Block metadata (term, sseg, max_tf_norm, doc_count — NOT postings) is
+        a cheap columnar read.  Range upper bound = Σ_t idf_t · max block
+        tf_norm in that range (+ boost ceiling).  Phase 1 scores the top
+        ranges exactly to establish θ = kth best score; phase 2 scores only
+        ranges whose bound ≥ θ, with per-block pruning inside.
+        """
+        meta = (
+            self._candidate_segments(terms)
+            .select("term", "sseg", "max_tf_norm", "doc_count")
+            .groupBy("term", "sseg")
+            .agg(F.max("max_tf_norm").alias("mtn"), F.sum("doc_count").alias("dc"))
+            .toPandas()
+        )
+        if meta.empty:
+            return self._scored_docs(terms, idf)
+        meta["ub"] = meta["term"].map(idf).fillna(0.0) * meta["mtn"]
+        by_range = meta.groupby("sseg").agg(
+            ub=("ub", "sum"), dc=("dc", "sum"), nterms=("term", "nunique")
+        )
+        if conjunctive:
+            by_range = by_range[by_range["nterms"] == len(terms)]
+            if by_range.empty:
+                # no range contains all terms -> empty result
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score double, n_terms int, dl int"
+                )
+        by_range = by_range.sort_values("ub", ascending=False)
+        by_range["ub_total"] = by_range["ub"] + boost_ceiling
+
+        # phase 1: enough ranges to (likely) fill k
+        cum = by_range["dc"].cumsum()
+        n1 = int(np.searchsorted(cum.to_numpy(), k) + 1)
+        phase1 = by_range.index[:n1].tolist()
+
+        def exact(ssegs, theta=None):
+            s = self._scored_docs(terms, idf, ssegs=ssegs, theta=theta, boost_ceiling=boost_ceiling)
+            if conjunctive:
+                s = s.filter(F.col("n_terms") == len(terms))
+            return self._apply_boosts(s, constant_boost, avail_boost)
+
+        top1 = (
+            exact(phase1)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .toPandas()
+        )
+        if len(top1) < k:
+            theta = None  # not enough candidates yet; cannot prune safely
+        else:
+            theta = float(top1["score"].iloc[-1])
+
+        rest = by_range.index[n1:]
+        if theta is not None:
+            rest = [s for s in rest if by_range.loc[s, "ub_total"] >= theta]
+        if len(rest) == 0:
+            return exact(phase1)
+        # score surviving ranges with block-level pruning, union with phase 1
+        return exact(phase1).unionByName(exact(list(rest), theta=theta))

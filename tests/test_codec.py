@@ -34,31 +34,35 @@ def test_varint_roundtrip(values):
 
 @given(
     st.lists(
-        st.tuples(st.integers(0, 10**12), st.integers(1, 10_000)),
+        st.tuples(st.integers(0, 10**12), st.integers(1, 10_000), st.integers(1, 500)),
         min_size=0,
         max_size=300,
         unique_by=lambda t: t[0],
     )
 )
 @settings(max_examples=100, deadline=None)
-def test_postings_roundtrip(pairs):
-    pairs.sort()
-    doc_ids = np.array([p[0] for p in pairs], dtype=np.int64)
-    tfs = np.array([p[1] for p in pairs], dtype=np.int64)
-    d2, t2 = decode_postings(encode_postings(doc_ids, tfs))
+def test_postings_roundtrip(triples):
+    triples.sort()
+    doc_ids = np.array([p[0] for p in triples], dtype=np.int64)
+    tfs = np.array([p[1] for p in triples], dtype=np.int64)
+    dls = np.array([p[2] for p in triples], dtype=np.int64)
+    d2, t2, l2 = decode_postings(encode_postings(doc_ids, tfs, dls))
     assert d2.tolist() == doc_ids.tolist()
     assert t2.tolist() == tfs.tolist()
+    assert l2.tolist() == dls.tolist()
 
 
 def test_postings_compression_actually_compresses():
-    # dense doc ids -> small gaps -> ~1 byte/doc + ~1 byte/tf
+    # dense doc ids -> small gaps -> ~1 byte each for gap/tf/dl
     doc_ids = np.arange(0, 100_000, 3, dtype=np.int64)
     tfs = np.ones(doc_ids.size, dtype=np.int64)
-    buf = encode_postings(doc_ids, tfs)
-    assert len(buf) < doc_ids.size * 2 + 10
-    d2, t2 = decode_postings(buf)
+    dls = np.full(doc_ids.size, 100, dtype=np.int64)
+    buf = encode_postings(doc_ids, tfs, dls)
+    assert len(buf) < doc_ids.size * 3 + 10
+    d2, t2, l2 = decode_postings(buf)
     np.testing.assert_array_equal(d2, doc_ids)
     np.testing.assert_array_equal(t2, tfs)
+    np.testing.assert_array_equal(l2, dls)
 
 
 def test_decode_rejects_garbage_gracefully():

@@ -1,0 +1,109 @@
+"""End-to-end: Spark index build + query engine vs the pure-Python oracle.
+
+Rank identity = identical (doc_id, score) sequences on the reference query set
+(reference test_cases/test_app.py:336,355,374, utils.py:79, metaphone.py:8)
+plus generated queries, per BASELINE.json's north_rule.
+"""
+
+import numpy as np
+import pytest
+
+REFERENCE_QUERIES = ["rice", "cadbury dairy milk", "belt", "oil", "milk"]
+GENERATED_QUERIES = [
+    "the",  # Zipf head term (skew path)
+    "oi",  # autocomplete prefix, multi-expansion
+    "bel",  # autocomplete prefix
+    "rs 10 oil",  # stopword filter pass-through
+    "a belt leather",  # 2nd-char-space strip
+    "dairy milk",
+    "zzzzqqqq",  # no match
+]
+
+
+def assert_rank_identical(spark_result, oracle_result, label=""):
+    assert spark_result.total == oracle_result.total, f"{label}: total mismatch"
+    got = [(int(d), float(s)) for d, s in zip(spark_result.page["doc_id"], spark_result.page["score"])]
+    want = [(d, s) for d, s in oracle_result.hits]
+    assert [g[0] for g in got] == [w[0] for w in want], f"{label}: doc_id order mismatch\n{got}\n{want}"
+    np.testing.assert_allclose(
+        [g[1] for g in got], [w[1] for w in want], rtol=0, atol=1e-9, err_msg=label
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_tiny):
+    from search_engine_spark.query import SearchEngine
+
+    return SearchEngine(spark, index_tiny)
+
+
+@pytest.mark.parametrize("kw", REFERENCE_QUERIES + GENERATED_QUERIES)
+def test_rank_identity_sort_mode(engine, oracle_tiny, kw):
+    got = engine.search(kw, k=10)
+    want = oracle_tiny.search(kw, k=10)
+    assert_rank_identical(got, want, label=f"sort:{kw!r}")
+
+
+@pytest.mark.parametrize("kw", REFERENCE_QUERIES + ["the", "oi"])
+def test_rank_identity_wand_mode(engine, oracle_tiny, kw):
+    got = engine.search(kw, k=10, mode="wand")
+    want = oracle_tiny.search(kw, k=10)
+    assert_rank_identical(got, want, label=f"wand:{kw!r}")
+
+
+def test_wand_matches_sort_exactly(engine):
+    for kw in ["milk", "cadbury dairy milk", "the"]:
+        a = engine.search(kw, k=25, mode="sort").page
+        b = engine.search(kw, k=25, mode="wand").page
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), kw
+        np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_conjunctive(engine, oracle_tiny):
+    got = engine.search("cadbury dairy", k=50, conjunctive=True)
+    want = oracle_tiny.search("cadbury dairy", k=50, conjunctive=True)
+    assert_rank_identical(got, want, label="conj")
+    # term absent from corpus -> empty
+    assert engine.search("cadbury zzzzqqqq", k=10, conjunctive=True).total == 0
+
+
+def test_boosts(engine, oracle_tiny):
+    for cb, ab in [(True, False), (False, True), (True, True)]:
+        got = engine.search("milk", k=15, constant_boost=cb, avail_boost=ab)
+        want = oracle_tiny.search("milk", k=15, constant_boost=cb, avail_boost=ab)
+        assert_rank_identical(got, want, label=f"boost cb={cb} ab={ab}")
+
+
+def test_pagination(engine, oracle_tiny):
+    for skip in [0, 5, 10]:
+        got = engine.search("the", k=5, skip=skip)
+        want = oracle_tiny.search("the", k=5, skip=skip)
+        assert_rank_identical(got, want, label=f"skip={skip}")
+
+
+def test_doc_ids_are_lex_rank(spark, index_tiny, oracle_tiny):
+    from search_engine_spark.catalog import IndexCatalog
+
+    cat = IndexCatalog(index_tiny)
+    rows = spark.read.parquet(cat.doc_stats).select("doc_id", "url").collect()
+    for r in rows:
+        assert oracle_tiny.url_to_doc[r["url"]] == r["doc_id"]
+
+
+def test_manifest_lineage(spark, index_tiny):
+    from search_engine_spark.catalog import IndexCatalog
+
+    cat = IndexCatalog(index_tiny)
+    m = cat.read_manifest().to_pydict()
+    done = [i for i, s in enumerate(m["status"]) if s == "done" and m["partition_id"][i] >= 0]
+    assert len(done) == 8  # n_partitions
+    # term ranges are disjoint and ordered by partition id
+    rows = sorted(
+        [(m["partition_id"][i], m["term_lo"][i], m["term_hi"][i]) for i in done if m["term_lo"][i]]
+    )
+    for (p1, _, hi1), (p2, lo2, _) in zip(rows, rows[1:]):
+        assert hi1 <= lo2, f"overlapping term ranges p{p1}..p{p2}"
+    # lineage counts match the actual segment table
+    seg = spark.read.parquet(cat.segments)
+    total_postings = seg.groupBy().sum("doc_count").collect()[0][0]
+    assert sum(m["postings_count"][i] for i in done) == total_postings
