@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship path end-to-end: build the inverted index over
+the sf0.001 documents table with the distributed builder, then answer a
+multi-term BM25 top-k query with the block-max-WAND engine.
+
+``queries()``/``oracle_sql()`` expose the operator library
+(search_engine_spark/operators/*): every SURVEY.md §2 operator family plus
+the training-data-pipeline set (dedup, similarity, text stats, multimodal
+plumbing), each with a DuckDB-runnable ANSI-SQL oracle unless the operator is
+not SQL-expressible (stubbed-codec multimodal paths -> rows-only check).
 """
 
 from __future__ import annotations
@@ -15,24 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index build + BM25 WAND top-k on /root/testdata/sf0.001."""
+    from search_engine_spark.operators.fulltext import engine_bm25_topk
+
+    return engine_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from search_engine_spark.operators import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from search_engine_spark.operators import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,97 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+- ``index_build``      — full inverted-index build over the documents table
+                         (the north-star metric; docs/sec derived from it)
+- ``search_*``         — BM25 top-k through the engine (sort baseline vs
+                         block-max WAND vs prefix autocomplete)
+- operator headliners  — one per family (relational agg, sessionization,
+                         minhash, knn, quality scoring, declarative BM25)
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "extras": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- index build (fresh dir every run) --------------------------------
+    from search_engine_spark.index.builder import BuildConfig, build_index
+
+    index_dir = os.path.join(tempfile.gettempdir(), "bench_index")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    corpus = f"{sf_dir}/documents.parquet"
+    n_docs = spark.read.parquet(corpus).count()
+    cfg = BuildConfig(block_docs=1024, target_ranges=max(32, n_docs // 4096),
+                      min_range_docs=1024, n_partitions=32, waves=1)
+    timed("index_build", lambda: build_index(spark, corpus, index_dir, cfg=cfg, id_col="doc_id"))
+    extras["index_docs"] = n_docs
+    extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+
+    # ---- engine queries ----------------------------------------------------
+    from search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, index_dir)
+    timed("search_sort", lambda: eng.search("scan window merge", k=10, mode="sort"))
+    timed("search_wand", lambda: eng.search("scan window merge", k=10, mode="wand"))
+    timed("search_autocomplete", lambda: eng.search("wi", k=10))
+    timed("search_conjunctive", lambda: eng.search("scan window", k=10, conjunctive=True))
+
+    # ---- operator headliners ----------------------------------------------
+    from search_engine_spark.operators import dedup, events, fulltext, relational, similarity, textstats
+
+    heads = {
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_order_quantity_rollup": relational.order_quantity_rollup,
+        "ev_sessionize": events.sessionize,
+        "txt_quality_scores": textstats.quality_scores,
+        "ft_bm25_topk": fulltext.bm25_topk,
+        "dd_minhash_signatures": dedup.minhash_signatures,
+        "dd_simhash": dedup.simhash,
+        "sim_knn_brute": similarity.knn_brute,
+    }
+    for name, fn in heads.items():
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "index-build + BM25 query + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "extras": extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

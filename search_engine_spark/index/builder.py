@@ -300,7 +300,8 @@ def build_index(
     docs = with_extracted_text(docs_raw)
     if id_col is not None:
         # corpus carries its own unique long id; synthesize a url key from it
-        docs = docs.withColumn("doc_id_pre", F.col(id_col).cast("long"))
+        # and drop the source column so later joins on doc_id are unambiguous
+        docs = docs.withColumn("doc_id_pre", F.col(id_col).cast("long")).drop(id_col)
         if "url" not in docs.columns:
             docs = docs.withColumn("url", F.col("doc_id_pre").cast("string"))
 

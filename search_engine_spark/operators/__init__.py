@@ -20,18 +20,20 @@ that sum floats are expressed with exact integer/decimal arithmetic (or
 rounded) so Spark and DuckDB hash identically despite float summation order.
 """
 
-from . import dedup, events, relational, similarity, textstats  # noqa: F401
+from . import dedup, events, fulltext, multimodal, relational, similarity, textstats  # noqa: F401
+
+_MODULES = (relational, events, textstats, fulltext, dedup, similarity, multimodal)
 
 
 def all_queries():
     out = {}
-    for mod in (relational, events, textstats, dedup, similarity):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (relational, events, textstats, dedup, similarity):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
     return out

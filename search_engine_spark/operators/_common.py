@@ -1,0 +1,66 @@
+"""Shared helpers for the operator library.
+
+Every gated operator comes in two forms that must agree value-for-value:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` (registered in the
+  module's ``QUERIES`` dict), and
+- an ANSI-SQL oracle string runnable by DuckDB on the same parquet tables
+  (registered in ``ORACLES``).
+
+Float discipline (the driver hashes values):
+
+- money/quantity sums go through DECIMAL so the aggregate is exact and
+  order-independent, then one final cast to double;
+- per-row arithmetic keeps the identical operand order on both sides (IEEE
+  doubles are deterministic given the same expression tree);
+- genuinely order-sensitive float reductions (dot products summed by a
+  group-by) are rounded to 6 decimals before compare/rank.
+
+Portable string hash: both engines lack a shared native 64-bit hash
+(Spark ``hash``/``xxhash64`` != DuckDB ``hash``), so hashed operators use the
+first 15 hex digits of md5 as a 60-bit integer — ``conv(substr(md5(x),1,15),
+16,10)`` in Spark, ``cast('0x' || substr(md5(x),1,15) as bigint)`` in DuckDB.
+At cluster scale the production path swaps in ``xxhash64`` (cheaper, JVM
+native); the md5 form exists so the oracle can verify the algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def md5_long(col):
+    """60-bit integer from md5 hex — Spark side of the portable hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+MD5_LONG_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def dec_sum(col, scale: int = 2):
+    """Exact, order-independent sum of a money-like double -> double."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dec_sum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# Tokenizer shared by the text/dedup/fulltext operators: lower -> split on
+# non-letters -> drop empties.  documents.text is lowercase words + commas,
+# so this matches the engine's pinned analyzer (analysis/text.py) on this
+# corpus exactly.
+def tokens_col(col="text"):
+    return F.array_remove(F.split(F.lower(F.col(col)), "[^a-z]+"), "")
+
+
+TOKENS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"

@@ -1,0 +1,285 @@
+"""Full-text operators over the ``documents`` table, SQL-checkable.
+
+These express the reference's Atlas-Search semantics (SURVEY.md §2.A) in
+forms DuckDB can verify: term statistics, tf ranking, compound must/should
+matching, prefix autocomplete, and — the flagship — Lucene-BM25 top-k where
+the *actual distributed engine* (index builder + SearchEngine) is compared
+against a pure-SQL BM25 oracle.  Scores are rounded to 6 decimals and ranked
+on the rounded value with a doc_id tiebreak on both sides, so last-ulp libm
+differences cannot flip ranks.
+
+The BM25 SQL mirrors the engine's float expression tree operand-for-operand
+(see query/engine.py:169): ``idf * tf / (tf + k1*(1 - b + b*dl/avgdl))`` with
+left-associative evaluation, and doc scores sum in ascending term order.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._common import TOKENS_SQL, t, tokens_col
+
+K1 = 1.2
+B = 0.75
+
+# --------------------------------------------------------------------------
+# term statistics (the index builder's stats pass, SQL-checkable)
+# --------------------------------------------------------------------------
+
+def term_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf"))
+    )
+
+
+TERM_STATS_SQL = f"""
+SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents)
+GROUP BY term
+"""
+
+# --------------------------------------------------------------------------
+# A2: prefix autocomplete — term-dictionary range scan
+# --------------------------------------------------------------------------
+
+def prefix_terms(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    return (
+        tok.filter(F.col("term").startswith("s"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+PREFIX_TERMS_SQL = f"""
+SELECT term, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents)
+WHERE term LIKE 's%'
+GROUP BY term
+"""
+
+# --------------------------------------------------------------------------
+# tf top-k for one term (posting-list lookup, integer-exact)
+# --------------------------------------------------------------------------
+
+def tf_topk(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tf = F.size(F.filter(tokens_col(), lambda x: x == "scan"))
+    scored = d.select("doc_id", tf.alias("tf")).filter(F.col("tf") > 0)
+    w = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "tf", "rk")
+    )
+
+
+TF_TOPK_SQL = f"""
+SELECT doc_id, tf, rk
+FROM (
+  SELECT doc_id, tf, row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS rk
+  FROM (SELECT doc_id, len(list_filter({TOKENS_SQL}, x -> x = 'scan')) AS tf
+        FROM documents)
+  WHERE tf > 0
+) WHERE rk <= 20
+"""
+
+# --------------------------------------------------------------------------
+# A3/A4/A5: compound must + should with minimumShouldMatch=1
+# (reference search_utils.py:104-151) — integer-exact
+# --------------------------------------------------------------------------
+
+def must_should(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = tokens_col()
+    tf_must = F.size(F.filter(toks, lambda x: x == "scan"))
+    tf_s1 = F.size(F.filter(toks, lambda x: x == "window"))
+    tf_s2 = F.size(F.filter(toks, lambda x: x == "merge"))
+    out = d.select(
+        "doc_id",
+        tf_must.alias("tf_must"),
+        tf_s1.alias("tf_should1"),
+        tf_s2.alias("tf_should2"),
+    ).filter((F.col("tf_must") > 0) & ((F.col("tf_should1") > 0) | (F.col("tf_should2") > 0)))
+    return out.withColumn(
+        "n_should_matched",
+        (F.col("tf_should1") > 0).cast("int") + (F.col("tf_should2") > 0).cast("int"),
+    )
+
+
+MUST_SHOULD_SQL = f"""
+SELECT doc_id, tf_must, tf_should1, tf_should2,
+       CAST(tf_should1 > 0 AS INT) + CAST(tf_should2 > 0 AS INT) AS n_should_matched
+FROM (
+  SELECT doc_id,
+         len(list_filter({TOKENS_SQL}, x -> x = 'scan')) AS tf_must,
+         len(list_filter({TOKENS_SQL}, x -> x = 'window')) AS tf_should1,
+         len(list_filter({TOKENS_SQL}, x -> x = 'merge')) AS tf_should2
+  FROM documents
+)
+WHERE tf_must > 0 AND (tf_should1 > 0 OR tf_should2 > 0)
+"""
+
+# --------------------------------------------------------------------------
+# BM25 top-k in pure declarative Spark (no engine) vs pure SQL
+# --------------------------------------------------------------------------
+
+_Q_TERMS = ("scan", "window")  # ascending order — scores sum in this order
+
+
+def _bm25_spark_df(spark, sf_dir, k=20):
+    d = t(spark, sf_dir, "documents")
+    toks = tokens_col()
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        F.size(F.filter(toks, lambda x: x == _Q_TERMS[0])).cast("double").alias("tf1"),
+        F.size(F.filter(toks, lambda x: x == _Q_TERMS[1])).cast("double").alias("tf2"),
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        F.count_if(F.col("tf1") > 0).cast("double").alias("df1"),
+        F.count_if(F.col("tf2") > 0).cast("double").alias("df2"),
+    )
+    j = base.crossJoin(F.broadcast(stats)).filter((F.col("tf1") > 0) | (F.col("tf2") > 0))
+    avgdl = F.col("sum_dl") / F.col("n")
+
+    def idf(dfc):
+        return F.log(F.lit(1.0) + (F.col("n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+
+    def tscore(tf, dfc):
+        return F.when(
+            tf > 0,
+            idf(dfc) * tf / (tf + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl") / avgdl)),
+        ).otherwise(F.lit(0.0))
+
+    scored = j.select(
+        "doc_id",
+        F.round(
+            tscore(F.col("tf1"), F.col("df1")) + tscore(F.col("tf2"), F.col("df2")), 6
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "score", "rk")
+    )
+
+
+def bm25_topk(spark, sf_dir):
+    return _bm25_spark_df(spark, sf_dir)
+
+
+_BM25_ORACLE_TMPL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({TOKENS_SQL}) AS DOUBLE) AS dl,
+         CAST(len(list_filter({TOKENS_SQL}, x -> x = '{{t1}}')) AS DOUBLE) AS tf1,
+         CAST(len(list_filter({TOKENS_SQL}, x -> x = '{{t2}}')) AS DOUBLE) AS tf2
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sum_dl,
+         CAST(COUNT(*) FILTER (WHERE tf1 > 0) AS DOUBLE) AS df1,
+         CAST(COUNT(*) FILTER (WHERE tf2 > 0) AS DOUBLE) AS df2
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN tf1 > 0 THEN
+              ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1
+                / (tf1 + {K1} * (1.0 - {B} + {B} * dl / (sum_dl / n)))
+            ELSE 0.0 END)
+           + (CASE WHEN tf2 > 0 THEN
+              ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2
+                / (tf2 + {K1} * (1.0 - {B} + {B} * dl / (sum_dl / n)))
+            ELSE 0.0 END), 6) AS score
+  FROM base CROSS JOIN stats
+  WHERE tf1 > 0 OR tf2 > 0
+)
+SELECT doc_id, score, rk
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 20
+"""
+
+BM25_TOPK_SQL = _BM25_ORACLE_TMPL.format(t1=_Q_TERMS[0], t2=_Q_TERMS[1])
+
+# --------------------------------------------------------------------------
+# the flagship: the REAL engine (index build + SearchEngine) vs the SQL oracle
+# --------------------------------------------------------------------------
+
+_ENGINE_CACHE: dict[str, str] = {}
+
+
+def _index_for(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) an index over documents."""
+    if sf_dir in _ENGINE_CACHE:
+        return _ENGINE_CACHE[sf_dir]
+    from ..index.builder import BuildConfig, build_index
+
+    index_dir = os.path.join(
+        tempfile.gettempdir(), "ses_idx_" + sf_dir.strip("/").replace("/", "_")
+    )
+    marker = os.path.join(index_dir, "_stats.json")
+    if not os.path.exists(marker):
+        cfg = BuildConfig(block_docs=256, target_ranges=64, min_range_docs=256,
+                          n_partitions=16, waves=2)
+        build_index(
+            spark,
+            f"{sf_dir}/documents.parquet",
+            index_dir,
+            cfg=cfg,
+            id_col="doc_id",
+        )
+    _ENGINE_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def engine_bm25_topk(spark, sf_dir):
+    """Distributed engine result, re-ranked on rounded score like the oracle."""
+    from ..query.engine import SearchEngine
+
+    index_dir = _index_for(spark, sf_dir)
+    eng = SearchEngine(spark, index_dir)
+    res = eng.search(" ".join(_Q_TERMS), k=60, mode="wand")
+    pdf = res.page.copy()
+    pdf["score"] = pdf["score"].round(6)
+    pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    pdf = pdf.head(20)
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(
+        pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
+    )
+
+
+ENGINE_BM25_TOPK_SQL = BM25_TOPK_SQL
+
+
+QUERIES = {
+    "ft_term_stats": term_stats,
+    "ft_prefix_terms": prefix_terms,
+    "ft_tf_topk": tf_topk,
+    "ft_must_should": must_should,
+    "ft_bm25_topk": bm25_topk,
+    "ft_engine_bm25_topk": engine_bm25_topk,
+}
+
+ORACLES = {
+    "ft_term_stats": TERM_STATS_SQL,
+    "ft_prefix_terms": PREFIX_TERMS_SQL,
+    "ft_tf_topk": TF_TOPK_SQL,
+    "ft_must_should": MUST_SHOULD_SQL,
+    "ft_bm25_topk": BM25_TOPK_SQL,
+    "ft_engine_bm25_topk": ENGINE_BM25_TOPK_SQL,
+}

@@ -1,0 +1,131 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The container has no image/audio codecs, so the decode step is a clearly
+marked stub (``decode_image_stub`` raises unless the deterministic fake is
+requested) — but everything Spark-side is real and tested: binary column
+construction, metadata extraction (sizes, digests), Arrow batch shapes
+through ``mapInPandas``, and deterministic frame sampling over byte ranges.
+
+At 100 TB the payload column stays in parquet/Iceberg as binary chunks;
+metadata queries below never deserialize payloads into Python (built-in
+``octet_length``/``sha2`` run JVM-side), and the decode UDF path streams
+Arrow batches so Python touches bytes only where a codec is genuinely needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ._common import t
+
+# --------------------------------------------------------------------------
+# gated: metadata over a binary payload column (JVM-side only)
+# --------------------------------------------------------------------------
+
+def media_meta(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("nbytes"),
+        F.sha2(payload, 256).alias("digest"),  # hashes the utf-8 bytes
+    )
+
+
+MEDIA_META_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS nbytes, sha256(text) AS digest
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# stubbed decode + real Arrow plumbing
+# --------------------------------------------------------------------------
+
+def decode_image_stub(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to HxWxC uint8.
+
+    The real codec (PIL/libjpeg) is not in this container; ``fake=True``
+    yields a deterministic pseudo-image derived from the payload digest so
+    the downstream plumbing (shapes, batching, feature extraction) is
+    testable.
+    """
+    if not fake:
+        raise NotImplementedError("image codec not available in this environment")
+    h = hashlib.sha256(payload).digest()
+    rng = np.frombuffer(h * 96, dtype=np.uint8)[: 32 * 32 * 3]
+    return rng.reshape(32, 32, 3)
+
+
+def extract_features(spark, sf_dir, fake_decode: bool = True):
+    """payload -> decoded fake image -> per-channel mean features.
+
+    Real Arrow-batched plumbing: binary in, fixed-width feature vector out.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def feats(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image_stub(bytes(payload), fake=fake_decode)
+                rows.append((doc_id, img.mean(axis=(0, 1)).astype(np.float64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "mean_r": [float(r[1][0]) for r in rows],
+                    "mean_g": [float(r[1][1]) for r in rows],
+                    "mean_b": [float(r[1][2]) for r in rows],
+                }
+            )
+
+    return d.mapInPandas(
+        feats, schema="doc_id long, mean_r double, mean_g double, mean_b double"
+    )
+
+
+def frame_sample(spark, sf_dir, n_frames: int = 4, frame_bytes: int = 16):
+    """Deterministic 'frame' sampling: n byte-range slices per payload.
+
+    Stands in for video frame extraction — the partitioning/explode shape is
+    identical; only the codec is faked (byte slices instead of decoded
+    frames).  Runs JVM-side via substring on binary.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    n = F.octet_length("payload")
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("frame_no"),
+            F.substring(
+                "payload", (i * ((n - F.lit(frame_bytes)) / F.lit(n_frames - 1)).cast("int")) + 1,
+                frame_bytes,
+            ).alias("frame"),
+        ),
+    )
+    ex = d.select("doc_id", F.explode(frames).alias("f"))
+    return ex.select(
+        "doc_id",
+        F.col("f.frame_no").alias("frame_no"),
+        F.sha2(F.col("f.frame"), 256).alias("frame_digest"),
+    )
+
+
+QUERIES = {
+    "mm_media_meta": media_meta,
+    "mm_extract_features": extract_features,  # rows-only check (stubbed codec)
+    "mm_frame_sample": frame_sample,  # rows-only check
+}
+
+ORACLES = {
+    "mm_media_meta": MEDIA_META_SQL,
+}

@@ -143,26 +143,40 @@ class SearchEngine:
         ssegs: list[int] | None = None,
         theta: float | None = None,
         boost_ceiling: float = 0.0,
+        rest_bounds: dict | None = None,
     ) -> DataFrame:
-        """Decode candidate blocks -> per-(doc,term) BM25 partial scores."""
+        """Decode candidate blocks -> per-(doc,term) BM25 partial scores.
+
+        ``rest_bounds[(term, sseg)]`` is the sum of the OTHER query terms'
+        score upper bounds in that doc range: a block of one term can only be
+        pruned against θ after adding what the other terms could still
+        contribute (pruning on the single-term bound alone would wrongly drop
+        docs whose score is split across terms).
+        """
         avgdl = self.avgdl
         idf_b = self.spark.sparkContext.broadcast(dict(idf))
+        rb_b = self.spark.sparkContext.broadcast(rest_bounds or {})
         th = theta
 
         def score_blocks(it):
             idfs = idf_b.value
+            rbs = rb_b.value
             for pdf in it:
                 if len(pdf) == 0:
                     continue
                 outs = []
                 terms_col = pdf["term"].to_numpy(dtype=object)
+                sseg_col = pdf["sseg"].to_numpy(dtype=np.int64)
                 mtn = pdf["max_tf_norm"].to_numpy(dtype=np.float64)
                 for i, buf in enumerate(pdf["postings"]):
                     t = terms_col[i]
                     w = idfs.get(t, 0.0)
-                    # block-max pruning: skip blocks that cannot reach θ
-                    if th is not None and w * mtn[i] + boost_ceiling < th:
-                        continue
+                    # block-max pruning: skip blocks that cannot reach θ even
+                    # with the other terms' range bounds added
+                    if th is not None:
+                        rest = rbs.get((t, int(sseg_col[i])), 0.0)
+                        if w * mtn[i] + rest + boost_ceiling < th:
+                            continue
                     doc_ids, tfs, dls = decode_postings(buf)
                     tf = tfs.astype(np.float64)
                     dl = dls.astype(np.float64)
@@ -181,7 +195,7 @@ class SearchEngine:
                     yield pd.concat(outs, ignore_index=True)
 
         segs = self._candidate_segments(terms, ssegs=ssegs)
-        scored = segs.select("term", "max_tf_norm", "postings").mapInPandas(
+        scored = segs.select("term", "sseg", "max_tf_norm", "postings").mapInPandas(
             score_blocks, schema=_SCORED_SCHEMA
         )
         # deterministic ascending-term-order float summation (JVM-side fold)
@@ -352,13 +366,24 @@ class SearchEngine:
         by_range = by_range.sort_values("ub", ascending=False)
         by_range["ub_total"] = by_range["ub"] + boost_ceiling
 
+        # per-(term, range) residual bound: what the OTHER terms could add in
+        # that range — needed for sound per-block pruning inside _scored_docs
+        range_ub = by_range["ub"].to_dict()
+        rest_bounds = {
+            (r["term"], int(s)): float(range_ub.get(s, 0.0) - r["ub"])
+            for s, r in zip(meta["sseg"], meta.to_dict("records"))
+        }
+
         # phase 1: enough ranges to (likely) fill k
         cum = by_range["dc"].cumsum()
         n1 = int(np.searchsorted(cum.to_numpy(), k) + 1)
         phase1 = by_range.index[:n1].tolist()
 
         def exact(ssegs, theta=None):
-            s = self._scored_docs(terms, idf, ssegs=ssegs, theta=theta, boost_ceiling=boost_ceiling)
+            s = self._scored_docs(
+                terms, idf, ssegs=ssegs, theta=theta,
+                boost_ceiling=boost_ceiling, rest_bounds=rest_bounds,
+            )
             if conjunctive:
                 s = s.filter(F.col("n_terms") == len(terms))
             return self._apply_boosts(s, constant_boost, avail_boost)

@@ -1,0 +1,87 @@
+"""Operator-library gate: every Spark operator vs its DuckDB oracle at
+sf0.001, mirroring the driver's correctness check (row count, column names,
+order-insensitive value hash)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+
+from search_engine_spark.operators import all_oracles, all_queries
+from search_engine_spark.operators._common import TABLES
+
+
+def canon(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].copy()
+    for c in cols:
+        col = pdf[c]
+        if str(col.dtype).startswith("datetime"):
+            pdf[c] = col.astype("datetime64[us]").astype(str)
+        elif col.dtype.kind == "f":
+            pdf[c] = col.map(lambda v: f"{v:.9f}")
+        else:
+            pdf[c] = col.astype(str)
+    rows = sorted(map(tuple, pdf.itertuples(index=False, name=None)))
+    return len(rows), cols, hashlib.md5(repr(rows).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    return con
+
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+_GATED = sorted(n for n in _QUERIES if n in _ORACLES)
+_ROWS_ONLY = sorted(n for n in _QUERIES if n not in _ORACLES)
+
+
+@pytest.mark.parametrize("name", _GATED)
+def test_gated_operator_matches_oracle(name, spark, sf_dir, duck):
+    sdf = _QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.sql(_ORACLES[name]).df()
+    ns, cs, hs = canon(sdf)
+    no, co, ho = canon(odf)
+    assert ns == no, f"{name}: rowcount {ns} != {no}"
+    assert cs == co, f"{name}: columns {cs} != {co}"
+    assert hs == ho, f"{name}: value hash mismatch"
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_operator_runs(name, spark, sf_dir):
+    df = _QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_arrow_brute_topk_matches_declarative(spark, sf_dir):
+    """The one-pass numpy kernel returns the same neighbors as the join plan."""
+    from search_engine_spark.operators.similarity import brute_topk_arrow, knn_brute
+
+    a = brute_topk_arrow(spark, sf_dir, k=5).toPandas()
+    b = knn_brute(spark, sf_dir).toPandas()
+    a = a.sort_values(["qid", "rk"]).reset_index(drop=True)
+    b = b.sort_values(["qid", "rk"]).reset_index(drop=True)
+    assert list(a["cid"]) == list(b["cid"])
+    assert (a["cosine"] - b["cosine"]).abs().max() < 1e-6
+
+
+def test_multimodal_stub_contract(spark, sf_dir):
+    from search_engine_spark.operators.multimodal import decode_image_stub, extract_features
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"payload")
+    img = decode_image_stub(b"payload", fake=True)
+    assert img.shape == (32, 32, 3) and img.dtype.name == "uint8"
+
+    feats = extract_features(spark, sf_dir).toPandas()
+    assert set(feats.columns) == {"doc_id", "mean_r", "mean_g", "mean_b"}
+    assert len(feats) == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert feats[["mean_r", "mean_g", "mean_b"]].notna().all().all()
