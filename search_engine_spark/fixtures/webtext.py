@@ -178,7 +178,7 @@ def generate_webtext(n_rows: int, batch: int = 200_000):
         )
 
 
-def write_webtext_parquet(path: str, n_rows: int, row_group_size: int = 100_000) -> str:
+def write_webtext_parquet(path: str, n_rows: int, row_group_size: int = 20_000) -> str:
     """Write the corpus as (possibly multi-file) parquet under ``path``."""
     import os
 
@@ -192,8 +192,8 @@ def write_webtext_parquet(path: str, n_rows: int, row_group_size: int = 100_000)
     nfile = 0
     count = first.num_rows
     for rb in gen:
-        # roll files every ~2M rows so Spark gets multiple splits
-        if count >= 2_000_000:
+        # roll files every ~500k rows so Spark gets multiple splits
+        if count >= 500_000:
             writer.close()
             nfile += 1
             writer = pq.ParquetWriter(os.path.join(path, f"part-{nfile:05d}.parquet"), rb.schema)

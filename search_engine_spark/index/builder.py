@@ -294,6 +294,17 @@ def build_index(
     id_col: str | None = None,  # pre-assigned unique long doc ids (skips rank)
 ) -> dict:
     """Build (or resume) the index for ``corpus_path`` under ``index_dir``."""
+    import time as _time
+
+    phase_t: dict[str, float] = {}
+    _t0 = _time.time()
+
+    def _mark(name):
+        nonlocal _t0
+        now = _time.time()
+        phase_t[name] = round(now - _t0, 2)
+        _t0 = now
+
     cfg = cfg or BuildConfig()
     cat = IndexCatalog(index_dir)
     docs_raw = spark.read.parquet(corpus_path)
@@ -308,13 +319,24 @@ def build_index(
     done = cat.completed_partitions()
     phase1_done = -1 in done and cat.has_corpus_stats()
 
+    shuffle_n = cfg.shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Tokenization parallelism must not be inherited from the corpus scan:
+    # a broadcast of doc_ids would leave the tokenize stage at the parquet
+    # row-group split count (a handful of tasks on a single-file corpus).
+    # An explicit repartition pins the hot stage at full cluster width.
+    tok_parts = max(shuffle_n, cfg.n_partitions)
+
     if not phase1_done:
         if id_col is not None:
             doc_ids = docs.select("url", F.col("doc_id_pre").alias("doc_id"))
             ranked = None
         else:
             doc_ids, ranked = assign_doc_ids(docs, n_parts=cfg.n_partitions)
-        docs_with_ids = docs.join(doc_ids, "url").select("doc_id", "url", "text")
+        docs_with_ids = (
+            docs.join(doc_ids, "url")
+            .select("doc_id", "url", "text")
+            .repartition(tok_parts, "doc_id")
+        )
         tokens = tokens_from_docs(docs_with_ids).persist(StorageLevel.MEMORY_AND_DISK)
 
         # corpus + term stats in one pass over tokens; url kept so results can
@@ -323,7 +345,9 @@ def build_index(
         doc_stats = doc_ids.join(dl_df, "doc_id", "left").select(
             "doc_id", "url", F.coalesce("dl", F.lit(0)).alias("dl")
         )
+        _mark("plan_phase1")
         doc_stats.write.mode("overwrite").parquet(cat.doc_stats)
+        _mark("doc_stats")
         agg = spark.read.parquet(cat.doc_stats).agg(
             F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
         ).collect()[0]
@@ -336,6 +360,7 @@ def build_index(
         term_stats.repartitionByRange(max(4, cfg.n_partitions // 4), "term").sortWithinPartitions(
             "term"
         ).write.mode("overwrite").parquet(cat.term_stats)
+        _mark("term_stats")
 
         # postings-weighted term-range boundaries for build partitions
         ts = spark.read.parquet(cat.term_stats).select("term", "df").collect()
@@ -389,24 +414,27 @@ def build_index(
         # COMMITTED doc_id assignment from doc_stats so segment contents are
         # bit-identical to the interrupted run.
         committed = spark.read.parquet(cat.doc_stats).select("url", "doc_id")
-        docs_with_ids = docs.join(committed, "url").select("doc_id", "text")
+        docs_with_ids = (
+            docs.join(committed, "url")
+            .select("doc_id", "text")
+            .repartition(tok_parts, "doc_id")
+        )
         tokens = tokens_from_docs(docs_with_ids).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # assign build partition from term cuts (broadcast numpy searchsorted)
+    # assign build partition via a broadcast term->pid dimension (JVM-side
+    # hash join + expressions; no Python boundary on the 10^? -row token
+    # stream).  pid = searchsorted(cuts, term) computed once driver-side over
+    # the term dictionary — the same in-process-dimension pattern as the
+    # reference's STORE_WH_MAP dict (reference constants.py:17).
+    ts_pdf = spark.read.parquet(cat.term_stats).select("term").toPandas()
     cuts_arr = np.array(cuts, dtype=object)
-    sc_cuts = spark.sparkContext.broadcast(cuts_arr)
-
-    def add_keys(it):
-        for pdf in it:
-            c = sc_cuts.value
-            pid = np.searchsorted(c, pdf["term"].to_numpy(dtype=object), side="left")
-            out = pdf.copy()
-            out["pid"] = pid.astype(np.int32)
-            out["sseg"] = (pdf["doc_id"].to_numpy(dtype=np.int64) // range_docs).astype(np.int32)
-            yield out
-
-    keyed_schema = TOKENS_SCHEMA + ", pid int, sseg int"
-    keyed = tokens.mapInPandas(add_keys, schema=keyed_schema)
+    ts_pdf["pid"] = np.searchsorted(
+        cuts_arr, ts_pdf["term"].to_numpy(dtype=object), side="left"
+    ).astype(np.int32)
+    pid_map = spark.createDataFrame(ts_pdf)
+    keyed = tokens.join(F.broadcast(pid_map), "term").withColumn(
+        "sseg", F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)")
+    )
 
     def encode_part(it):
         slabs = [pdf for pdf in it if len(pdf)]
@@ -423,7 +451,6 @@ def build_index(
     wave_size = max(1, -(-n_partitions // cfg.waves))
     waves = [pending[i : i + wave_size] for i in range(0, len(pending), wave_size)]
 
-    shuffle_n = cfg.shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     for w, wave_pids in enumerate(waves):
         wave = (
             keyed.filter(F.col("pid").isin(wave_pids))
@@ -432,6 +459,7 @@ def build_index(
             .mapInPandas(encode_part, schema=SEGMENT_SCHEMA)
         )
         wave.write.mode("overwrite").partitionBy("pid").parquet(cat.segments)
+        _mark(f"wave{w}_segments")
         # lineage from what actually landed on disk
         landed = (
             spark.read.parquet(cat.segments)
@@ -483,7 +511,9 @@ def build_index(
 
     tokens.unpersist()
     m = cat.read_manifest()
+    _mark("manifest")
     return {
+        "phase_sec": phase_t,
         "n_docs": stats["n_docs"],
         "avgdl": avgdl,
         "partitions_built": len(pending),

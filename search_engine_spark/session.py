@@ -26,9 +26,10 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # one shuffle partition per core locally; a real cluster would use
-        # 2-3x total cores — AQE coalesces the excess either way.
-        shuffle_partitions = max(cpus, 8)
+        # 3 tasks per core: stragglers amortize across waves instead of
+        # setting the stage time (1 task/core makes the slowest task the
+        # stage); AQE coalesces the excess when partitions run small.
+        shuffle_partitions = max(3 * cpus, 24)
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
