@@ -44,7 +44,7 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # ---- index build (fresh dir every run) --------------------------------
+    # ---- index build over documents (fresh dir every run) ----------------
     from search_engine_spark.index.builder import BuildConfig, build_index
 
     index_dir = os.path.join(tempfile.gettempdir(), "bench_index")
@@ -57,12 +57,35 @@ def main():
     extras["index_docs"] = n_docs
     extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
+    # ---- webtext headline: build over a 100k-page Common-Crawl-style corpus
+    wt_docs = int(os.environ.get("SPARK_GRAFT_BENCH_WEBTEXT_DOCS", "100000"))
+    wt_corpus = os.path.join(tempfile.gettempdir(), f"bench_webtext_{wt_docs}")
+    if not os.path.exists(os.path.join(wt_corpus, "part-00000.parquet")):
+        from search_engine_spark.fixtures import write_webtext_parquet
+
+        write_webtext_parquet(wt_corpus, wt_docs)
+    wt_index = os.path.join(tempfile.gettempdir(), "bench_webtext_index")
+    shutil.rmtree(wt_index, ignore_errors=True)
+    wt_cfg = BuildConfig(block_docs=1024, target_ranges=max(64, wt_docs // 8192),
+                         min_range_docs=2048, n_partitions=32, waves=1)
+    timed("webtext_index_build", lambda: build_index(spark, wt_corpus, wt_index, cfg=wt_cfg))
+    extras["webtext_docs"] = wt_docs
+    extras["webtext_docs_per_sec"] = round(wt_docs / timings["webtext_index_build"], 1)
+
+    from search_engine_spark.query.engine import SearchEngine as _SE
+
+    wt_eng = _SE(spark, wt_index)
+    timed("webtext_search_multiterm", lambda: wt_eng.search("cadbury dairy milk", k=10))
+    timed("webtext_search_head_term", lambda: wt_eng.search("the oil", k=10, force_distributed=True, mode="wand"))
+    timed("webtext_search_autocomplete", lambda: wt_eng.search("oi", k=10))
+
     # ---- engine queries ----------------------------------------------------
     from search_engine_spark.query.engine import SearchEngine
 
     eng = SearchEngine(spark, index_dir)
-    timed("search_sort", lambda: eng.search("scan window merge", k=10, mode="sort"))
-    timed("search_wand", lambda: eng.search("scan window merge", k=10, mode="wand"))
+    timed("search_topk", lambda: eng.search("scan window merge", k=10))
+    timed("search_sort_dist", lambda: eng.search("scan window merge", k=10, mode="sort", force_distributed=True))
+    timed("search_wand_dist", lambda: eng.search("scan window merge", k=10, mode="wand", force_distributed=True))
     timed("search_autocomplete", lambda: eng.search("wi", k=10))
     timed("search_conjunctive", lambda: eng.search("scan window", k=10, conjunctive=True))
 

@@ -45,6 +45,7 @@ class IndexCatalog:
         self.segments = os.path.join(index_dir, "segments")
         self.term_stats = os.path.join(index_dir, "term_stats")
         self.manifest_dir = os.path.join(index_dir, "manifest")
+        self.tokens_tmp = os.path.join(index_dir, "tokens_tmp")
         self.stats_file = os.path.join(index_dir, "corpus_stats.json")
         os.makedirs(self.manifest_dir, exist_ok=True)
 

@@ -5,28 +5,35 @@ Search / Lucene (reference search_utils.py:79-97 implies Lucene indexes on the
 ``name``/``barcode`` paths; here the corpus is the webtext table from
 BASELINE.json's input_hint).
 
-Pipeline (all pyspark.sql DataFrames + Arrow UDFs; no RDDs, no per-row Python):
+Pipeline (pyspark.sql DataFrames; Python appears only in the Arrow codec
+kernel; no RDDs, no per-row Python):
 
 1. **doc_id assignment** — zero-based dense rank of ``url`` in lexicographic
    order, computed distributed: ``repartitionByRange(url)`` + per-partition
    local ranks + a driver-side prefix sum over per-partition counts (the
    classic two-phase distributed dense rank; no global sort on one node).
-2. **tokenize** — ``mapInPandas`` over (doc_id, text): vectorized analyzer ->
-   exploded (term, doc_id, tf, dl) rows.  Doc length ``dl`` rides along so it
-   can be encoded inline with postings (query-time BM25 then needs no
-   doc-stats join).
+   The (url -> doc_id) map joins back broadcast when it fits, so the text
+   payload never crosses a shuffle.
+2. **tokenize** — pure JVM whole-stage-codegen: lower + regex split +
+   explode + hash-aggregate to (term, doc_id, tf, dl), materialized once as
+   compressed columnar parquet (``tokens_tmp``: column-pruned stats re-reads,
+   resume reuse, no executor-cache GC pressure).  Doc length ``dl`` rides
+   along so it can be encoded inline with postings (query-time BM25 then
+   needs no doc-stats join).
 3. **stats pass** — corpus stats (N, avgdl), term stats (df), and
    postings-weighted term-range partition boundaries.  Boundaries give every
    build partition a contiguous term range (-> honest ``term_lo/term_hi``
    lineage + query-time partition pruning) and are weighted by postings count
    so Zipf head terms don't melt one reducer.
-4. **segment build** — tokens are bucketed on a *global doc-id grid*
+4. **segment build** — ONE shuffle: tokens gain ``pid`` via a broadcast
+   term->pid dimension join (JVM) and are bucketed on a *global doc-id grid*
    (``sseg = doc_id // range_docs``).  The grid is shared by all terms, so at
    query time per-range score upper bounds can be summed across query terms —
    that is what makes distributed block-max WAND pruning possible.  Within a
-   partition the rows are sorted by (term, sseg, doc_id) and encoded into
-   1024-posting blocks with delta+varint compression and per-block max-score
-   metadata, fully vectorized across groups (no per-group Python loop).
+   partition the rows are sorted by (term, sseg, doc_id) and encoded by a
+   ``mapInArrow`` kernel into 1024-posting blocks with delta+varint
+   compression and per-block max-score metadata — dictionary-encoded terms,
+   zero-copy ints, no per-group Python loop, no python string objects.
 5. **manifest** — one lineage row per (partition, wave) with input split, term
    range, postings count, bytes; committed atomically after each wave so a
    killed build resumes from completed partitions (Iceberg MERGE at cluster
@@ -114,15 +121,50 @@ def assign_doc_ids(docs: DataFrame, n_parts: int = 32) -> DataFrame:
         ranked.join(F.broadcast(off_df), "pid")
         .select("url", (F.col("offset") + F.col("lrank")).alias("doc_id"))
     )
-    return out, ranked  # caller unpersists ranked
+    return out, ranked, acc  # caller unpersists ranked; acc = total docs
 
 
 # ---------------------------------------------------------------------------
 # Phase 2: tokenization
 # ---------------------------------------------------------------------------
 
+# Analyzer codepoint class (FIXTURES.md §3) as a Java regex, applied after
+# lower().  NFC normalization is the ingest contract (the pandas path below
+# applies it; the corpora here are NFC already) — everything else matches the
+# pinned python analyzer exactly, which the rank-identity tests enforce.
+_TOKEN_SPLIT_RE = "[^0-9A-Za-zÀ-￿]+"
+
+
 def tokens_from_docs(docs_with_ids: DataFrame) -> DataFrame:
-    """(doc_id, text) -> exploded (term, doc_id, tf, dl); vectorized."""
+    """(doc_id, text) -> (term, doc_id, tf, dl) — pure JVM, whole-stage codegen.
+
+    explode + hash-aggregate: every operator codegens (higher-order-function
+    variants run interpreted and measured slower; a pandas tokenizer is
+    Python-allocation-bound and stops scaling past ~8 concurrent workers).
+    Map-side partial aggregation collapses the exploded stream to one row per
+    (doc, term) before the shuffle because a doc's tokens never span
+    partitions.
+    """
+    arr = F.array_remove(F.split(F.lower(F.col("text")), _TOKEN_SPLIT_RE), "")
+    d1 = docs_with_ids.select("doc_id", arr.alias("arr")).filter(F.size("arr") > 0)
+    d2 = d1.select(
+        "doc_id",
+        F.size("arr").cast("int").alias("dl"),
+        F.explode("arr").alias("term"),
+    )
+    return (
+        d2.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"), F.max("dl").alias("dl"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def tokens_from_docs_pandas(docs_with_ids: DataFrame) -> DataFrame:
+    """(doc_id, text) -> exploded (term, doc_id, tf, dl); Arrow/pandas path.
+
+    Spec-exact fallback (applies NFC) for corpora that are not NFC at ingest;
+    the JVM path above is the default build path.
+    """
 
     def tok(it):
         for pdf in it:
@@ -181,39 +223,29 @@ def _varint_nbytes(v: np.ndarray) -> np.ndarray:
     return nb
 
 
-def encode_sorted_partition(
-    pdf: pd.DataFrame, avgdl: float, block_docs: int
-) -> pd.DataFrame:
-    """Encode a (term, sseg, doc_id)-sorted slab into block rows.
+def encode_sorted_arrays(
+    term_codes: np.ndarray,
+    term_uniques: np.ndarray,
+    sseg: np.ndarray,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    pid: np.ndarray,
+    avgdl: float,
+    block_docs: int,
+) -> dict:
+    """Encode a (term, sseg, doc_id)-sorted slab into block columns.
 
-    Vectorized across ALL groups at once: group/block boundaries via factorize
-    + reduceat, varints encoded in one pass over every value in the slab, then
-    sliced per block from byte-length cumsums.  No per-group Python loop —
-    this is the hot path of the whole build.
+    Vectorized across ALL groups at once: group/block boundaries via
+    dictionary codes + reduceat, varints encoded in one pass over every value
+    in the slab, then sliced per block from byte-length cumsums.  No
+    per-group Python loop — this is the hot path of the whole build.
+    Term strings enter as (codes, uniques) so the 10^8-row slab never
+    materializes python string objects (only the ~10^4 uniques do).
     """
-    n = len(pdf)
+    n = doc.size
     if n == 0:
-        return pd.DataFrame(
-            {
-                "pid": pd.Series([], dtype=np.int32),
-                "term": pd.Series([], dtype=object),
-                "sseg": pd.Series([], dtype=np.int32),
-                "block_id": pd.Series([], dtype=np.int32),
-                "first_doc": pd.Series([], dtype=np.int64),
-                "last_doc": pd.Series([], dtype=np.int64),
-                "doc_count": pd.Series([], dtype=np.int32),
-                "max_tf_norm": pd.Series([], dtype=np.float64),
-                "nbytes": pd.Series([], dtype=np.int64),
-                "postings": pd.Series([], dtype=object),
-            }
-        )
-    doc = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tf = pdf["tf"].to_numpy(dtype=np.int64)
-    dl = pdf["dl"].to_numpy(dtype=np.int64)
-
-    # group boundaries: (term, sseg) changes
-    term_codes, term_uniques = pd.factorize(pdf["term"], sort=False)
-    sseg = pdf["sseg"].to_numpy(dtype=np.int64)
+        return None
     grp_change = np.empty(n, dtype=bool)
     grp_change[0] = True
     grp_change[1:] = (term_codes[1:] != term_codes[:-1]) | (sseg[1:] != sseg[:-1])
@@ -264,20 +296,80 @@ def encode_sorted_partition(
         )
     ]
 
-    return pd.DataFrame(
-        {
-            "pid": pdf["pid"].to_numpy()[blk_starts].astype(np.int32),
-            "term": term_uniques.take(term_codes[blk_starts]),
-            "sseg": sseg[blk_starts].astype(np.int32),
-            "block_id": block_id,
-            "first_doc": doc[blk_starts],
-            "last_doc": doc[blk_ends - 1],
-            "doc_count": (blk_ends - blk_starts).astype(np.int32),
-            "max_tf_norm": max_tf_norm,
-            "nbytes": np.array([len(p) for p in postings], dtype=np.int64),
-            "postings": postings,
-        }
+    return {
+        "pid": pid[blk_starts].astype(np.int32),
+        "term": term_uniques.take(term_codes[blk_starts]),
+        "sseg": sseg[blk_starts].astype(np.int32),
+        "block_id": block_id,
+        "first_doc": doc[blk_starts],
+        "last_doc": doc[blk_ends - 1],
+        "doc_count": (blk_ends - blk_starts).astype(np.int32),
+        "max_tf_norm": max_tf_norm,
+        "nbytes": np.array([len(p) for p in postings], dtype=np.int64),
+        "postings": postings,
+    }
+
+
+def make_arrow_encoder(avgdl: float, block_docs: int):
+    """mapInArrow kernel: Arrow batches in, encoded block batches out.
+
+    Terms are dictionary-encoded in Arrow, so the slab's string column never
+    becomes python objects (the pandas path spent most of the build wall
+    clock just constructing them).  Ints come out of Arrow zero-copy.
+    """
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            pa.field("pid", pa.int32()),
+            pa.field("term", pa.string()),
+            pa.field("sseg", pa.int32()),
+            pa.field("block_id", pa.int32()),
+            pa.field("first_doc", pa.int64()),
+            pa.field("last_doc", pa.int64()),
+            pa.field("doc_count", pa.int32()),
+            pa.field("max_tf_norm", pa.float64()),
+            pa.field("nbytes", pa.int64()),
+            pa.field("postings", pa.binary()),
+        ]
     )
+
+    def encode_part(batches):
+        blist = [b for b in batches if b.num_rows]
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist).combine_chunks()
+        enc = tbl.column("term").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        cols = encode_sorted_arrays(
+            term_codes=codes,
+            term_uniques=uniques,
+            sseg=tbl.column("sseg").to_numpy(zero_copy_only=False).astype(np.int64),
+            doc=tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            tf=tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64),
+            dl=tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64),
+            pid=tbl.column("pid").to_numpy(zero_copy_only=False).astype(np.int64),
+            avgdl=avgdl,
+            block_docs=block_docs,
+        )
+        yield pa.record_batch(
+            [
+                pa.array(cols["pid"], pa.int32()),
+                pa.array(cols["term"], pa.string()),
+                pa.array(cols["sseg"], pa.int32()),
+                pa.array(cols["block_id"], pa.int32()),
+                pa.array(cols["first_doc"], pa.int64()),
+                pa.array(cols["last_doc"], pa.int64()),
+                pa.array(cols["doc_count"], pa.int32()),
+                pa.array(cols["max_tf_norm"], pa.float64()),
+                pa.array(cols["nbytes"], pa.int64()),
+                pa.array(cols["postings"], pa.binary()),
+            ],
+            schema=out_schema,
+        )
+
+    return encode_part
 
 
 # ---------------------------------------------------------------------------
@@ -320,24 +412,32 @@ def build_index(
     phase1_done = -1 in done and cat.has_corpus_stats()
 
     shuffle_n = cfg.shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Tokenization parallelism must not be inherited from the corpus scan:
-    # a broadcast of doc_ids would leave the tokenize stage at the parquet
-    # row-group split count (a handful of tasks on a single-file corpus).
-    # An explicit repartition pins the hot stage at full cluster width.
-    tok_parts = max(shuffle_n, cfg.n_partitions)
+    # Broadcasting the (url -> doc_id) map keeps the TEXT payload out of any
+    # shuffle: the corpus streams map-side through the id join straight into
+    # tokenize, whose explode+agg shuffles only compact token rows.  Above
+    # the broadcast budget (cluster scale) fall back to a shuffled join —
+    # there the text crosses the wire once, unavoidably.
+    _BCAST_DOCS_MAX = 20_000_000
 
     if not phase1_done:
         if id_col is not None:
             doc_ids = docs.select("url", F.col("doc_id_pre").alias("doc_id"))
             ranked = None
+            small = True
         else:
-            doc_ids, ranked = assign_doc_ids(docs, n_parts=cfg.n_partitions)
-        docs_with_ids = (
-            docs.join(doc_ids, "url")
+            doc_ids, ranked, n_docs_pre = assign_doc_ids(docs, n_parts=cfg.n_partitions)
+            small = n_docs_pre <= _BCAST_DOCS_MAX
+        joined = (
+            docs.join(F.broadcast(doc_ids) if small else doc_ids, "url")
             .select("doc_id", "url", "text")
-            .repartition(tok_parts, "doc_id")
         )
-        tokens = tokens_from_docs(docs_with_ids).persist(StorageLevel.MEMORY_AND_DISK)
+        # Materialize the token stream as compressed columnar parquet rather
+        # than executor-memory cache: at 10^8+ rows an in-memory cache causes
+        # GC pressure that *worsens* with core count (measured: doc_stats
+        # slower at 32 cores than 8), while parquet gives column-pruned
+        # re-reads for the stats passes and survives for resume.
+        tokens_from_docs(joined).write.mode("overwrite").parquet(cat.tokens_tmp)
+        tokens = spark.read.parquet(cat.tokens_tmp)
 
         # corpus + term stats in one pass over tokens; url kept so results can
         # hydrate and so resume reuses the committed doc_id assignment
@@ -410,16 +510,20 @@ def build_index(
     n_partitions = stats["n_partitions"]
 
     if tokens is None:
-        # resume path: rebuild the (deterministic) token stream, joining the
-        # COMMITTED doc_id assignment from doc_stats so segment contents are
-        # bit-identical to the interrupted run.
-        committed = spark.read.parquet(cat.doc_stats).select("url", "doc_id")
-        docs_with_ids = (
-            docs.join(committed, "url")
-            .select("doc_id", "text")
-            .repartition(tok_parts, "doc_id")
-        )
-        tokens = tokens_from_docs(docs_with_ids).persist(StorageLevel.MEMORY_AND_DISK)
+        # resume path: reuse the materialized token stream if it survived;
+        # else rebuild it deterministically, joining the COMMITTED doc_id
+        # assignment from doc_stats so segment contents are bit-identical to
+        # the interrupted run.
+        if os.path.exists(os.path.join(cat.tokens_tmp, "_SUCCESS")):
+            tokens = spark.read.parquet(cat.tokens_tmp)
+        else:
+            committed = spark.read.parquet(cat.doc_stats).select("url", "doc_id")
+            small = stats["n_docs"] <= _BCAST_DOCS_MAX
+            docs_with_ids = docs.join(
+                F.broadcast(committed) if small else committed, "url"
+            ).select("doc_id", "text")
+            tokens_from_docs(docs_with_ids).write.mode("overwrite").parquet(cat.tokens_tmp)
+            tokens = spark.read.parquet(cat.tokens_tmp)
 
     # assign build partition via a broadcast term->pid dimension (JVM-side
     # hash join + expressions; no Python boundary on the 10^? -row token
@@ -436,12 +540,7 @@ def build_index(
         "sseg", F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)")
     )
 
-    def encode_part(it):
-        slabs = [pdf for pdf in it if len(pdf)]
-        if not slabs:
-            return
-        pdf = pd.concat(slabs, ignore_index=True) if len(slabs) > 1 else slabs[0]
-        yield encode_sorted_partition(pdf, avgdl=avgdl, block_docs=block_docs)
+    encoder = make_arrow_encoder(avgdl=avgdl, block_docs=block_docs)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -456,7 +555,7 @@ def build_index(
             keyed.filter(F.col("pid").isin(wave_pids))
             .repartition(shuffle_n, "pid", "term", "sseg")
             .sortWithinPartitions("term", "sseg", "doc_id")
-            .mapInPandas(encode_part, schema=SEGMENT_SCHEMA)
+            .mapInArrow(encoder, schema=SEGMENT_SCHEMA)
         )
         wave.write.mode("overwrite").partitionBy("pid").parquet(cat.segments)
         _mark(f"wave{w}_segments")
@@ -506,10 +605,11 @@ def build_index(
                 )
         cat.append_manifest(rows)
         if fail_after_wave is not None and w + 1 >= fail_after_wave:
-            tokens.unpersist()
             raise RuntimeError(f"injected failure after wave {w}")
 
-    tokens.unpersist()
+    import shutil
+
+    shutil.rmtree(cat.tokens_tmp, ignore_errors=True)
     m = cat.read_manifest()
     _mark("manifest")
     return {

@@ -228,6 +228,70 @@ class SearchEngine:
             s = s + F.when(F.col("dl") % 7 > 0, F.lit(AVAIL_BOOST)).otherwise(F.lit(0.0))
         return scored.withColumn("score", s)
 
+    # ------------------------------------------------- driver-side fast path
+    # A query whose candidate posting count is tiny relative to the cluster
+    # does not earn a shuffle: decode + score at the driver in one collect
+    # (the same call pattern Lucene serves from a single searcher).  The
+    # distributed WAND path takes over when Σ df of the matched terms exceeds
+    # this; at web scale every head-term query does.
+    SMALL_QUERY_POSTINGS = 2_000_000
+
+    def _driver_search(
+        self,
+        terms: list[str],
+        idf: dict[str, float],
+        conjunctive: bool,
+        constant_boost: bool,
+        avail_boost: bool,
+        k: int,
+        skip: int,
+    ) -> SearchResult:
+        rows = (
+            self._candidate_segments(terms)
+            .select("term", "postings")
+            .collect()
+        )
+        per_term: dict[str, list] = {}
+        for r in rows:
+            per_term.setdefault(r["term"], []).append(r["postings"])
+        # global doc table across matched terms
+        all_ids = []
+        decoded = {}
+        for t in sorted(per_term):
+            bufs = per_term[t]
+            parts = [decode_postings(b) for b in bufs]
+            ids = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            dl = np.concatenate([p[2] for p in parts]).astype(np.float64)
+            decoded[t] = (ids, tf, dl)
+            all_ids.append(ids)
+        if not all_ids:
+            return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
+        uniq = np.unique(np.concatenate(all_ids))
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        nt = np.zeros(uniq.size, dtype=np.int64)
+        dls = np.zeros(uniq.size, dtype=np.int64)
+        # ascending term order — the same fold order as the distributed path
+        for t in sorted(decoded):
+            ids, tf, dl = decoded[t]
+            w = idf.get(t, 0.0)
+            s = w * tf / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+            pos = np.searchsorted(uniq, ids)
+            acc[pos] = acc[pos] + s
+            nt[pos] += 1
+            np.maximum.at(dls, pos, dl.astype(np.int64))
+        if conjunctive:
+            keep = nt == len(decoded)
+            uniq, acc, dls = uniq[keep], acc[keep], dls[keep]
+        if constant_boost:
+            acc = acc + np.where(dls % 37 == 0, CONSTANT_BOOST, 0.0)
+        if avail_boost:
+            acc = acc + np.where(dls % 7 > 0, AVAIL_BOOST, 0.0)
+        total = int(uniq.size)
+        order = np.lexsort((uniq, -acc))[skip : skip + k]
+        page = pd.DataFrame({"doc_id": uniq[order], "score": acc[order]})
+        return SearchResult(total=total, page=page)
+
     # ---------------------------------------------------------------- search
     def search(
         self,
@@ -240,6 +304,7 @@ class SearchEngine:
         mode: str = "sort",
         max_expansions: int | None = None,
         with_url: bool = False,
+        force_distributed: bool = False,
     ) -> SearchResult:
         terms = preprocess_query(keyword)
         if not terms:
@@ -262,6 +327,23 @@ class SearchEngine:
         if not present:
             return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
         idf = {t: _math_idf(self.n_docs, d) for t, d in dfs.items()}
+
+        if not force_distributed and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS:
+            res = self._driver_search(
+                present, idf, conj, constant_boost, avail_boost, k, skip
+            )
+            if with_url and len(res.page):
+                ids = [int(d) for d in res.page["doc_id"]]
+                urls = (
+                    self.spark.read.parquet(self.cat.doc_stats)
+                    .filter(F.col("doc_id").isin(ids))
+                    .select("doc_id", "url")
+                    .toPandas()
+                )
+                res = SearchResult(
+                    total=res.total, page=res.page.merge(urls, on="doc_id", how="left")
+                )
+            return res
 
         boost_ceiling = (CONSTANT_BOOST if constant_boost else 0.0) + (
             AVAIL_BOOST if avail_boost else 0.0

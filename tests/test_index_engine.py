@@ -39,44 +39,60 @@ def engine(spark, index_tiny):
 
 @pytest.mark.parametrize("kw", REFERENCE_QUERIES + GENERATED_QUERIES)
 def test_rank_identity_sort_mode(engine, oracle_tiny, kw):
-    got = engine.search(kw, k=10)
+    got = engine.search(kw, k=10, force_distributed=True)
     want = oracle_tiny.search(kw, k=10)
     assert_rank_identical(got, want, label=f"sort:{kw!r}")
 
 
 @pytest.mark.parametrize("kw", REFERENCE_QUERIES + ["the", "oi"])
 def test_rank_identity_wand_mode(engine, oracle_tiny, kw):
-    got = engine.search(kw, k=10, mode="wand")
+    got = engine.search(kw, k=10, mode="wand", force_distributed=True)
     want = oracle_tiny.search(kw, k=10)
     assert_rank_identical(got, want, label=f"wand:{kw!r}")
 
 
+@pytest.mark.parametrize("kw", REFERENCE_QUERIES + GENERATED_QUERIES)
+def test_rank_identity_driver_fast_path(engine, oracle_tiny, kw):
+    got = engine.search(kw, k=10)  # small candidate set -> driver path
+    want = oracle_tiny.search(kw, k=10)
+    assert_rank_identical(got, want, label=f"driver:{kw!r}")
+
+
 def test_wand_matches_sort_exactly(engine):
     for kw in ["milk", "cadbury dairy milk", "the"]:
-        a = engine.search(kw, k=25, mode="sort").page
-        b = engine.search(kw, k=25, mode="wand").page
-        assert a["doc_id"].tolist() == b["doc_id"].tolist(), kw
+        a = engine.search(kw, k=25, mode="sort", force_distributed=True).page
+        b = engine.search(kw, k=25, mode="wand", force_distributed=True).page
+        c = engine.search(kw, k=25).page  # driver fast path
+        assert a["doc_id"].tolist() == b["doc_id"].tolist() == c["doc_id"].tolist(), kw
         np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+        np.testing.assert_allclose(
+            a["score"].to_numpy(), c["score"].to_numpy(), rtol=0, atol=1e-12
+        )
 
 
-def test_conjunctive(engine, oracle_tiny):
-    got = engine.search("cadbury dairy", k=50, conjunctive=True)
+@pytest.mark.parametrize("force_dist", [False, True])
+def test_conjunctive(engine, oracle_tiny, force_dist):
+    got = engine.search("cadbury dairy", k=50, conjunctive=True, force_distributed=force_dist)
     want = oracle_tiny.search("cadbury dairy", k=50, conjunctive=True)
     assert_rank_identical(got, want, label="conj")
     # term absent from corpus -> empty
     assert engine.search("cadbury zzzzqqqq", k=10, conjunctive=True).total == 0
 
 
-def test_boosts(engine, oracle_tiny):
+@pytest.mark.parametrize("force_dist", [False, True])
+def test_boosts(engine, oracle_tiny, force_dist):
     for cb, ab in [(True, False), (False, True), (True, True)]:
-        got = engine.search("milk", k=15, constant_boost=cb, avail_boost=ab)
+        got = engine.search(
+            "milk", k=15, constant_boost=cb, avail_boost=ab, force_distributed=force_dist
+        )
         want = oracle_tiny.search("milk", k=15, constant_boost=cb, avail_boost=ab)
         assert_rank_identical(got, want, label=f"boost cb={cb} ab={ab}")
 
 
-def test_pagination(engine, oracle_tiny):
+@pytest.mark.parametrize("force_dist", [False, True])
+def test_pagination(engine, oracle_tiny, force_dist):
     for skip in [0, 5, 10]:
-        got = engine.search("the", k=5, skip=skip)
+        got = engine.search("the", k=5, skip=skip, force_distributed=force_dist)
         want = oracle_tiny.search("the", k=5, skip=skip)
         assert_rank_identical(got, want, label=f"skip={skip}")
 
