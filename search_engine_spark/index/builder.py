@@ -82,44 +82,38 @@ class BuildConfig:
 def assign_doc_ids(docs: DataFrame, n_parts: int = 32) -> DataFrame:
     """(url) -> (url, doc_id) where doc_id = dense lex rank of url.
 
-    Two-phase distributed dense rank: range-partition by url, rank locally,
-    then shift each partition by the prefix sum of earlier partition counts.
+    Two-phase distributed dense rank, pure JVM: range-partition by url, sort
+    within partitions, take ``monotonically_increasing_id`` (a per-partition
+    0-based counter in row order) as the local rank, then shift each
+    partition by the prefix sum of earlier partition counts.  No global sort
+    on one node, no Python workers.
     """
-    from pyspark import TaskContext
-
-    def local_rank(it):
-        seen = 0
-        for pdf in it:
-            pid = TaskContext.get().partitionId()
-            out = pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "pid": np.int32(pid),
-                    "lrank": np.arange(seen, seen + len(pdf), dtype=np.int64),
-                }
-            )
-            seen += len(pdf)
-            yield out
-
     ranked = (
         docs.select("url")
         .repartitionByRange(n_parts, "url")
         .sortWithinPartitions("url")
-        .mapInPandas(local_rank, schema="url string, pid int, lrank long")
+        .select(
+            "url",
+            F.spark_partition_id().alias("pid"),
+            F.monotonically_increasing_id().alias("mid"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = {r["pid"]: r["cnt"] for r in ranked.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    stats = ranked.groupBy("pid").agg(
+        F.count("*").alias("cnt"), F.min("mid").alias("mn")
+    ).collect()
+    rows, acc = [], 0
+    for r in sorted(stats, key=lambda r: r["pid"]):
+        rows.append((int(r["pid"]), int(acc), int(r["mn"])))
+        acc += r["cnt"]
     spark = docs.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long"
-    )
+    off_df = spark.createDataFrame(rows, "pid int, offset long, mn long")
     out = (
         ranked.join(F.broadcast(off_df), "pid")
-        .select("url", (F.col("offset") + F.col("lrank")).alias("doc_id"))
+        .select(
+            "url",
+            (F.col("offset") + (F.col("mid") - F.col("mn"))).alias("doc_id"),
+        )
     )
     return out, ranked, acc  # caller unpersists ranked; acc = total docs
 
@@ -310,12 +304,13 @@ def encode_sorted_arrays(
     }
 
 
-def make_arrow_encoder(avgdl: float, block_docs: int):
+def make_arrow_encoder(avgdl: float, block_docs: int, term_dict):
     """mapInArrow kernel: Arrow batches in, encoded block batches out.
 
-    Terms are dictionary-encoded in Arrow, so the slab's string column never
-    becomes python objects (the pandas path spent most of the build wall
-    clock just constructing them).  Ints come out of Arrow zero-copy.
+    ``term_dict`` is a Spark broadcast of ``(terms_arr, pids_arr)`` indexed by
+    the dense ``term_id`` the slab carries instead of strings: every input
+    column is fixed-width (zero-copy out of Arrow), and only the ~10^4-unique
+    term dictionary ever materializes python strings.
     """
     import pyarrow as pa
 
@@ -339,17 +334,16 @@ def make_arrow_encoder(avgdl: float, block_docs: int):
         if not blist:
             return
         tbl = pa.Table.from_batches(blist).combine_chunks()
-        enc = tbl.column("term").combine_chunks().dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniques = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        terms_arr, pids_arr = term_dict.value
+        codes = tbl.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
         cols = encode_sorted_arrays(
             term_codes=codes,
-            term_uniques=uniques,
+            term_uniques=terms_arr,
             sseg=tbl.column("sseg").to_numpy(zero_copy_only=False).astype(np.int64),
             doc=tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
             tf=tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64),
             dl=tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64),
-            pid=tbl.column("pid").to_numpy(zero_copy_only=False).astype(np.int64),
+            pid=pids_arr[codes].astype(np.int64),
             avgdl=avgdl,
             block_docs=block_docs,
         )
@@ -525,22 +519,29 @@ def build_index(
             tokens_from_docs(docs_with_ids).write.mode("overwrite").parquet(cat.tokens_tmp)
             tokens = spark.read.parquet(cat.tokens_tmp)
 
-    # assign build partition via a broadcast term->pid dimension (JVM-side
-    # hash join + expressions; no Python boundary on the 10^? -row token
-    # stream).  pid = searchsorted(cuts, term) computed once driver-side over
-    # the term dictionary — the same in-process-dimension pattern as the
-    # reference's STORE_WH_MAP dict (reference constants.py:17).
+    # assign build partition + a dense integer term_id via a broadcast
+    # term dimension (JVM-side hash join; no Python boundary on the token
+    # stream) — the same in-process-dimension pattern as the reference's
+    # STORE_WH_MAP dict (reference constants.py:17).  Everything downstream
+    # shuffles and sorts on fixed-width ints: radix-friendly sort keys and a
+    # ~30% smaller shuffle than shipping term strings; the encoder maps
+    # term_id back to the string via a broadcast dictionary.
     ts_pdf = spark.read.parquet(cat.term_stats).select("term").toPandas()
+    ts_pdf = ts_pdf.sort_values("term").reset_index(drop=True)
     cuts_arr = np.array(cuts, dtype=object)
-    ts_pdf["pid"] = np.searchsorted(
-        cuts_arr, ts_pdf["term"].to_numpy(dtype=object), side="left"
-    ).astype(np.int32)
+    terms_arr = ts_pdf["term"].to_numpy(dtype=object)
+    pids_arr = np.searchsorted(cuts_arr, terms_arr, side="left").astype(np.int32)
+    ts_pdf["pid"] = pids_arr
+    ts_pdf["term_id"] = np.arange(len(ts_pdf), dtype=np.int32)
     pid_map = spark.createDataFrame(ts_pdf)
-    keyed = tokens.join(F.broadcast(pid_map), "term").withColumn(
-        "sseg", F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)")
+    keyed = (
+        tokens.join(F.broadcast(pid_map), "term")
+        .withColumn("sseg", F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)"))
+        .select("term_id", "pid", "sseg", "doc_id", "tf", "dl")
     )
 
-    encoder = make_arrow_encoder(avgdl=avgdl, block_docs=block_docs)
+    dict_b = spark.sparkContext.broadcast((terms_arr, pids_arr))
+    encoder = make_arrow_encoder(avgdl=avgdl, block_docs=block_docs, term_dict=dict_b)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -553,8 +554,8 @@ def build_index(
     for w, wave_pids in enumerate(waves):
         wave = (
             keyed.filter(F.col("pid").isin(wave_pids))
-            .repartition(shuffle_n, "pid", "term", "sseg")
-            .sortWithinPartitions("term", "sseg", "doc_id")
+            .repartition(shuffle_n, "term_id", "sseg")
+            .sortWithinPartitions("term_id", "sseg", "doc_id")
             .mapInArrow(encoder, schema=SEGMENT_SCHEMA)
         )
         wave.write.mode("overwrite").partitionBy("pid").parquet(cat.segments)
