@@ -58,12 +58,12 @@ def main():
     extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
     # ---- webtext headline: build over a 100k-page Common-Crawl-style corpus
-    wt_docs = int(os.environ.get("SPARK_GRAFT_BENCH_WEBTEXT_DOCS", "100000"))
+    wt_docs = int(os.environ.get("SPARK_GRAFT_BENCH_WEBTEXT_DOCS", "300000"))
     wt_corpus = os.path.join(tempfile.gettempdir(), f"bench_webtext_{wt_docs}")
     if not os.path.exists(os.path.join(wt_corpus, "part-00000.parquet")):
-        from search_engine_spark.fixtures import write_webtext_parquet
+        from search_engine_spark.fixtures.webtext import write_webtext_parquet_parallel
 
-        write_webtext_parquet(wt_corpus, wt_docs)
+        write_webtext_parquet_parallel(wt_corpus, wt_docs, procs=min(16, cpus))
     wt_index = os.path.join(tempfile.gettempdir(), "bench_webtext_index")
     shutil.rmtree(wt_index, ignore_errors=True)
     wt_cfg = BuildConfig(block_docs=1024, target_ranges=max(64, wt_docs // 8192),

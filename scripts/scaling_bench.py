@@ -55,49 +55,10 @@ def calibrate(levels):
 def gen_corpus(path: str, n_rows: int, procs: int = 16):
     if os.path.exists(os.path.join(path, "part-00000.parquet")):
         return
-    os.makedirs(path, exist_ok=True)
-    with mp.Pool(procs) as pool:
-        pool.map(_GenPart(path, n_rows // procs), range(procs))
+    sys.path.insert(0, REPO)
+    from search_engine_spark.fixtures.webtext import write_webtext_parquet_parallel
 
-
-class _GenPart:
-    """Picklable corpus-part writer (mp.Pool needs a top-level callable)."""
-
-    def __init__(self, path, per):
-        self.path, self.per = path, per
-
-    def __call__(self, i):
-        sys.path.insert(0, REPO)
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from search_engine_spark.fixtures.webtext import generate_rows
-
-        schema = pa.schema(
-            [
-                pa.field("url", pa.string()),
-                pa.field("warc_ts", pa.timestamp("us")),
-                pa.field("html", pa.binary()),
-                pa.field("text", pa.string()),
-                pa.field("lang", pa.string()),
-            ]
-        )
-        w = pq.ParquetWriter(os.path.join(self.path, f"part-{i:05d}.parquet"), schema)
-        start = i * self.per
-        for s in range(start, start + self.per, 100_000):
-            cols = generate_rows(s, min(100_000, start + self.per - s))
-            rb = pa.record_batch(
-                [
-                    pa.array(cols["url"], pa.string()),
-                    pa.array(cols["warc_ts"], pa.timestamp("us")),
-                    pa.array(cols["html"], pa.binary()),
-                    pa.array(cols["text"], pa.string()),
-                    pa.array(cols["lang"], pa.string()),
-                ],
-                schema=schema,
-            )
-            w.write_batch(rb, row_group_size=20_000)
-        w.close()
+    write_webtext_parquet_parallel(path, n_rows, procs=procs)
 
 
 def run_leg(corpus: str, cores: int, partitions: int, tag: str) -> dict:

@@ -202,3 +202,60 @@ def write_webtext_parquet(path: str, n_rows: int, row_group_size: int = 20_000) 
         count += rb.num_rows
     writer.close()
     return path
+
+
+class _ParallelPart:
+    """Picklable per-process corpus writer (generation is counter-based, so
+    disjoint row ranges are independent and deterministic)."""
+
+    def __init__(self, path: str, per: int, row_group_size: int, n_rows: int):
+        self.path, self.per, self.rgs, self.n_rows = path, per, row_group_size, n_rows
+
+    def __call__(self, i: int):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("warc_ts", pa.timestamp("us")),
+                pa.field("html", pa.binary()),
+                pa.field("text", pa.string()),
+                pa.field("lang", pa.string()),
+            ]
+        )
+        start = i * self.per
+        end = min(start + self.per, self.n_rows)
+        w = pq.ParquetWriter(os.path.join(self.path, f"part-{i:05d}.parquet"), schema)
+        for s in range(start, end, 100_000):
+            cols = generate_rows(s, min(100_000, end - s))
+            rb = pa.record_batch(
+                [
+                    pa.array(cols["url"], pa.string()),
+                    pa.array(cols["warc_ts"], pa.timestamp("us")),
+                    pa.array(cols["html"], pa.binary()),
+                    pa.array(cols["text"], pa.string()),
+                    pa.array(cols["lang"], pa.string()),
+                ],
+                schema=schema,
+            )
+            w.write_batch(rb, row_group_size=self.rgs)
+        w.close()
+
+
+def write_webtext_parquet_parallel(
+    path: str, n_rows: int, procs: int = 16, row_group_size: int = 20_000
+) -> str:
+    """Multi-process corpus writer — same rows as the serial writer, one file
+    per process over disjoint row ranges (~10x faster on many cores)."""
+    import multiprocessing as mp
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    per = -(-n_rows // procs)
+    parts = [i for i in range(procs) if i * per < n_rows]
+    with mp.Pool(len(parts)) as pool:
+        pool.map(_ParallelPart(path, per, row_group_size, n_rows), parts)
+    return path
