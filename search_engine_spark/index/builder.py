@@ -100,10 +100,18 @@ def assign_doc_ids(docs: DataFrame, n_parts: int = 32) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = ranked.groupBy("pid").agg(
-        F.count("*").alias("cnt"), F.min("mid").alias("mn")
+        F.count("*").alias("cnt"), F.min("mid").alias("mn"), F.max("mid").alias("mx")
     ).collect()
     rows, acc = [], 0
     for r in sorted(stats, key=lambda r: r["pid"]):
+        # monotonically_increasing_id is documented monotonic+unique, not
+        # consecutive; its implementation is a per-partition counter, which
+        # this relies on — verify before trusting the dense-rank arithmetic
+        if int(r["mx"]) - int(r["mn"]) != int(r["cnt"]) - 1:
+            raise AssertionError(
+                f"monotonically_increasing_id not consecutive in partition "
+                f"{r['pid']}: span {int(r['mx']) - int(r['mn']) + 1} != count {r['cnt']}"
+            )
         rows.append((int(r["pid"]), int(acc), int(r["mn"])))
         acc += r["cnt"]
     spark = docs.sparkSession
@@ -151,6 +159,19 @@ def tokens_from_docs(docs_with_ids: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("int").alias("tf"), F.max("dl").alias("dl"))
         .select("term", "doc_id", "tf", "dl")
     )
+
+
+def sampled_nfc_ok(docs: DataFrame, sample: int = 256) -> bool:
+    """Cheap ingest-contract check: is a head sample of ``text`` NFC?
+
+    The JVM tokenize path assumes NFC input (its regex split has no
+    normalization step); when the sample shows non-NFC text the builder
+    auto-routes to the spec-exact pandas tokenizer, which applies NFC.
+    """
+    import unicodedata
+
+    rows = docs.select("text").filter(F.col("text").isNotNull()).limit(sample).collect()
+    return all(unicodedata.is_normalized("NFC", r["text"]) for r in rows)
 
 
 def tokens_from_docs_pandas(docs_with_ids: DataFrame) -> DataFrame:
@@ -413,6 +434,12 @@ def build_index(
     # there the text crosses the wire once, unavoidably.
     _BCAST_DOCS_MAX = 20_000_000
 
+    # JVM tokenize assumes NFC input; auto-route to the spec-exact pandas
+    # tokenizer (which applies NFC) when a sampled check fails the contract
+    def _tokenize(df):
+        fn = tokens_from_docs if sampled_nfc_ok(docs) else tokens_from_docs_pandas
+        return fn(df)
+
     if not phase1_done:
         if id_col is not None:
             doc_ids = docs.select("url", F.col("doc_id_pre").alias("doc_id"))
@@ -430,7 +457,7 @@ def build_index(
         # GC pressure that *worsens* with core count (measured: doc_stats
         # slower at 32 cores than 8), while parquet gives column-pruned
         # re-reads for the stats passes and survives for resume.
-        tokens_from_docs(joined).write.mode("overwrite").parquet(cat.tokens_tmp)
+        _tokenize(joined).write.mode("overwrite").parquet(cat.tokens_tmp)
         tokens = spark.read.parquet(cat.tokens_tmp)
 
         # corpus + term stats in one pass over tokens; url kept so results can
@@ -503,6 +530,27 @@ def build_index(
     cuts = stats["term_cuts"]
     n_partitions = stats["n_partitions"]
 
+    # wave plan first: a fully-built index (no pending partitions) must not
+    # pay a token-stream reconstruction just to discover there is no work
+    all_pids = [p for p in range(n_partitions)]
+    pending = [p for p in all_pids if p not in done]
+    if not pending:
+        m = cat.read_manifest()
+        _mark("manifest")
+        return {
+            "phase_sec": phase_t,
+            "n_docs": stats["n_docs"],
+            "avgdl": avgdl,
+            "partitions_built": 0,
+            "partitions_skipped": len(done - {-1}),
+            "manifest_rows": m.num_rows,
+            "total_bytes": sum(
+                b
+                for b, s in zip(m.column("bytes").to_pylist(), m.column("status").to_pylist())
+                if s == "done"
+            ),
+        }
+
     if tokens is None:
         # resume path: reuse the materialized token stream if it survived;
         # else rebuild it deterministically, joining the COMMITTED doc_id
@@ -516,7 +564,7 @@ def build_index(
             docs_with_ids = docs.join(
                 F.broadcast(committed) if small else committed, "url"
             ).select("doc_id", "text")
-            tokens_from_docs(docs_with_ids).write.mode("overwrite").parquet(cat.tokens_tmp)
+            _tokenize(docs_with_ids).write.mode("overwrite").parquet(cat.tokens_tmp)
             tokens = spark.read.parquet(cat.tokens_tmp)
 
     # assign build partition + a dense integer term_id via a broadcast
@@ -546,8 +594,6 @@ def build_index(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # wave loop: commit manifest rows per wave; resume skips done partitions
-    all_pids = [p for p in range(n_partitions)]
-    pending = [p for p in all_pids if p not in done]
     wave_size = max(1, -(-n_partitions // cfg.waves))
     waves = [pending[i : i + wave_size] for i in range(0, len(pending), wave_size)]
 

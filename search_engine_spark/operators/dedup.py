@@ -64,12 +64,19 @@ HAVING COUNT(*) > 1
 # --------------------------------------------------------------------------
 
 def _shingles_df(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    return _shingles_from(t(spark, sf_dir, "documents"))
+
+
+def _shingles_from(d):
     toks = F.slice(tokens_col(), 1, 32)
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(3), F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - F.lit(3)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 4)),
     )
+    # docs shorter than one shingle emit none: sequence(1, size-3) infers step
+    # -1 when size < 4 (yielding slice(toks, 0, 4), which throws), so the
+    # whole expression is gated — mirroring the oracle's empty range(1, 1)
+    sh = F.when(F.size(toks) >= 4, sh).otherwise(F.array().cast("array<string>"))
     return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 

@@ -168,7 +168,7 @@ def props_key_buckets(spark, sf_dir):
 
 
 PROPS_KEY_BUCKETS_SQL = """
-SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) % 10 AS k_bucket,
+SELECT TRY_CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1), '') AS BIGINT) % 10 AS k_bucket,
        COUNT(*) AS n
 FROM events
 GROUP BY 1

@@ -231,7 +231,7 @@ def _index_for(spark, sf_dir: str) -> str:
     index_dir = os.path.join(
         tempfile.gettempdir(), "ses_idx_" + sf_dir.strip("/").replace("/", "_")
     )
-    marker = os.path.join(index_dir, "_stats.json")
+    marker = os.path.join(index_dir, "corpus_stats.json")  # == IndexCatalog.stats_file
     if not os.path.exists(marker):
         cfg = BuildConfig(block_docs=256, target_ranges=64, min_range_docs=256,
                           n_partitions=16, waves=2)

@@ -85,3 +85,21 @@ def test_multimodal_stub_contract(spark, sf_dir):
     assert set(feats.columns) == {"doc_id", "mean_r", "mean_g", "mean_b"}
     assert len(feats) == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert feats[["mean_r", "mean_g", "mean_b"]].notna().all().all()
+
+
+def test_shingles_short_docs_yield_no_rows(spark):
+    """Docs with < 4 tokens must emit zero shingles, not crash.
+
+    Spark's sequence(1, size-3) infers step -1 when size < 4 and the
+    downstream slice(toks, 0, 4) throws; the guard mirrors the oracle's
+    empty range(1, 1).
+    """
+    from search_engine_spark.operators.dedup import _shingles_from
+
+    d = spark.createDataFrame(
+        [(1, "one two three"), (2, "a b"), (3, ""), (4, "w x y z extra")],
+        "doc_id long, text string",
+    )
+    out = _shingles_from(d).toPandas()
+    assert set(out["doc_id"]) == {4}
+    assert sorted(out["shingle"]) == ["w x y z", "x y z extra"]
