@@ -55,6 +55,24 @@ def dec_sum_sql(expr: str, scale: int = 2) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
 
 
+def ranked_topk(df, order_cols, n: int, rank_name: str = "rk"):
+    """Scale-safe global top-n with a dense 1-based rank column.
+
+    ``orderBy(...).limit(n)`` executes as TakeOrderedAndProject — a
+    per-partition bounded heap plus driver k-way merge, never a global sort.
+    The rank window then runs over only the n surviving rows;
+    ``partitionBy(lit(0))`` keeps the window's partition spec non-empty so no
+    single-partition global-sort WindowExec is ever planned (the all-rows
+    "partition" is the already-bounded top-n, which is the point).
+    ``order_cols`` must be a deterministic total order (unique tiebreak).
+    """
+    topped = df.orderBy(*order_cols).limit(n).coalesce(1).sortWithinPartitions(*order_cols)
+    # positional rank on the single bounded partition: monotonically_
+    # increasing_id is the partition-local row counter, so on partition 0 of
+    # a deterministically sorted ≤n-row slice it is exactly 0..n-1
+    return topped.withColumn(rank_name, (F.monotonically_increasing_id() + 1).cast("int"))
+
+
 # Tokenizer shared by the text/dedup/fulltext operators: lower -> split on
 # non-letters -> drop empties.  documents.text is lowercase words + commas,
 # so this matches the engine's pinned analyzer (analysis/text.py) on this

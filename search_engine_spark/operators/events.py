@@ -121,21 +121,42 @@ FROM (
 # --------------------------------------------------------------------------
 
 def asof_purchase_view(spark, sf_dir):
-    e = t(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    """Each purchase matched to the latest prior view by that user.
+
+    Linear plan: one scan of events, one shuffle on ``user_id``, and a
+    running ``last(view, ignorenulls)`` over (ts, kind, event_id) — views
+    sort before purchases at equal ts so ``v_ts <= p_ts`` ties are included,
+    and event_id-ascending makes the running last pick the max view_id among
+    equal timestamps (the view_id DESC tiebreak).  Replaces the former
+    range-join + row_number form, which fanned every purchase out to ALL
+    prior views per user (per-user quadratic).
+    """
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "purchase"))
+    is_view = F.col("event_type") == "view"
+    u = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(is_view, F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+        F.when(
+            is_view, F.struct(F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id"))
+        ).alias("vinfo"),
     )
-    v = e.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"),
-        F.col("event_id").alias("view_id"),
-        F.col("ts").alias("v_ts"),
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("kind"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    joined = p.join(v, (p.user_id == v.v_user) & (v.v_ts <= p.p_ts), "inner")
-    w = Window.partitionBy("purchase_id").orderBy(F.desc("v_ts"), F.desc("view_id"))
+    out = u.withColumn("lv", F.last("vinfo", ignorenulls=True).over(w))
     return (
-        joined.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("user_id", "purchase_id", "view_id", "p_ts", "v_ts")
+        out.filter((F.col("kind") == 1) & F.col("lv").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("lv.view_id").alias("view_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("lv.v_ts").alias("v_ts"),
+        )
     )
 
 

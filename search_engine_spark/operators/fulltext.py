@@ -18,10 +18,9 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ._common import TOKENS_SQL, t, tokens_col
+from ._common import TOKENS_SQL, ranked_topk, t, tokens_col
 
 K1 = 1.2
 B = 0.75
@@ -74,12 +73,8 @@ def tf_topk(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     tf = F.size(F.filter(tokens_col(), lambda x: x == "scan"))
     scored = d.select("doc_id", tf.alias("tf")).filter(F.col("tf") > 0)
-    w = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("doc_id", "tf", "rk")
-    )
+    order = [F.desc("tf"), F.asc("doc_id")]
+    return ranked_topk(scored, order, 20).select("doc_id", "tf", "rk")
 
 
 TF_TOPK_SQL = f"""
@@ -168,12 +163,8 @@ def _bm25_spark_df(spark, sf_dir, k=20):
             tscore(F.col("tf1"), F.col("df1")) + tscore(F.col("tf2"), F.col("df2")), 6
         ).alias("score"),
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("doc_id", "score", "rk")
-    )
+    order = [F.desc("score"), F.asc("doc_id")]
+    return ranked_topk(scored, order, k).select("doc_id", "score", "rk")
 
 
 def bm25_topk(spark, sf_dir):

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ._common import dec_sum, dec_sum_sql, t
+from ._common import dec_sum, dec_sum_sql, ranked_topk, t
 
 # --------------------------------------------------------------------------
 # B1/B2: filter + project with computed column (reference $match+$project,
@@ -228,11 +228,14 @@ GROUP BY word
 # --------------------------------------------------------------------------
 
 def sort_paginate_orders(spark, sf_dir):
+    # two-phase pagination: TakeOrderedAndProject keeps the top skip+limit
+    # rows (bounded heap per partition + driver merge), then ranks only those
+    # — no single-partition global sort at any scale
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 10) & (F.col("rn") <= 30))
+        ranked_topk(o.select("o_orderkey", "o_totalprice"), order, 30, "rn")
+        .filter(F.col("rn") > 10)
         .select("o_orderkey", "o_totalprice", "rn")
     )
 
@@ -330,12 +333,8 @@ FROM (
 def order_quantity_rollup(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_orderkey").agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
-    w = Window.orderBy(F.desc("total_qty"), F.asc("l_orderkey"))
-    return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 25)
-        .select("l_orderkey", "total_qty", "rk")
-    )
+    order = [F.desc("total_qty"), F.asc("l_orderkey")]
+    return ranked_topk(agg, order, 25).select("l_orderkey", "total_qty", "rk")
 
 
 ORDER_QUANTITY_ROLLUP_SQL = """
