@@ -4,11 +4,13 @@
   path broadcasts the (tiny) query matrix and scans the corpus once; ranking
   happens on rounded scores with a vec_id tiebreak so float noise can't flip
   ranks between engines.
-- ``sim_ann_ivf`` — IVF-style bucketed ANN: candidates restricted to the
-  query's coarse cell (the ``label`` column stands in for a k-means
-  assignment; at scale the cell id comes from a centroid join computed the
-  same declarative way as ``sim_centroids``).
-- ``sim_centroids`` — per-cell centroid (the IVF training step's M-step).
+- ``sim_ann_ivf`` — real IVF ANN: coarse centroids trained from the data
+  (seed cells -> averaged centroids), every vector assigned to its nearest
+  centroid via a broadcast centroid join, search restricted to the query's
+  ``nprobe`` nearest cells.  The oracle recomputes the identical train/
+  assign/search pipeline in SQL.
+- ``sim_centroids`` — per-label centroid (the k-means M-step, gated
+  separately).
 
 A vectorized numpy/Arrow production kernel (broadcast query matrix, per-batch
 matrix multiply inside ``mapInPandas``) lives in ``brute_topk_arrow`` below —
@@ -28,20 +30,15 @@ from ._common import t
 _QUERY_IDS = (0, 1, 2, 3, 4)
 
 
-def _pairs_scored(spark, sf_dir, same_label_only: bool):
+def _pairs_scored(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    ev = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
+    ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
     norms = ev.groupBy("vec_id").agg(F.round(F.sum(F.col("x") * F.col("x")), 9).alias("nrm"))
     q = ev.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
-        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"), "pos", F.col("x").alias("qx")
+        F.col("vec_id").alias("qid"), "pos", F.col("x").alias("qx")
     )
-    c = ev.select(
-        F.col("vec_id").alias("cid"), F.col("label").alias("clabel"), "pos", F.col("x").alias("cx")
-    )
-    cond = ["pos"]
-    j = q.join(c, cond).filter(F.col("qid") != F.col("cid"))
-    if same_label_only:
-        j = j.filter(F.col("qlabel") == F.col("clabel"))
+    c = ev.select(F.col("vec_id").alias("cid"), "pos", F.col("x").alias("cx"))
+    j = q.join(c, ["pos"]).filter(F.col("qid") != F.col("cid"))
     dots = j.groupBy("qid", "cid").agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
     nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nq"))
     nc = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nc"))
@@ -52,17 +49,17 @@ def _pairs_scored(spark, sf_dir, same_label_only: bool):
     )
 
 
-def _sql_pairs(same_label_pred: str) -> str:
+def _sql_pairs() -> str:
     ids = ", ".join(str(i) for i in _QUERY_IDS)
     return f"""
 WITH ev AS (
-  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
   FROM embeddings
 ), norms AS (
   SELECT vec_id, round(SUM(x * x), 9) AS nrm FROM ev GROUP BY vec_id
 ), dots AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
-  FROM ev q JOIN ev c ON q.pos = c.pos AND q.vec_id <> c.vec_id {same_label_pred}
+  FROM ev q JOIN ev c ON q.pos = c.pos AND q.vec_id <> c.vec_id
   WHERE q.vec_id IN ({ids})
   GROUP BY q.vec_id, c.vec_id
 ), scored AS (
@@ -75,7 +72,7 @@ WITH ev AS (
 
 
 def knn_brute(spark, sf_dir):
-    scored = _pairs_scored(spark, sf_dir, same_label_only=False)
+    scored = _pairs_scored(spark, sf_dir)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -84,7 +81,7 @@ def knn_brute(spark, sf_dir):
     )
 
 
-KNN_BRUTE_SQL = _sql_pairs("") + """
+KNN_BRUTE_SQL = _sql_pairs() + """
 SELECT qid, cid, cosine, rk
 FROM (SELECT qid, cid, cosine,
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
@@ -93,17 +90,129 @@ WHERE rk <= 5
 """
 
 
-def ann_ivf(spark, sf_dir):
-    scored = _pairs_scored(spark, sf_dir, same_label_only=True)
+# --------------------------------------------------------------------------
+# real IVF: train coarse cells from the data (seed partition -> averaged
+# centroids), assign every vector to its nearest centroid, then search only
+# the query's nprobe nearest cells.  All arithmetic is declarative and
+# mirrored in the SQL oracle; distances/cosines are rounded with id
+# tiebreaks so float summation order can't flip an argmin or a rank.
+# At cluster scale the centroid table (ncells x d) broadcasts and the
+# assignment is one map-side join over the corpus — no all-pairs stage.
+# --------------------------------------------------------------------------
+
+_NCELLS = 8
+_NPROBE = 2
+
+
+def ivf_assignments(spark, sf_dir, ncells: int = _NCELLS):
+    """(vec_id, cell): nearest trained centroid per vector.
+
+    Training = one averaging step over deterministic seed cells
+    (vec_id % ncells) — the k-means M-step of ``sim_centroids`` computed
+    from data, not the fixture's ``label`` column.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    seed = ev.withColumn("cell0", F.pmod(F.col("vec_id"), F.lit(ncells)).cast("int"))
+    cent = (
+        seed.groupBy("cell0", "pos")
+        .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("c"))
+        .select(F.col("cell0").alias("cell"), "pos", "c")
+    )
+    dist = (
+        ev.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6).alias("d")
+        )
+    )
+    assign = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+    return ev, dist, assign
+
+
+def ann_ivf(spark, sf_dir, nprobe: int = _NPROBE, k: int = 3):
+    ev, dist, assign = ivf_assignments(spark, sf_dir)
+    # nprobe nearest cells per query vector (by centroid distance)
+    wq = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
+    qcells = (
+        dist.filter(F.col("vec_id").isin(*_QUERY_IDS))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("qid"), "cell")
+    )
+    cands = (
+        qcells.join(assign.select(F.col("vec_id").alias("cid"), "cell"), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+    )
+    a = ev.select(F.col("vec_id").alias("qid"), "pos", F.col("x").alias("qx"))
+    b = ev.select(F.col("vec_id").alias("cid"), "pos", F.col("x").alias("cx"))
+    dots = (
+        cands.join(a, "qid")
+        .join(b, ["cid", "pos"])
+        .groupBy("qid", "cid")
+        .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
+    )
+    norms = ev.groupBy("vec_id").agg(F.round(F.sum(F.col("x") * F.col("x")), 9).alias("nrm"))
+    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nq"))
+    nc = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nc"))
+    scored = (
+        dots.join(nq, "qid")
+        .join(nc, "cid")
+        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("nq") * F.col("nc")), 6))
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+        .filter(F.col("rk") <= k)
         .select("qid", "cid", "cosine", "rk")
     )
 
 
-ANN_IVF_SQL = _sql_pairs("AND q.label = c.label") + """
+_IVF_IDS = ", ".join(str(i) for i in _QUERY_IDS)
+
+ANN_IVF_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
+  FROM embeddings
+), cent AS (
+  SELECT CAST(vec_id % {_NCELLS} AS INT) AS cell, pos, round(AVG(x), 6) + 0.0 AS c
+  FROM ev GROUP BY 1, pos
+), dist AS (
+  SELECT ev.vec_id, cent.cell, round(SUM((ev.x - cent.c) * (ev.x - cent.c)), 6) AS d
+  FROM ev JOIN cent ON cent.pos = ev.pos
+  GROUP BY ev.vec_id, cent.cell
+), assign AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dist)
+  WHERE rn = 1
+), qcells AS (
+  SELECT vec_id AS qid, cell
+  FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dist WHERE vec_id IN ({_IVF_IDS}))
+  WHERE rn <= {_NPROBE}
+), cands AS (
+  SELECT q.qid, a.vec_id AS cid
+  FROM qcells q JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.qid
+), norms AS (
+  SELECT vec_id, round(SUM(x * x), 9) AS nrm FROM ev GROUP BY vec_id
+), dots AS (
+  SELECT c.qid, c.cid, SUM(a.x * b.x) AS dot
+  FROM cands c
+  JOIN ev a ON a.vec_id = c.qid
+  JOIN ev b ON b.vec_id = c.cid AND b.pos = a.pos
+  GROUP BY c.qid, c.cid
+), scored AS (
+  SELECT qid, cid, round(dot / sqrt(nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = qid
+  JOIN norms nc ON nc.vec_id = cid
+)
 SELECT qid, cid, cosine, rk
 FROM (SELECT qid, cid, cosine,
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk

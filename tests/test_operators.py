@@ -103,3 +103,30 @@ def test_shingles_short_docs_yield_no_rows(spark):
     out = _shingles_from(d).toPandas()
     assert set(out["doc_id"]) == {4}
     assert sorted(out["shingle"]) == ["w x y z", "x y z extra"]
+
+
+def test_ivf_recall_and_full_probe_exactness(spark, sf_dir):
+    """IVF with nprobe=2/8 beats random-cell recall; nprobe=8 == brute force.
+
+    The full-probe equality is the structural check that the train->assign->
+    search pipeline is a real partition of the corpus: probing every cell
+    must recover the exact brute-force top-k (same rounding, same tiebreaks).
+    """
+    from search_engine_spark.operators.similarity import _NCELLS, ann_ivf, knn_brute
+
+    brute = knn_brute(spark, sf_dir).toPandas()
+    b3 = brute[brute.rk <= 3]
+
+    ivf = ann_ivf(spark, sf_dir).toPandas()
+    hits = sum(
+        len(set(b3[b3.qid == q].cid) & set(ivf[ivf.qid == q].cid))
+        for q in set(b3.qid)
+    )
+    recall = hits / len(b3)
+    assert recall >= 0.35, f"nprobe=2 recall@3 too low: {recall}"
+
+    full = ann_ivf(spark, sf_dir, nprobe=_NCELLS).toPandas()
+    full = full.sort_values(["qid", "rk"]).reset_index(drop=True)
+    b3s = b3.sort_values(["qid", "rk"]).reset_index(drop=True)
+    assert list(full["cid"]) == list(b3s["cid"])
+    assert (full["cosine"] - b3s["cosine"]).abs().max() == 0.0
