@@ -76,7 +76,13 @@ def main():
 
     wt_eng = _SE(spark, wt_index)
     timed("webtext_search_multiterm", lambda: wt_eng.search("cadbury dairy milk", k=10))
-    timed("webtext_search_head_term", lambda: wt_eng.search("the oil", k=10, force_distributed=True, mode="wand"))
+    # head-term serving config: WAND-pruned page + Σdf-bounded approx total
+    # (the exact disjunctive total decodes every matched term's doc_ids —
+    # timed separately as the exact-mode cost)
+    timed("webtext_search_head_term", lambda: wt_eng.search(
+        "the oil", k=10, force_distributed=True, mode="wand", total_mode="approx"))
+    timed("webtext_search_head_term_exact_total", lambda: wt_eng.search(
+        "the oil", k=10, force_distributed=True, mode="wand"))
     timed("webtext_search_autocomplete", lambda: wt_eng.search("oi", k=10))
 
     # ---- engine queries ----------------------------------------------------
@@ -99,8 +105,10 @@ def main():
         "txt_quality_scores": textstats.quality_scores,
         "ft_bm25_topk": fulltext.bm25_topk,
         "dd_minhash_signatures": dedup.minhash_signatures,
+        "dd_dedup_decisions": dedup.dedup_decisions,
         "dd_simhash": dedup.simhash,
         "sim_knn_brute": similarity.knn_brute,
+        "sim_ann_ivf": similarity.ann_ivf,
     }
     for name, fn in heads.items():
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -44,6 +44,7 @@ class IndexCatalog:
         self.doc_stats = os.path.join(index_dir, "doc_stats")
         self.segments = os.path.join(index_dir, "segments")
         self.term_stats = os.path.join(index_dir, "term_stats")
+        self.term_dim = os.path.join(index_dir, "term_dim")
         self.manifest_dir = os.path.join(index_dir, "manifest")
         self.tokens_tmp = os.path.join(index_dir, "tokens_tmp")
         self.stats_file = os.path.join(index_dir, "corpus_stats.json")

@@ -20,11 +20,16 @@ kernel; no RDDs, no per-row Python):
    resume reuse, no executor-cache GC pressure).  Doc length ``dl`` rides
    along so it can be encoded inline with postings (query-time BM25 then
    needs no doc-stats join).
-3. **stats pass** — corpus stats (N, avgdl), term stats (df), and
-   postings-weighted term-range partition boundaries.  Boundaries give every
-   build partition a contiguous term range (-> honest ``term_lo/term_hi``
-   lineage + query-time partition pruning) and are weighted by postings count
-   so Zipf head terms don't melt one reducer.
+3. **stats pass** — corpus stats (N, avgdl), term stats (df), postings-
+   weighted term-range partition boundaries, and a (term, term_id, pid)
+   dimension — ALL distributed: boundary cuts come from per-partition prefix
+   sums (the driver sees only the ≤ n_partitions-1 boundary terms), term ids
+   from a two-phase dense rank.  Boundaries give every build partition a
+   contiguous term range (-> honest ``term_lo/term_hi`` lineage + query-time
+   partition pruning) and are weighted by postings count so Zipf head terms
+   don't melt one reducer.  The vocabulary is never collected or broadcast
+   above ``BuildConfig.dict_budget``: web-scale vocabularies shuffle-join
+   ids onto tokens and join strings back onto encoded blocks.
 4. **segment build** — ONE shuffle: tokens gain ``pid`` via a broadcast
    term->pid dimension join (JVM) and are bucketed on a *global doc-id grid*
    (``sseg = doc_id // range_docs``).  The grid is shared by all terms, so at
@@ -63,6 +68,12 @@ SEGMENT_SCHEMA = (
     "pid int, term string, sseg int, block_id int, first_doc long, last_doc long, "
     "doc_count int, max_tf_norm double, nbytes long, postings binary"
 )
+# distributed-dictionary mode: blocks carry the integer term_id through the
+# encoder; a post-encode join on the term dimension restores the string
+SEGMENT_SCHEMA_IDS = (
+    "pid int, term_id long, sseg int, block_id int, first_doc long, last_doc long, "
+    "doc_count int, max_tf_norm double, nbytes long, postings binary"
+)
 
 
 @dataclass
@@ -73,6 +84,13 @@ class BuildConfig:
     n_partitions: int = 32          # term-range build partitions (lineage grain)
     waves: int = 4                  # manifest commits per build (resume grain)
     shuffle_partitions: int | None = None
+    # vocabularies up to this size use a driver-built broadcast term
+    # dictionary (one toPandas of the term dim); above it the builder never
+    # materializes the vocabulary anywhere: term ids come from a distributed
+    # two-phase rank, tokens gain ids via a shuffle join, and the encoder
+    # emits ids that a post-encode join maps back to strings.  Web-scale
+    # vocabularies (10^9+ terms from typos/urls) take the distributed path.
+    dict_budget: int = 2_000_000
 
 
 # ---------------------------------------------------------------------------
@@ -124,6 +142,101 @@ def assign_doc_ids(docs: DataFrame, n_parts: int = 32) -> DataFrame:
         )
     )
     return out, ranked, acc  # caller unpersists ranked; acc = total docs
+
+
+# ---------------------------------------------------------------------------
+# Phase 1b: distributed vocabulary handling (no full-vocab driver collect)
+# ---------------------------------------------------------------------------
+
+def build_vocab(
+    spark: SparkSession,
+    term_stats_path: str,
+    n_partitions: int,
+    cuts: list[str] | None = None,
+):
+    """Distributed vocabulary pass: boundary cuts + (term, term_id, pid) dim.
+
+    ONE range-partitioned sorted scan of term stats feeds everything:
+
+    - per-partition (Σdf, count, min/max mid) comes to the driver — one row
+      per range partition, never the vocabulary;
+    - postings-weighted boundary cuts: a partition-local running df sum
+      flags the terms whose global cumulative postings count crosses each
+      ``k * total/n_partitions`` target; only those ≤ n_partitions-1
+      boundary terms are collected.  Cut k is the first term reaching
+      target k, so a mega-term crossing several targets yields duplicate
+      cuts (neighboring partitions come out empty — harmless; the head-term
+      split happens on the doc grid, not here);
+    - term_id = dense lexicographic rank (partition-local counter + driver
+      prefix sum, consecutiveness asserted like ``assign_doc_ids``);
+    - pid = count of cuts < term (the cuts literal is tiny and lives in the
+      plan).
+
+    Pass ``cuts`` to reuse committed boundaries (resume); returns
+    ``(cuts, total_postings, dim_df, backing_df_to_unpersist, n_terms)``.
+    """
+    from pyspark.sql import Window
+
+    ts = spark.read.parquet(term_stats_path).select("term", "df")
+    p = max(4, n_partitions // 4)
+    ranked = (
+        ts.repartitionByRange(p, "term")
+        .sortWithinPartitions("term")
+        .select(
+            "term",
+            "df",
+            F.spark_partition_id().alias("tp"),
+            F.monotonically_increasing_id().alias("mid"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pstats = ranked.groupBy("tp").agg(
+        F.sum("df").alias("s"),
+        F.count("*").alias("cnt"),
+        F.min("mid").alias("mn"),
+        F.max("mid").alias("mx"),
+    ).collect()
+    rows, acc_df, acc_n = [], 0, 0
+    for r in sorted(pstats, key=lambda r: r["tp"]):
+        if int(r["mx"]) - int(r["mn"]) != int(r["cnt"]) - 1:
+            raise AssertionError(
+                f"monotonically_increasing_id not consecutive in partition {r['tp']}"
+            )
+        rows.append((int(r["tp"]), int(acc_df), int(acc_n), int(r["mn"])))
+        acc_df += int(r["s"])
+        acc_n += int(r["cnt"])
+    total_postings, n_terms = acc_df, acc_n
+    off_df = spark.createDataFrame(rows, "tp int, doff long, roff long, mn long")
+    joined = ranked.join(F.broadcast(off_df), "tp")
+
+    if cuts is None:
+        per_part = max(1, total_postings // n_partitions)
+        w = Window.partitionBy("tp").orderBy("term").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        g = joined.withColumn("gcum", F.col("doff") + F.sum("df").over(w))
+        crossing = g.filter(
+            (F.floor(F.col("gcum") / per_part) > F.floor((F.col("gcum") - F.col("df")) / per_part))
+            & (F.col("gcum") - F.col("df") < per_part * (n_partitions - 1))
+        )
+        cut_rows = crossing.select("term", "gcum", "df").collect()
+        keyed_cuts = []
+        for r in cut_rows:
+            gcum, df = int(r["gcum"]), int(r["df"])
+            lo, hi = (gcum - df) // per_part, gcum // per_part
+            for k in range(lo + 1, hi + 1):
+                if 1 <= k <= n_partitions - 1:
+                    keyed_cuts.append((k, r["term"]))
+        cuts = [t for _, t in sorted(keyed_cuts)]
+
+    cuts_lit = F.array(*[F.lit(c) for c in cuts]) if cuts else F.array().cast("array<string>")
+    pid = F.size(F.filter(cuts_lit, lambda c: c < F.col("term")))
+    dim = joined.select(
+        "term",
+        (F.col("roff") + (F.col("mid") - F.col("mn"))).alias("term_id"),
+        pid.cast("int").alias("pid"),
+    )
+    return cuts, total_postings, dim, ranked, n_terms
 
 
 # ---------------------------------------------------------------------------
@@ -311,9 +424,14 @@ def encode_sorted_arrays(
         )
     ]
 
+    term_out = (
+        {"term": term_uniques.take(term_codes[blk_starts])}
+        if term_uniques is not None
+        else {"term_id": term_codes[blk_starts].astype(np.int64)}
+    )
     return {
         "pid": pid[blk_starts].astype(np.int32),
-        "term": term_uniques.take(term_codes[blk_starts]),
+        **term_out,
         "sseg": sseg[blk_starts].astype(np.int32),
         "block_id": block_id,
         "first_doc": doc[blk_starts],
@@ -325,20 +443,27 @@ def encode_sorted_arrays(
     }
 
 
-def make_arrow_encoder(avgdl: float, block_docs: int, term_dict):
+def make_arrow_encoder(avgdl: float, block_docs: int, term_dict=None):
     """mapInArrow kernel: Arrow batches in, encoded block batches out.
 
-    ``term_dict`` is a Spark broadcast of ``(terms_arr, pids_arr)`` indexed by
-    the dense ``term_id`` the slab carries instead of strings: every input
-    column is fixed-width (zero-copy out of Arrow), and only the ~10^4-unique
-    term dictionary ever materializes python strings.
+    ``term_dict`` (broadcast of ``(terms_arr, pids_arr)`` indexed by the
+    dense ``term_id``) maps ids back to strings inside the kernel — every
+    input column is fixed-width (zero-copy out of Arrow) and only the
+    dictionary's uniques ever materialize python strings.  With
+    ``term_dict=None`` (vocabulary above the broadcast budget) the kernel
+    emits ``term_id`` and reads ``pid`` from the shuffled rows; the string
+    is attached afterwards by a join on the (distributed) term dimension.
     """
     import pyarrow as pa
 
+    id_mode = term_dict is None
+    term_field = (
+        pa.field("term_id", pa.int64()) if id_mode else pa.field("term", pa.string())
+    )
     out_schema = pa.schema(
         [
             pa.field("pid", pa.int32()),
-            pa.field("term", pa.string()),
+            term_field,
             pa.field("sseg", pa.int32()),
             pa.field("block_id", pa.int32()),
             pa.field("first_doc", pa.int64()),
@@ -349,14 +474,20 @@ def make_arrow_encoder(avgdl: float, block_docs: int, term_dict):
             pa.field("postings", pa.binary()),
         ]
     )
+    term_key = "term_id" if id_mode else "term"
 
     def encode_part(batches):
         blist = [b for b in batches if b.num_rows]
         if not blist:
             return
         tbl = pa.Table.from_batches(blist).combine_chunks()
-        terms_arr, pids_arr = term_dict.value
         codes = tbl.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if id_mode:
+            terms_arr = None
+            pid_arr = tbl.column("pid").to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            terms_arr, pids_arr = term_dict.value
+            pid_arr = pids_arr[codes].astype(np.int64)
         cols = encode_sorted_arrays(
             term_codes=codes,
             term_uniques=terms_arr,
@@ -364,14 +495,14 @@ def make_arrow_encoder(avgdl: float, block_docs: int, term_dict):
             doc=tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
             tf=tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64),
             dl=tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64),
-            pid=pids_arr[codes].astype(np.int64),
+            pid=pid_arr,
             avgdl=avgdl,
             block_docs=block_docs,
         )
         yield pa.record_batch(
             [
                 pa.array(cols["pid"], pa.int32()),
-                pa.array(cols["term"], pa.string()),
+                pa.array(cols[term_key], term_field.type),
                 pa.array(cols["sseg"], pa.int32()),
                 pa.array(cols["block_id"], pa.int32()),
                 pa.array(cols["first_doc"], pa.int64()),
@@ -483,16 +614,15 @@ def build_index(
         ).write.mode("overwrite").parquet(cat.term_stats)
         _mark("term_stats")
 
-        # postings-weighted term-range boundaries for build partitions
-        ts = spark.read.parquet(cat.term_stats).select("term", "df").collect()
-        ts.sort(key=lambda r: r["term"])
-        total_postings = sum(r["df"] for r in ts)
-        per_part = max(1, total_postings // cfg.n_partitions)
-        cuts, acc = [], 0
-        for r in ts:
-            acc += r["df"]
-            if acc >= per_part * (len(cuts) + 1) and len(cuts) < cfg.n_partitions - 1:
-                cuts.append(r["term"])
+        # postings-weighted term-range boundaries + (term, term_id, pid)
+        # dimension — one distributed pass; the driver only ever sees the
+        # ≤ n_partitions-1 boundary terms and per-partition counts
+        cuts, total_postings, dim, ranked_t, n_terms = build_vocab(
+            spark, cat.term_stats, cfg.n_partitions
+        )
+        dim.write.mode("overwrite").parquet(cat.term_dim)
+        ranked_t.unpersist()
+        _mark("term_dim")
         range_docs = max(cfg.min_range_docs, -(-n_docs // cfg.target_ranges))
         cat.write_corpus_stats(
             {
@@ -502,6 +632,7 @@ def build_index(
                 "block_docs": int(cfg.block_docs),
                 "term_cuts": cuts,
                 "n_partitions": cfg.n_partitions,
+                "n_terms": int(n_terms),
                 "corpus_path": corpus_path,
             }
         )
@@ -567,29 +698,50 @@ def build_index(
             _tokenize(docs_with_ids).write.mode("overwrite").parquet(cat.tokens_tmp)
             tokens = spark.read.parquet(cat.tokens_tmp)
 
-    # assign build partition + a dense integer term_id via a broadcast
-    # term dimension (JVM-side hash join; no Python boundary on the token
-    # stream) — the same in-process-dimension pattern as the reference's
-    # STORE_WH_MAP dict (reference constants.py:17).  Everything downstream
-    # shuffles and sorts on fixed-width ints: radix-friendly sort keys and a
-    # ~30% smaller shuffle than shipping term strings; the encoder maps
-    # term_id back to the string via a broadcast dictionary.
-    ts_pdf = spark.read.parquet(cat.term_stats).select("term").toPandas()
-    ts_pdf = ts_pdf.sort_values("term").reset_index(drop=True)
-    cuts_arr = np.array(cuts, dtype=object)
-    terms_arr = ts_pdf["term"].to_numpy(dtype=object)
-    pids_arr = np.searchsorted(cuts_arr, terms_arr, side="left").astype(np.int32)
-    ts_pdf["pid"] = pids_arr
-    ts_pdf["term_id"] = np.arange(len(ts_pdf), dtype=np.int32)
-    pid_map = spark.createDataFrame(ts_pdf)
-    keyed = (
-        tokens.join(F.broadcast(pid_map), "term")
-        .withColumn("sseg", F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)"))
-        .select("term_id", "pid", "sseg", "doc_id", "tf", "dl")
-    )
+    # assign build partition + a dense integer term_id from the term
+    # dimension, so everything downstream shuffles and sorts on fixed-width
+    # ints: radix-friendly sort keys and a ~30% smaller shuffle than
+    # shipping term strings.  Vocabularies within the dict budget ride a
+    # broadcast dictionary (the same in-process-dimension pattern as the
+    # reference's STORE_WH_MAP dict, reference constants.py:17); above it
+    # NOTHING materializes the vocabulary in one place — tokens gain ids via
+    # a shuffle join and the encoder emits ids that a post-encode join maps
+    # back to strings.
+    if not os.path.exists(os.path.join(cat.term_dim, "_SUCCESS")):
+        # resume rebuild: reuse the COMMITTED cuts so pids match the
+        # already-written segments
+        _, _, dim, ranked_t, _ = build_vocab(
+            spark, cat.term_stats, n_partitions, cuts=cuts
+        )
+        dim.write.mode("overwrite").parquet(cat.term_dim)
+        ranked_t.unpersist()
+    term_dim_df = spark.read.parquet(cat.term_dim)
+    n_terms = int(stats.get("n_terms", -1))
+    if n_terms < 0:
+        n_terms = term_dim_df.count()
 
-    dict_b = spark.sparkContext.broadcast((terms_arr, pids_arr))
-    encoder = make_arrow_encoder(avgdl=avgdl, block_docs=block_docs, term_dict=dict_b)
+    sseg_expr = F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)")
+    id_mode = n_terms > cfg.dict_budget
+    if not id_mode:
+        pdf = term_dim_df.toPandas().sort_values("term_id").reset_index(drop=True)
+        terms_arr = pdf["term"].to_numpy(dtype=object)
+        pids_arr = pdf["pid"].to_numpy(dtype=np.int32)
+        pdf["term_id"] = pdf["term_id"].astype(np.int32)  # tighter shuffle rows
+        pid_map = spark.createDataFrame(pdf)
+        keyed = (
+            tokens.join(F.broadcast(pid_map), "term")
+            .withColumn("sseg", sseg_expr)
+            .select("term_id", "pid", "sseg", "doc_id", "tf", "dl")
+        )
+        dict_b = spark.sparkContext.broadcast((terms_arr, pids_arr))
+        encoder = make_arrow_encoder(avgdl=avgdl, block_docs=block_docs, term_dict=dict_b)
+    else:
+        keyed = (
+            tokens.join(term_dim_df, "term")
+            .withColumn("sseg", sseg_expr)
+            .select("term_id", "pid", "sseg", "doc_id", "tf", "dl")
+        )
+        encoder = make_arrow_encoder(avgdl=avgdl, block_docs=block_docs, term_dict=None)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -602,8 +754,16 @@ def build_index(
             keyed.filter(F.col("pid").isin(wave_pids))
             .repartition(shuffle_n, "term_id", "sseg")
             .sortWithinPartitions("term_id", "sseg", "doc_id")
-            .mapInArrow(encoder, schema=SEGMENT_SCHEMA)
+            .mapInArrow(encoder, schema=SEGMENT_SCHEMA_IDS if id_mode else SEGMENT_SCHEMA)
         )
+        if id_mode:
+            # restore the term string: one join of BLOCK rows (≈ postings /
+            # block_docs) against the term dimension — linear, never a
+            # driver materialization
+            wave = wave.join(term_dim_df.select("term_id", "term"), "term_id").select(
+                "pid", "term", "sseg", "block_id", "first_doc", "last_doc",
+                "doc_count", "max_tf_norm", "nbytes", "postings",
+            )
         wave.write.mode("overwrite").partitionBy("pid").parquet(cat.segments)
         _mark(f"wave{w}_segments")
         # lineage from what actually landed on disk

@@ -305,7 +305,19 @@ class SearchEngine:
         max_expansions: int | None = None,
         with_url: bool = False,
         force_distributed: bool = False,
+        total_mode: str = "exact",
     ) -> SearchResult:
+        """``total_mode`` governs the facet total under WAND pruning.
+
+        WAND prunes the scored set, so the exact disjunctive total needs a
+        doc-id-only decode of every matched term's postings
+        (``_match_count``) — for a head-term query over 10^13 postings that
+        decode dominates the query.  Shortcuts: a single matched term's
+        total IS its precomputed df (always exact, zero decode);
+        ``total_mode="approx"`` serves multi-term queries the Σdf upper
+        bound capped at N (no decode) — callers that paginate far enough to
+        care get ``"exact"`` (the default, and always exact in sort mode).
+        """
         terms = preprocess_query(keyword)
         if not terms:
             return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
@@ -373,8 +385,14 @@ class SearchEngine:
         if wand:
             # WAND pruned the scored set; the exact total (the reference's
             # $facet count) needs the unpruned match count — doc_ids only,
-            # no float math
-            total = self._match_count(present, conj)
+            # no float math.  Single matched term: the count is its df,
+            # already in hand.  approx mode: Σdf upper bound, no decode.
+            if len(present) == 1:
+                total = int(dfs[present[0]])
+            elif total_mode == "approx":
+                total = min(int(sum(dfs.values())), self.n_docs)
+            else:
+                total = self._match_count(present, conj)
         else:
             total = scored.count()
             scored.unpersist()

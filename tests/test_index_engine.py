@@ -123,3 +123,37 @@ def test_manifest_lineage(spark, index_tiny):
     seg = spark.read.parquet(cat.segments)
     total_postings = seg.groupBy().sum("doc_count").collect()[0][0]
     assert sum(m["postings_count"][i] for i in done) == total_postings
+
+
+def test_with_url_hydration(engine, spark, webtext_tiny):
+    """Response hydration (reference B21: search_utils.py:26-59 joins ids
+    back to display fields): with_url=True attaches the source url to every
+    page row, on both the driver fast path and the distributed path."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    tbl = pq.read_table(_os.path.join(webtext_tiny, "part-00000.parquet"))
+    url_by_doc = dict(
+        zip(sorted(tbl.column("url").to_pylist()), range(len(tbl.column("url"))))
+    )  # doc_id = lex rank of url
+    for force in (False, True):
+        res = engine.search("oil", k=5, with_url=True, force_distributed=force)
+        assert "url" in res.page.columns and len(res.page) == 5
+        assert res.page["url"].notna().all()
+        for _, row in res.page.iterrows():
+            assert url_by_doc[row["url"]] == int(row["doc_id"])
+
+
+def test_wand_total_modes(engine):
+    """Single-term WAND totals come from precomputed df (exact, no decode);
+    approx mode upper-bounds multi-term totals without a decode."""
+    kw = "oil"
+    exact = engine.search(kw, k=5, mode="sort", force_distributed=True)
+    wand = engine.search(kw, k=5, mode="wand", force_distributed=True)
+    assert wand.total == exact.total  # single matched term -> df shortcut
+
+    multi = "oil water"
+    ex = engine.search(multi, k=5, mode="wand", force_distributed=True)
+    ap = engine.search(multi, k=5, mode="wand", force_distributed=True, total_mode="approx")
+    assert ap.total >= ex.total  # Σdf is an upper bound on distinct docs
+    assert list(ex.page["doc_id"]) == list(ap.page["doc_id"])  # page unaffected

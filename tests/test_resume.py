@@ -113,3 +113,26 @@ def test_manifest_append_is_atomic(tmp_path):
     # no temp files left behind
     assert not [f for f in os.listdir(cat.manifest_dir) if f.endswith(".tmp")]
     assert cat.completed_partitions() == {1}
+
+
+def test_distributed_vocab_build_identical_to_broadcast(spark, webtext_tiny, tmp_path):
+    """dict_budget=0 forces the distributed vocabulary path (shuffle-join
+    term ids, id-emitting encoder, post-encode string join); the resulting
+    segment table must be byte-identical to the broadcast-dictionary build.
+    """
+    from search_engine_spark.index.builder import BuildConfig, build_index
+
+    kw = dict(block_docs=64, target_ranges=16, min_range_docs=64, n_partitions=8, waves=2)
+    d_bcast = str(tmp_path / "idx_bcast")
+    d_dist = str(tmp_path / "idx_dist")
+    build_index(spark, webtext_tiny, d_bcast, cfg=BuildConfig(**kw))
+    build_index(spark, webtext_tiny, d_dist, cfg=BuildConfig(**kw, dict_budget=0))
+    assert _segment_fingerprint(spark, d_bcast) == _segment_fingerprint(spark, d_dist)
+
+    # the distributed index serves queries identically
+    from search_engine_spark.query.engine import SearchEngine
+
+    a = SearchEngine(spark, d_bcast).search("oil", k=10, mode="wand")
+    b = SearchEngine(spark, d_dist).search("oil", k=10, mode="wand")
+    assert list(a.page["doc_id"]) == list(b.page["doc_id"])
+    assert a.total == b.total
