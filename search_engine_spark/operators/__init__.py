@@ -20,9 +20,9 @@ that sum floats are expressed with exact integer/decimal arithmetic (or
 rounded) so Spark and DuckDB hash identically despite float summation order.
 """
 
-from . import dedup, events, fulltext, multimodal, relational, similarity, textstats  # noqa: F401
+from . import dedup, etl, events, fulltext, multimodal, relational, similarity, textstats  # noqa: F401
 
-_MODULES = (relational, events, textstats, fulltext, dedup, similarity, multimodal)
+_MODULES = (relational, events, textstats, fulltext, dedup, similarity, multimodal, etl)
 
 
 def all_queries():

@@ -120,12 +120,26 @@ def frame_sample(spark, sf_dir, n_frames: int = 4, frame_bytes: int = 16):
     )
 
 
+# byte-slice frame sampling IS SQL-expressible (substr + sha256 on the
+# all-ASCII corpus, where char positions == byte positions); Spark's
+# double->int cast truncates while DuckDB's rounds, so the oracle pins
+# floor() explicitly
+FRAME_SAMPLE_SQL = """
+SELECT doc_id, CAST(i AS INT) AS frame_no,
+       sha256(substr(text,
+                     CAST(i AS INT) * CAST(floor((octet_length(encode(text)) - 16) / 3.0) AS INT) + 1,
+                     16)) AS frame_digest
+FROM documents, (SELECT unnest(range(4)) AS i)
+"""
+
+
 QUERIES = {
     "mm_media_meta": media_meta,
     "mm_extract_features": extract_features,  # rows-only check (stubbed codec)
-    "mm_frame_sample": frame_sample,  # rows-only check
+    "mm_frame_sample": frame_sample,
 }
 
 ORACLES = {
     "mm_media_meta": MEDIA_META_SQL,
+    "mm_frame_sample": FRAME_SAMPLE_SQL,
 }
