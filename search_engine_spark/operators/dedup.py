@@ -429,8 +429,10 @@ FROM bitsum GROUP BY doc_id
 """
 
 # --------------------------------------------------------------------------
-# embedding-cosine near-duplicate pairs (data-driven threshold; corpus max
-# cosine is ~0.44 so 0.35 marks the near-dup tail)
+# embedding-cosine near-duplicate pairs — SMALL/oracle form (all-pairs over
+# a capped slice; data-driven threshold: corpus max cosine is ~0.44 so 0.35
+# marks the near-dup tail).  The scale path is dd_embedding_neardup_lsh
+# above: hyperplane buckets bound the pair enumeration.
 # --------------------------------------------------------------------------
 
 def embedding_neardup(spark, sf_dir):
@@ -455,6 +457,105 @@ def embedding_neardup(spark, sf_dir):
     )
     return out.select("id1", "id2", "cosine")
 
+
+# --------------------------------------------------------------------------
+# embedding near-dup, scale path: random-hyperplane LSH buckets -> pair
+# enumeration inside buckets only -> exact-cosine verify.  The hyperplanes
+# are deterministic pseudo-random vectors derived from the portable md5
+# hash, so the oracle reproduces them bit-for-bit.  O(docs) bucketing + a
+# per-bucket quadratic bounded by the bucket size — never corpus-quadratic.
+# --------------------------------------------------------------------------
+
+_NPLANES = 6  # 2^6 = 64 buckets
+
+
+def _hyperplanes(spark):
+    """(h, pos, v): plane h's component at dimension pos, in [-1, 1]."""
+    planes = spark.range(_NPLANES).select(F.col("id").cast("int").alias("h"))
+    dims = spark.range(64).select(F.col("id").cast("int").alias("pos"))
+    key = F.concat_ws("-", F.col("h"), F.col("pos"))
+    v = (md5_long(key) % F.lit(2001) - F.lit(1000)).cast("double") / F.lit(1000.0)
+    return planes.crossJoin(dims).select("h", "pos", v.alias("v"))
+
+
+_HYPERPLANES_SQL = f"""
+SELECT h, pos,
+       CAST(({MD5_LONG_SQL.format(x="concat(h, '-', pos)")} % 2001 - 1000) AS DOUBLE) / 1000.0 AS v
+FROM (SELECT CAST(unnest(range({_NPLANES})) AS INT) AS h),
+     (SELECT CAST(unnest(range(64)) AS INT) AS pos)
+"""
+
+
+def embedding_neardup_lsh(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    hp = _hyperplanes(spark)
+    # sign bits: round the projection so a last-ulp sum difference at ~0
+    # cannot flip a bucket bit between engines
+    proj = (
+        ev.join(F.broadcast(hp), "pos")
+        .groupBy("vec_id", "h")
+        .agg(F.round(F.sum(F.col("x") * F.col("v")), 6).alias("p"))
+    )
+    buckets = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("p") > 0, F.pow(F.lit(2.0), F.col("h")).cast("long")).otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+    a = buckets.select(F.col("vec_id").alias("id1"), "bucket")
+    b = buckets.select(F.col("vec_id").alias("id2"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+    av = ev.select(F.col("vec_id").alias("id1"), "pos", F.col("x").alias("x1"))
+    bv = ev.select(F.col("vec_id").alias("id2"), "pos", F.col("x").alias("x2"))
+    dots = (
+        cand.join(av, "id1")
+        .join(bv, ["id2", "pos"])
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("x1") * F.col("x2")).alias("dot"))
+    )
+    norms = ev.groupBy("vec_id").agg(F.round(F.sum(F.col("x") * F.col("x")), 9).alias("nrm"))
+    na = norms.select(F.col("vec_id").alias("id1"), F.col("nrm").alias("n1"))
+    nb = norms.select(F.col("vec_id").alias("id2"), F.col("nrm").alias("n2"))
+    return (
+        dots.join(na, "id1")
+        .join(nb, "id2")
+        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("n1") * F.col("n2")), 6))
+        .filter(F.col("cosine") >= 0.35)
+        .select("id1", "id2", "cosine")
+    )
+
+
+EMBEDDING_NEARDUP_LSH_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
+  FROM embeddings
+), hp AS ({_HYPERPLANES_SQL}
+), proj AS (
+  SELECT ev.vec_id, hp.h, round(SUM(ev.x * hp.v), 6) AS p
+  FROM ev JOIN hp ON hp.pos = ev.pos
+  GROUP BY ev.vec_id, hp.h
+), buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN p > 0 THEN CAST(pow(2.0, h) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+), cand AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), norms AS (
+  SELECT vec_id, round(SUM(x * x), 9) AS nrm FROM ev GROUP BY vec_id
+), dots AS (
+  SELECT c.id1, c.id2, SUM(a.x * b.x) AS dot
+  FROM cand c
+  JOIN ev a ON a.vec_id = c.id1
+  JOIN ev b ON b.vec_id = c.id2 AND b.pos = a.pos
+  GROUP BY c.id1, c.id2
+)
+SELECT id1, id2, round(dot / sqrt(n1 * n2), 6) AS cosine
+FROM dots
+JOIN (SELECT vec_id AS id1, nrm AS n1 FROM norms) USING (id1)
+JOIN (SELECT vec_id AS id2, nrm AS n2 FROM norms) USING (id2)
+WHERE round(dot / sqrt(n1 * n2), 6) >= 0.35
+"""
 
 EMBEDDING_NEARDUP_SQL = """
 WITH ev AS (
@@ -485,6 +586,7 @@ QUERIES = {
     "dd_dedup_decisions": dedup_decisions,
     "dd_simhash": simhash,
     "dd_embedding_neardup": embedding_neardup,
+    "dd_embedding_neardup_lsh": embedding_neardup_lsh,
 }
 
 ORACLES = {
@@ -496,4 +598,5 @@ ORACLES = {
     "dd_dedup_decisions": DEDUP_DECISIONS_SQL,
     "dd_simhash": SIMHASH_SQL,
     "dd_embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    "dd_embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
 }
