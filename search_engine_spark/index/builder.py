@@ -69,9 +69,10 @@ SEGMENT_SCHEMA = (
     "doc_count int, max_tf_norm double, nbytes long, postings binary"
 )
 # distributed-dictionary mode: blocks carry the integer term_id through the
-# encoder; a post-encode join on the term dimension restores the string
+# encoder; a post-encode join on the term dimension restores the string AND
+# the pid (neither ships through the token shuffle)
 SEGMENT_SCHEMA_IDS = (
-    "pid int, term_id long, sseg int, block_id int, first_doc long, last_doc long, "
+    "term_id long, sseg int, block_id int, first_doc long, last_doc long, "
     "doc_count int, max_tf_norm double, nbytes long, postings binary"
 )
 
@@ -358,7 +359,7 @@ def encode_sorted_arrays(
     doc: np.ndarray,
     tf: np.ndarray,
     dl: np.ndarray,
-    pid: np.ndarray,
+    pid: np.ndarray | None,
     avgdl: float,
     block_docs: int,
 ) -> dict:
@@ -429,8 +430,9 @@ def encode_sorted_arrays(
         if term_uniques is not None
         else {"term_id": term_codes[blk_starts].astype(np.int64)}
     )
+    pid_out = {"pid": pid[blk_starts].astype(np.int32)} if pid is not None else {}
     return {
-        "pid": pid[blk_starts].astype(np.int32),
+        **pid_out,
         **term_out,
         "sseg": sseg[blk_starts].astype(np.int32),
         "block_id": block_id,
@@ -443,16 +445,32 @@ def encode_sorted_arrays(
     }
 
 
-def make_arrow_encoder(avgdl: float, block_docs: int, term_dict=None):
+def make_arrow_encoder(
+    avgdl: float, block_docs: int, range_docs: int, term_dict=None, packed=False
+):
     """mapInArrow kernel: Arrow batches in, encoded block batches out.
 
     ``term_dict`` (broadcast of ``(terms_arr, pids_arr)`` indexed by the
-    dense ``term_id``) maps ids back to strings inside the kernel — every
-    input column is fixed-width (zero-copy out of Arrow) and only the
+    dense ``term_id``) maps ids back to strings and pids inside the kernel —
+    every input column is fixed-width (zero-copy out of Arrow) and only the
     dictionary's uniques ever materialize python strings.  With
     ``term_dict=None`` (vocabulary above the broadcast budget) the kernel
-    emits ``term_id`` and reads ``pid`` from the shuffled rows; the string
-    is attached afterwards by a join on the (distributed) term dimension.
+    emits ``term_id`` only; string AND pid are attached afterwards by a join
+    on the (distributed) term dimension.
+
+    Shuffle-row diet (the encode phase is memory-bandwidth-bound, so every
+    shuffled byte costs multi-core scaling):
+
+    - ``sseg`` never ships: it is ``doc_id // range_docs`` — monotone in
+      doc_id, so sorting by (term_id, doc_id) IS sorting by (term_id, sseg,
+      doc_id) and the kernel recomputes it in one vectorized div;
+    - ``packed=True``: ``tfdl = tf*4096 + dl`` in one int32 instead of two
+      (exact whenever the corpus max doc length < 4096 — tf ≤ dl bounds tf);
+    - ``doc_id`` arrives int32 when the corpus has < 2^31 docs (the caller
+      chooses; widened back to int64 here).
+
+    Together with dropping pid the shuffled row shrinks 28 -> 12 fixed
+    bytes at sub-2^31-doc scale, 28 -> 20 at full web scale.
     """
     import pyarrow as pa
 
@@ -460,20 +478,19 @@ def make_arrow_encoder(avgdl: float, block_docs: int, term_dict=None):
     term_field = (
         pa.field("term_id", pa.int64()) if id_mode else pa.field("term", pa.string())
     )
-    out_schema = pa.schema(
-        [
-            pa.field("pid", pa.int32()),
-            term_field,
-            pa.field("sseg", pa.int32()),
-            pa.field("block_id", pa.int32()),
-            pa.field("first_doc", pa.int64()),
-            pa.field("last_doc", pa.int64()),
-            pa.field("doc_count", pa.int32()),
-            pa.field("max_tf_norm", pa.float64()),
-            pa.field("nbytes", pa.int64()),
-            pa.field("postings", pa.binary()),
-        ]
-    )
+    fields = [] if id_mode else [pa.field("pid", pa.int32())]
+    fields += [
+        term_field,
+        pa.field("sseg", pa.int32()),
+        pa.field("block_id", pa.int32()),
+        pa.field("first_doc", pa.int64()),
+        pa.field("last_doc", pa.int64()),
+        pa.field("doc_count", pa.int32()),
+        pa.field("max_tf_norm", pa.float64()),
+        pa.field("nbytes", pa.int64()),
+        pa.field("postings", pa.binary()),
+    ]
+    out_schema = pa.schema(fields)
     term_key = "term_id" if id_mode else "term"
 
     def encode_part(batches):
@@ -483,37 +500,42 @@ def make_arrow_encoder(avgdl: float, block_docs: int, term_dict=None):
         tbl = pa.Table.from_batches(blist).combine_chunks()
         codes = tbl.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
         if id_mode:
-            terms_arr = None
-            pid_arr = tbl.column("pid").to_numpy(zero_copy_only=False).astype(np.int64)
+            terms_arr, pid_arr = None, None
         else:
             terms_arr, pids_arr = term_dict.value
             pid_arr = pids_arr[codes].astype(np.int64)
+        if packed:
+            tfdl = tbl.column("tfdl").to_numpy(zero_copy_only=False).astype(np.int64)
+            tf_arr = tfdl >> 12
+            dl_arr = tfdl & 4095
+        else:
+            tf_arr = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            dl_arr = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_arr = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         cols = encode_sorted_arrays(
             term_codes=codes,
             term_uniques=terms_arr,
-            sseg=tbl.column("sseg").to_numpy(zero_copy_only=False).astype(np.int64),
-            doc=tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
-            tf=tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64),
-            dl=tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64),
+            sseg=doc_arr // range_docs,
+            doc=doc_arr,
+            tf=tf_arr,
+            dl=dl_arr,
             pid=pid_arr,
             avgdl=avgdl,
             block_docs=block_docs,
         )
-        yield pa.record_batch(
-            [
-                pa.array(cols["pid"], pa.int32()),
-                pa.array(cols[term_key], term_field.type),
-                pa.array(cols["sseg"], pa.int32()),
-                pa.array(cols["block_id"], pa.int32()),
-                pa.array(cols["first_doc"], pa.int64()),
-                pa.array(cols["last_doc"], pa.int64()),
-                pa.array(cols["doc_count"], pa.int32()),
-                pa.array(cols["max_tf_norm"], pa.float64()),
-                pa.array(cols["nbytes"], pa.int64()),
-                pa.array(cols["postings"], pa.binary()),
-            ],
-            schema=out_schema,
-        )
+        arrs = [] if id_mode else [pa.array(cols["pid"], pa.int32())]
+        arrs += [
+            pa.array(cols[term_key], term_field.type),
+            pa.array(cols["sseg"], pa.int32()),
+            pa.array(cols["block_id"], pa.int32()),
+            pa.array(cols["first_doc"], pa.int64()),
+            pa.array(cols["last_doc"], pa.int64()),
+            pa.array(cols["doc_count"], pa.int32()),
+            pa.array(cols["max_tf_norm"], pa.float64()),
+            pa.array(cols["nbytes"], pa.int64()),
+            pa.array(cols["postings"], pa.binary()),
+        ]
+        yield pa.record_batch(arrs, schema=out_schema)
 
     return encode_part
 
@@ -601,9 +623,12 @@ def build_index(
         doc_stats.write.mode("overwrite").parquet(cat.doc_stats)
         _mark("doc_stats")
         agg = spark.read.parquet(cat.doc_stats).agg(
-            F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+            F.max("dl").alias("max_dl"),
         ).collect()[0]
         n_docs, total_dl = agg["n_docs"], agg["total_dl"]
+        max_dl = int(agg["max_dl"] or 0)
         avgdl = total_dl / n_docs
 
         term_stats = tokens.groupBy("term").agg(
@@ -633,6 +658,7 @@ def build_index(
                 "term_cuts": cuts,
                 "n_partitions": cfg.n_partitions,
                 "n_terms": int(n_terms),
+                "max_dl": max_dl,
                 "corpus_path": corpus_path,
             }
         )
@@ -720,28 +746,41 @@ def build_index(
     if n_terms < 0:
         n_terms = term_dim_df.count()
 
-    sseg_expr = F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)")
     id_mode = n_terms > cfg.dict_budget
+    # shuffle-row diet (see make_arrow_encoder): pid rides only to the wave
+    # filter; sseg never ships (derived from doc_id in the kernel; sorting
+    # by doc_id subsumes it); tf/dl pack into one int32 when the corpus max
+    # doc length allows exact unpacking; doc_id narrows to int32 below 2^31
+    # docs.  12 fixed bytes/row here instead of 28.
+    max_dl = int(stats.get("max_dl", 1 << 30))
+    packed = 0 < max_dl < 4096
+    doc32 = int(stats["n_docs"]) < (1 << 31)
+    doc_col = F.col("doc_id").cast("int").alias("doc_id") if doc32 else F.col("doc_id")
+    val_cols = (
+        [(F.col("tf") * 4096 + F.col("dl")).cast("int").alias("tfdl")]
+        if packed
+        else [F.col("tf"), F.col("dl")]
+    )
+    base_cols = [F.col("term_id"), F.col("pid"), doc_col]
     if not id_mode:
         pdf = term_dim_df.toPandas().sort_values("term_id").reset_index(drop=True)
         terms_arr = pdf["term"].to_numpy(dtype=object)
         pids_arr = pdf["pid"].to_numpy(dtype=np.int32)
         pdf["term_id"] = pdf["term_id"].astype(np.int32)  # tighter shuffle rows
         pid_map = spark.createDataFrame(pdf)
-        keyed = (
-            tokens.join(F.broadcast(pid_map), "term")
-            .withColumn("sseg", sseg_expr)
-            .select("term_id", "pid", "sseg", "doc_id", "tf", "dl")
-        )
+        keyed = tokens.join(F.broadcast(pid_map), "term").select(*base_cols, *val_cols)
         dict_b = spark.sparkContext.broadcast((terms_arr, pids_arr))
-        encoder = make_arrow_encoder(avgdl=avgdl, block_docs=block_docs, term_dict=dict_b)
-    else:
-        keyed = (
-            tokens.join(term_dim_df, "term")
-            .withColumn("sseg", sseg_expr)
-            .select("term_id", "pid", "sseg", "doc_id", "tf", "dl")
+        encoder = make_arrow_encoder(
+            avgdl=avgdl, block_docs=block_docs, range_docs=int(range_docs),
+            term_dict=dict_b, packed=packed,
         )
-        encoder = make_arrow_encoder(avgdl=avgdl, block_docs=block_docs, term_dict=None)
+    else:
+        keyed = tokens.join(term_dim_df, "term").select(*base_cols, *val_cols)
+        encoder = make_arrow_encoder(
+            avgdl=avgdl, block_docs=block_docs, range_docs=int(range_docs),
+            term_dict=None, packed=packed,
+        )
+    sseg_key = F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)")
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -752,15 +791,16 @@ def build_index(
     for w, wave_pids in enumerate(waves):
         wave = (
             keyed.filter(F.col("pid").isin(wave_pids))
-            .repartition(shuffle_n, "term_id", "sseg")
-            .sortWithinPartitions("term_id", "sseg", "doc_id")
+            .drop("pid")  # derivable at/after encode; keep the shuffle lean
+            .repartition(shuffle_n, F.col("term_id"), sseg_key)
+            .sortWithinPartitions("term_id", "doc_id")  # sseg monotone in doc_id
             .mapInArrow(encoder, schema=SEGMENT_SCHEMA_IDS if id_mode else SEGMENT_SCHEMA)
         )
         if id_mode:
-            # restore the term string: one join of BLOCK rows (≈ postings /
-            # block_docs) against the term dimension — linear, never a
+            # restore term string + pid: one join of BLOCK rows (≈ postings
+            # / block_docs) against the term dimension — linear, never a
             # driver materialization
-            wave = wave.join(term_dim_df.select("term_id", "term"), "term_id").select(
+            wave = wave.join(term_dim_df, "term_id").select(
                 "pid", "term", "sseg", "block_id", "first_doc", "last_doc",
                 "doc_count", "max_tf_norm", "nbytes", "postings",
             )
