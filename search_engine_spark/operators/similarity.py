@@ -287,12 +287,16 @@ def brute_topk_arrow(spark, sf_dir, query_ids=_QUERY_IDS, k: int = 5):
 
 QUERIES = {
     "sim_knn_brute": knn_brute,
+    # the production kernel itself is gated against the same SQL oracle as
+    # the declarative join form — the scale path is what gets verified
+    "sim_knn_brute_kernel": brute_topk_arrow,
     "sim_ann_ivf": ann_ivf,
     "sim_centroids": centroids,
 }
 
 ORACLES = {
     "sim_knn_brute": KNN_BRUTE_SQL,
+    "sim_knn_brute_kernel": KNN_BRUTE_SQL,
     "sim_ann_ivf": ANN_IVF_SQL,
     "sim_centroids": CENTROIDS_SQL,
 }
