@@ -275,16 +275,23 @@ def tokens_from_docs(docs_with_ids: DataFrame) -> DataFrame:
     )
 
 
-def sampled_nfc_ok(docs: DataFrame, sample: int = 256) -> bool:
-    """Cheap ingest-contract check: is a head sample of ``text`` NFC?
+def sampled_nfc_ok(docs: DataFrame, sample: int = 512) -> bool:
+    """Cheap ingest-contract check: is a random sample of ``text`` NFC?
 
     The JVM tokenize path assumes NFC input (its regex split has no
     normalization step); when the sample shows non-NFC text the builder
     auto-routes to the spec-exact pandas tokenizer, which applies NFC.
+    A seeded ``sample`` (not a head ``limit``) spreads the check across
+    input splits so non-NFC text past the first files is still caught; the
+    limit keeps the action bounded (it stops reading once satisfied).  A
+    corpus too small for the sampled fraction falls back to a full read.
     """
     import unicodedata
 
-    rows = docs.select("text").filter(F.col("text").isNotNull()).limit(sample).collect()
+    txt = docs.select("text").filter(F.col("text").isNotNull())
+    rows = txt.sample(fraction=0.1, seed=7).limit(sample).collect()
+    if not rows:
+        rows = txt.limit(sample).collect()
     return all(unicodedata.is_normalized("NFC", r["text"]) for r in rows)
 
 
@@ -588,9 +595,15 @@ def build_index(
     _BCAST_DOCS_MAX = 20_000_000
 
     # JVM tokenize assumes NFC input; auto-route to the spec-exact pandas
-    # tokenizer (which applies NFC) when a sampled check fails the contract
+    # tokenizer (which applies NFC) when a sampled check fails the contract.
+    # Checked once per build (memoized), not per _tokenize call; resume paths
+    # that never re-tokenize never pay the sample collect.
+    _nfc_memo: list[bool] = []
+
     def _tokenize(df):
-        fn = tokens_from_docs if sampled_nfc_ok(docs) else tokens_from_docs_pandas
+        if not _nfc_memo:
+            _nfc_memo.append(sampled_nfc_ok(docs))
+        fn = tokens_from_docs if _nfc_memo[0] else tokens_from_docs_pandas
         return fn(df)
 
     if not phase1_done:

@@ -58,19 +58,19 @@ def dec_sum_sql(expr: str, scale: int = 2) -> str:
 def ranked_topk(df, order_cols, n: int, rank_name: str = "rk"):
     """Scale-safe global top-n with a dense 1-based rank column.
 
-    ``orderBy(...).limit(n)`` executes as TakeOrderedAndProject — a
-    per-partition bounded heap plus driver k-way merge, never a global sort.
-    The rank window then runs over only the n surviving rows;
-    ``partitionBy(lit(0))`` keeps the window's partition spec non-empty so no
-    single-partition global-sort WindowExec is ever planned (the all-rows
-    "partition" is the already-bounded top-n, which is the point).
-    ``order_cols`` must be a deterministic total order (unique tiebreak).
+    Two-phase: ``orderBy(...).limit(n)`` executes as TakeOrderedAndProject —
+    a per-partition bounded heap plus driver k-way merge, never a global
+    sort.  The rank is then a ``row_number`` window over ONLY the ≤n
+    surviving rows (``partitionBy(lit(0))`` keeps the window's partition
+    spec non-empty, so the "global sort" the window implies touches n rows,
+    not the corpus).  ``order_cols`` must be a deterministic total order
+    (unique tiebreak), or the rank is not reproducible.
     """
-    topped = df.orderBy(*order_cols).limit(n).coalesce(1).sortWithinPartitions(*order_cols)
-    # positional rank on the single bounded partition: monotonically_
-    # increasing_id is the partition-local row counter, so on partition 0 of
-    # a deterministically sorted ≤n-row slice it is exactly 0..n-1
-    return topped.withColumn(rank_name, (F.monotonically_increasing_id() + 1).cast("int"))
+    from pyspark.sql import Window
+
+    topped = df.orderBy(*order_cols).limit(n)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+    return topped.withColumn(rank_name, F.row_number().over(w).cast("int"))
 
 
 # Tokenizer shared by the text/dedup/fulltext operators: lower -> split on

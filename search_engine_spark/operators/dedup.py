@@ -347,18 +347,38 @@ def dedup_decisions(spark, sf_dir):
         nbrs.select(F.col("src").alias("doc")).distinct().withColumn("lbl", F.col("doc"))
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(50):
         prop = (
             labels.join(nbrs, labels.doc == nbrs.src)
             .select(F.col("dst").alias("doc"), "lbl")
         )
+        # pointer doubling (label shortcutting): a doc labeled L adopts L's
+        # current label too, so label chains halve every round — convergence
+        # in O(log diameter) rounds instead of O(diameter).  Same fixpoint
+        # (the component minimum): shortcutting only ever propagates labels
+        # that min-propagation would reach anyway, just sooner.
+        l2 = labels.select(F.col("doc").alias("lbl"), F.col("lbl").alias("lbl2"))
+        shortcut = (
+            labels.join(l2, "lbl")
+            .select("doc", F.col("lbl2").alias("lbl"))
+        )
         labels = (
-            labels.unionByName(prop).groupBy("doc").agg(F.min("lbl").alias("lbl"))
+            labels.unionByName(prop).unionByName(shortcut)
+            .groupBy("doc").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint()
         new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # a silent non-fixpoint would return wrong keep_doc/is_dup in
+        # production where no oracle runs — fail loudly instead
+        raise RuntimeError(
+            "dedup_decisions: min-label propagation did not converge in 50 "
+            "rounds (component diameter > 2^50 is impossible — this is a bug)"
+        )
     return labels.select(
         F.col("doc").alias("doc_id"),
         F.col("lbl").alias("keep_doc"),

@@ -102,14 +102,18 @@ def frame_sample(spark, sf_dir, n_frames: int = 4, frame_bytes: int = 16):
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     n = F.octet_length("payload")
+    # stride clamped at 0: for a payload shorter than frame_bytes the raw
+    # stride goes negative, where Spark's double->int truncation (toward 0)
+    # and the oracle's floor() diverge — and negative substr positions have
+    # engine-specific semantics.  Clamped, every frame starts at byte 1.
+    stride = F.greatest(
+        ((n - F.lit(frame_bytes)) / F.lit(n_frames - 1)).cast("int"), F.lit(0)
+    )
     frames = F.transform(
         F.sequence(F.lit(0), F.lit(n_frames - 1)),
         lambda i: F.struct(
             i.cast("int").alias("frame_no"),
-            F.substring(
-                "payload", (i * ((n - F.lit(frame_bytes)) / F.lit(n_frames - 1)).cast("int")) + 1,
-                frame_bytes,
-            ).alias("frame"),
+            F.substring("payload", (i * stride) + 1, frame_bytes).alias("frame"),
         ),
     )
     ex = d.select("doc_id", F.explode(frames).alias("f"))
@@ -123,11 +127,12 @@ def frame_sample(spark, sf_dir, n_frames: int = 4, frame_bytes: int = 16):
 # byte-slice frame sampling IS SQL-expressible (substr + sha256 on the
 # all-ASCII corpus, where char positions == byte positions); Spark's
 # double->int cast truncates while DuckDB's rounds, so the oracle pins
-# floor() explicitly
+# floor() explicitly, and both sides clamp the stride at 0 (floor and
+# truncation agree on non-negatives; short payloads hit the clamp)
 FRAME_SAMPLE_SQL = """
 SELECT doc_id, CAST(i AS INT) AS frame_no,
        sha256(substr(text,
-                     CAST(i AS INT) * CAST(floor((octet_length(encode(text)) - 16) / 3.0) AS INT) + 1,
+                     CAST(i AS INT) * greatest(CAST(floor((octet_length(encode(text)) - 16) / 3.0) AS INT), 0) + 1,
                      16)) AS frame_digest
 FROM documents, (SELECT unnest(range(4)) AS i)
 """

@@ -314,9 +314,12 @@ class SearchEngine:
         (``_match_count``) — for a head-term query over 10^13 postings that
         decode dominates the query.  Shortcuts: a single matched term's
         total IS its precomputed df (always exact, zero decode);
-        ``total_mode="approx"`` serves multi-term queries the Σdf upper
-        bound capped at N (no decode) — callers that paginate far enough to
-        care get ``"exact"`` (the default, and always exact in sort mode).
+        ``total_mode="approx"`` serves multi-term disjunctive queries the
+        Σdf upper bound capped at N, and conjunctive queries min(df) — the
+        tight upper bound for an intersection (Σdf can overstate it by
+        orders of magnitude) — with no decode either way.  Callers that
+        paginate far enough to care get ``"exact"`` (the default, and
+        always exact in sort mode).
         """
         terms = preprocess_query(keyword)
         if not terms:
@@ -390,7 +393,11 @@ class SearchEngine:
             if len(present) == 1:
                 total = int(dfs[present[0]])
             elif total_mode == "approx":
-                total = min(int(sum(dfs.values())), self.n_docs)
+                if conj:
+                    # intersection ≤ smallest term's df (tight upper bound)
+                    total = int(min(dfs.values()))
+                else:
+                    total = min(int(sum(dfs.values())), self.n_docs)
             else:
                 total = self._match_count(present, conj)
         else:
