@@ -35,6 +35,46 @@ MANIFEST_SCHEMA = pa.schema(
     ]
 )
 
+# Append-only query log (the reference writes a request/response log row on
+# every search endpoint hit — reference app.py:62-64,436-438,525-526; here
+# it is a parquet append table sharing the manifest's atomic-commit writer,
+# an Iceberg append at cluster scale).
+QUERY_LOG_SCHEMA = pa.schema(
+    [
+        pa.field("qid", pa.int32()),
+        pa.field("keyword", pa.string()),
+        pa.field("mode", pa.string()),
+        pa.field("n_terms", pa.int32()),
+        pa.field("total", pa.int64()),
+        pa.field("top_doc_id", pa.int64()),
+        pa.field("top_score", pa.float64()),
+        pa.field("logged_at", pa.timestamp("us")),
+    ]
+)
+
+
+def append_parquet_atomic(dir_path: str, schema: pa.Schema, rows: list[dict]) -> None:
+    """Append rows to a parquet directory atomically (write temp + rename).
+
+    Fields named ``*_at`` are stamped with the current time.  Readers never
+    observe a partial file: rename is atomic on POSIX.
+    """
+    if not rows:
+        return
+    os.makedirs(dir_path, exist_ok=True)
+    now = time.time_ns() // 1000
+    arrays = []
+    for field in schema:
+        if field.name.endswith("_at"):
+            arrays.append(pa.array([now] * len(rows), field.type))
+        else:
+            arrays.append(pa.array([r[field.name] for r in rows], field.type))
+    table = pa.table(arrays, schema=schema)
+    final = os.path.join(dir_path, f"log-{uuid.uuid4().hex}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.rename(tmp, final)
+
 
 class IndexCatalog:
     """Paths + small-table IO for one index build."""
@@ -46,6 +86,7 @@ class IndexCatalog:
         self.term_stats = os.path.join(index_dir, "term_stats")
         self.term_dim = os.path.join(index_dir, "term_dim")
         self.manifest_dir = os.path.join(index_dir, "manifest")
+        self.query_log_dir = os.path.join(index_dir, "query_log")
         self.tokens_tmp = os.path.join(index_dir, "tokens_tmp")
         self.stats_file = os.path.join(index_dir, "corpus_stats.json")
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -90,6 +131,20 @@ class IndexCatalog:
         ]
         if not files:
             return MANIFEST_SCHEMA.empty_table()
+        return pa.concat_tables([pq.read_table(f) for f in files])
+
+    # -- query log: append-only request/response log -------------------------
+    def append_query_log(self, rows: list[dict]) -> None:
+        append_parquet_atomic(self.query_log_dir, QUERY_LOG_SCHEMA, rows)
+
+    def read_query_log(self) -> pa.Table:
+        files = [
+            os.path.join(self.query_log_dir, f)
+            for f in sorted(os.listdir(self.query_log_dir))
+            if f.endswith(".parquet")
+        ] if os.path.isdir(self.query_log_dir) else []
+        if not files:
+            return QUERY_LOG_SCHEMA.empty_table()
         return pa.concat_tables([pq.read_table(f) for f in files])
 
     def completed_partitions(self) -> set[int]:

@@ -95,12 +95,51 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# C9: batch score backfill — the reference walks every product in chunks and
+# writes a recomputed score per id (helper_function/product_score.py:1-21, a
+# driver-side loop of point updates).  Declaratively it is ONE join: the
+# per-key score aggregate joined back onto the dimension, every row updated
+# in a single distributed pass (an Iceberg MERGE INTO at cluster scale).
+# --------------------------------------------------------------------------
+
+def score_backfill(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    scores = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("score"),
+        F.count("*").alias("n_lines"),
+    )
+    return (
+        p.join(scores, p.p_partkey == scores.l_partkey, "left")
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.coalesce("score", F.lit(0)).alias("score"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+    )
+
+
+SCORE_BACKFILL_SQL = """
+SELECT p_partkey, p_brand,
+       coalesce(score, 0) AS score, coalesce(n_lines, 0) AS n_lines
+FROM part
+LEFT JOIN (SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS score,
+                  COUNT(*) AS n_lines
+           FROM lineitem GROUP BY l_partkey) s
+  ON p_partkey = s.l_partkey
+"""
+
+
 QUERIES = {
     "etl_csv_orders_by_priority": csv_orders_by_priority,
     "etl_tag_array_merge": tag_array_merge,
+    "etl_score_backfill": score_backfill,
 }
 
 ORACLES = {
     "etl_csv_orders_by_priority": CSV_ORDERS_BY_PRIORITY_SQL,
     "etl_tag_array_merge": TAG_ARRAY_MERGE_SQL,
+    "etl_score_backfill": SCORE_BACKFILL_SQL,
 }

@@ -171,8 +171,8 @@ def bm25_topk(spark, sf_dir):
     return _bm25_spark_df(spark, sf_dir)
 
 
-_BM25_ORACLE_TMPL = f"""
-WITH base AS (
+# CTE body shared by the top-k oracle and the query-log replay oracle
+_BM25_CTES_TMPL = f"""base AS (
   SELECT doc_id,
          CAST(len({TOKENS_SQL}) AS DOUBLE) AS dl,
          CAST(len(list_filter({TOKENS_SQL}, x -> x = '{{t1}}')) AS DOUBLE) AS tf1,
@@ -196,13 +196,17 @@ WITH base AS (
             ELSE 0.0 END), 6) AS score
   FROM base CROSS JOIN stats
   WHERE tf1 > 0 OR tf2 > 0
-)
+)"""
+
+_BM25_ORACLE_TMPL = (
+    "\nWITH " + _BM25_CTES_TMPL + """
 SELECT doc_id, score, rk
 FROM (SELECT doc_id, score,
              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
       FROM scored)
 WHERE rk <= 20
 """
+)
 
 BM25_TOPK_SQL = _BM25_ORACLE_TMPL.format(t1=_Q_TERMS[0], t2=_Q_TERMS[1])
 
@@ -256,6 +260,54 @@ def engine_bm25_topk(spark, sf_dir):
 
 ENGINE_BM25_TOPK_SQL = BM25_TOPK_SQL
 
+# --------------------------------------------------------------------------
+# C7: query-log sink — the engine appends one request/response row per
+# search (reference logs every endpoint hit, app.py:62-64,436-438,525-526).
+# The gate runs a fixed query set with logging on, reads the log TABLE back
+# from disk, and the oracle recomputes what each logged row must contain
+# from the corpus — verifying both the engine results and the sink
+# round-trip in one pass.
+# --------------------------------------------------------------------------
+
+_QLOG_QUERIES = ("merge scan", "scan window", "merge window")
+
+
+def query_log_replay(spark, sf_dir):
+    import shutil
+
+    from ..catalog import IndexCatalog
+    from ..query.engine import SearchEngine
+
+    index_dir = _index_for(spark, sf_dir)
+    cat = IndexCatalog(index_dir)
+    shutil.rmtree(cat.query_log_dir, ignore_errors=True)
+    eng = SearchEngine(spark, index_dir, log_queries=True)
+    for kw in _QLOG_QUERIES:
+        eng.search(kw, k=10)
+    log = cat.read_query_log().to_pandas()
+    log["top_score"] = log["top_score"].round(6)
+    return spark.createDataFrame(
+        log[["qid", "keyword", "total", "top_doc_id", "top_score"]],
+        "qid int, keyword string, total long, top_doc_id long, top_score double",
+    )
+
+
+def _qlog_entry_sql(qid: int, kw: str) -> str:
+    t1, t2 = kw.split()
+    ctes = _BM25_CTES_TMPL.format(t1=t1, t2=t2)
+    return f"""SELECT * FROM (
+WITH {ctes}
+SELECT {qid} AS qid, '{kw}' AS keyword,
+       (SELECT COUNT(*) FROM scored) AS total,
+       doc_id AS top_doc_id, score AS top_score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 1
+)"""
+
+
+QUERY_LOG_REPLAY_SQL = "\nUNION ALL\n".join(
+    _qlog_entry_sql(i + 1, kw) for i, kw in enumerate(_QLOG_QUERIES)
+)
+
 
 QUERIES = {
     "ft_term_stats": term_stats,
@@ -264,6 +316,7 @@ QUERIES = {
     "ft_must_should": must_should,
     "ft_bm25_topk": bm25_topk,
     "ft_engine_bm25_topk": engine_bm25_topk,
+    "ft_query_log_replay": query_log_replay,
 }
 
 ORACLES = {
@@ -273,4 +326,5 @@ ORACLES = {
     "ft_must_should": MUST_SHOULD_SQL,
     "ft_bm25_topk": BM25_TOPK_SQL,
     "ft_engine_bm25_topk": ENGINE_BM25_TOPK_SQL,
+    "ft_query_log_replay": QUERY_LOG_REPLAY_SQL,
 }

@@ -49,21 +49,28 @@ def decode_image_stub(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to HxWxC uint8.
 
     The real codec (PIL/libjpeg) is not in this container; ``fake=True``
-    yields a deterministic pseudo-image derived from the payload digest so
-    the downstream plumbing (shapes, batching, feature extraction) is
-    testable.
+    yields a deterministic pseudo-image derived from per-channel payload
+    digests (sha256(payload + channel tag), tiled to a 32x32 plane) so the
+    downstream plumbing (shapes, batching, feature extraction) is testable
+    — and, because it is pure integer math over sha256, SQL-expressible, so
+    the feature gate is hash-verified end to end despite the stubbed codec.
     """
     if not fake:
         raise NotImplementedError("image codec not available in this environment")
-    h = hashlib.sha256(payload).digest()
-    rng = np.frombuffer(h * 96, dtype=np.uint8)[: 32 * 32 * 3]
-    return rng.reshape(32, 32, 3)
+    planes = []
+    for tag in (b"r", b"g", b"b"):
+        h = hashlib.sha256(payload + tag).digest()
+        planes.append(np.frombuffer(h * 32, dtype=np.uint8).reshape(32, 32))
+    return np.stack(planes, axis=-1)
 
 
 def extract_features(spark, sf_dir, fake_decode: bool = True):
     """payload -> decoded fake image -> per-channel mean features.
 
     Real Arrow-batched plumbing: binary in, fixed-width feature vector out.
+    Channel means are exact doubles (a sum of 1024 uint8 divided by a power
+    of two), so the DuckDB oracle — which recomputes the per-channel digest
+    byte means directly — hash-matches without rounding.
     """
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
@@ -138,13 +145,37 @@ FROM documents, (SELECT unnest(range(4)) AS i)
 """
 
 
+# The fake-decode path is deterministic integer math over sha256: channel
+# c's 32x32 plane tiles the 32-byte digest of (payload || tag), so its mean
+# is sum(digest bytes)/32 — exactly representable, no rounding needed.  The
+# oracle recomputes that from the hex digest, verifying the whole Arrow
+# batching/feature pipeline; only the real-codec branch stays stubbed.
+EXTRACT_FEATURES_SQL = """
+WITH h AS (
+  SELECT doc_id, sha256(text || 'r') AS hr, sha256(text || 'g') AS hg,
+         sha256(text || 'b') AS hb
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hr, 2 * i + 1, 2)) AS INT) AS br,
+         CAST(('0x' || substr(hg, 2 * i + 1, 2)) AS INT) AS bg,
+         CAST(('0x' || substr(hb, 2 * i + 1, 2)) AS INT) AS bb
+  FROM h, (SELECT unnest(range(32)) AS i)
+)
+SELECT doc_id, SUM(br) / 32.0 AS mean_r, SUM(bg) / 32.0 AS mean_g,
+       SUM(bb) / 32.0 AS mean_b
+FROM b GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "mm_media_meta": media_meta,
-    "mm_extract_features": extract_features,  # rows-only check (stubbed codec)
+    "mm_extract_features": extract_features,
     "mm_frame_sample": frame_sample,
 }
 
 ORACLES = {
     "mm_media_meta": MEDIA_META_SQL,
+    "mm_extract_features": EXTRACT_FEATURES_SQL,
     "mm_frame_sample": FRAME_SAMPLE_SQL,
 }

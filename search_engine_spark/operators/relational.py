@@ -348,6 +348,49 @@ FROM (
 """
 
 # --------------------------------------------------------------------------
+# B5: $push $$ROOT — collect whole rows into a per-group array (reference
+# $group + $push $$ROOT, pipeline_utils.py:17-21, lamda/inventory_sync.py:
+# 40-43).  Mongo's array order is nondeterministic; here the array is
+# sort_array'd on (date, orderkey), a deterministic total order.  The array
+# of structs is serialized to one string per group so the value hash is
+# comparable across engines (array<struct> encodings differ).
+# --------------------------------------------------------------------------
+
+def push_root_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    row = F.struct(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        cents.alias("p"),
+    )
+    grouped = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list(row)).alias("docs")
+    )
+    return grouped.select(
+        "o_custkey",
+        F.size("docs").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                "docs",
+                lambda s: F.concat_ws(":", s["d"], s["k"].cast("string"), s["p"].cast("string")),
+            ),
+            "|",
+        ).alias("docs_repr"),
+    )
+
+
+PUSH_ROOT_ORDERS_SQL = """
+SELECT o_custkey, CAST(COUNT(*) AS INT) AS n_docs,
+       string_agg(
+         strftime(o_orderdate, '%Y-%m-%d') || ':' || CAST(o_orderkey AS VARCHAR)
+           || ':' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+         '|' ORDER BY strftime(o_orderdate, '%Y-%m-%d'), o_orderkey) AS docs_repr
+FROM orders
+GROUP BY o_custkey
+"""
+
+# --------------------------------------------------------------------------
 # B19: distinct (reference client-side list(set(...)), pipelines.py:430-431)
 # --------------------------------------------------------------------------
 
@@ -397,6 +440,7 @@ QUERIES = {
     "rel_order_quantity_rollup": order_quantity_rollup,
     "rel_distinct_segments": distinct_segments,
     "rel_conditional_boost": conditional_boost,
+    "rel_push_root": push_root_orders,
 }
 
 ORACLES = {
@@ -415,4 +459,5 @@ ORACLES = {
     "rel_order_quantity_rollup": ORDER_QUANTITY_ROLLUP_SQL,
     "rel_distinct_segments": DISTINCT_SEGMENTS_SQL,
     "rel_conditional_boost": CONDITIONAL_BOOST_SQL,
+    "rel_push_root": PUSH_ROOT_ORDERS_SQL,
 }

@@ -67,9 +67,14 @@ _TERM_DICT_CACHE_MAX = 2_000_000
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, log_queries: bool = False):
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
+        # C7 query-log sink (reference logs request/response on every search
+        # endpoint, app.py:62-64,436-438): when enabled, every search()
+        # appends one row to the catalog's append-only query_log table
+        self.log_queries = log_queries
+        self._qid = 0
         self.stats = self.cat.read_corpus_stats()
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
@@ -293,7 +298,32 @@ class SearchEngine:
         return SearchResult(total=total, page=page)
 
     # ---------------------------------------------------------------- search
-    def search(
+    def search(self, keyword: str, **kwargs) -> SearchResult:
+        res = self._search_impl(keyword, **kwargs)
+        if self.log_queries:
+            self._qid += 1
+            top = None
+            if len(res.page):
+                # logged scores are rounded to 6; pick the top on the rounded
+                # value with the doc_id tiebreak so the logged row is
+                # reproducible across float-noise (same rule as the oracles)
+                pg = res.page.assign(_rs=res.page["score"].round(6))
+                pg = pg.sort_values(["_rs", "doc_id"], ascending=[False, True])
+                top = pg.iloc[0]
+            self.cat.append_query_log([
+                {
+                    "qid": self._qid,
+                    "keyword": keyword,
+                    "mode": kwargs.get("mode", "sort"),
+                    "n_terms": len(preprocess_query(keyword)),
+                    "total": int(res.total),
+                    "top_doc_id": int(top["doc_id"]) if top is not None else None,
+                    "top_score": float(top["_rs"]) if top is not None else None,
+                }
+            ])
+        return res
+
+    def _search_impl(
         self,
         keyword: str,
         k: int = 10,
