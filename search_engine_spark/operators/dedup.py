@@ -479,52 +479,106 @@ def embedding_neardup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# embedding near-dup, scale path: random-hyperplane LSH buckets -> pair
-# enumeration inside buckets only -> exact-cosine verify.  The hyperplanes
-# are deterministic pseudo-random vectors derived from the portable md5
-# hash, so the oracle reproduces them bit-for-bit.  O(docs) bucketing + a
-# per-bucket quadratic bounded by the bucket size — never corpus-quadratic.
+# embedding near-dup, scale path: banded random-hyperplane LSH -> pair
+# enumeration inside band buckets only -> exact-cosine verify.  The
+# hyperplanes are deterministic pseudo-random vectors derived from the
+# portable md5 hash, so the oracle reproduces them bit-for-bit.
+#
+# Scale shape (the three guards a 10^9-vector corpus needs):
+# - the per-band plane count r GROWS with the corpus: r = max(4,
+#   ceil(log2 N) - 4), so the bucket space per band is ~N/16 buckets and
+#   mean bucket size stays ~16 regardless of N (at 10^9 vectors: r = 26,
+#   2^26 buckets/band) — never a fixed 64-bucket space;
+# - recall lost to more planes is bought back by OR-amplification across
+#   _EMB_BANDS independent bands (a pair is a candidate if it collides in
+#   ANY band): P(candidate) = 1 - (1 - s^r)^b for sign-agreement rate s;
+# - degenerate buckets (mirror-payload/boilerplate clusters) above
+#   _EMB_BUCKET_CAP members are dropped from pair enumeration (the same
+#   guard the minhash ladder applies at _BUCKET_CAP); their members are
+#   still caught by exact dedup on content fingerprints.
+#   ``embedding_lsh_dropped_buckets`` reports what the cap dropped, so the
+#   skipped mass is observable rather than silent.
 # --------------------------------------------------------------------------
 
-_NPLANES = 6  # 2^6 = 64 buckets
+_EMB_BANDS = 8
+_EMB_BUCKET_CAP = 64
+_EMB_MIN_PLANES = 4
 
 
-def _hyperplanes(spark):
-    """(h, pos, v): plane h's component at dimension pos, in [-1, 1]."""
-    planes = spark.range(_NPLANES).select(F.col("id").cast("int").alias("h"))
+def _emb_nplanes(n_vectors: int) -> int:
+    """Planes per band, scaled so mean bucket occupancy stays ~16."""
+    import math
+
+    return max(_EMB_MIN_PLANES, math.ceil(math.log2(max(n_vectors, 2))) - 4)
+
+
+# identical derivation in SQL (log2/ceil agree on doubles across engines)
+_EMB_NPLANES_SQL = (
+    f"greatest({_EMB_MIN_PLANES}, CAST(ceil(log2(greatest(COUNT(*), 2))) AS INT) - 4)"
+)
+
+
+def _banded_hyperplanes(spark, nplanes: int):
+    """(band, h, pos, v): band's plane h component at dimension pos, [-1, 1]."""
+    bands = spark.range(_EMB_BANDS).select(F.col("id").cast("int").alias("band"))
+    planes = spark.range(nplanes).select(F.col("id").cast("int").alias("h"))
     dims = spark.range(64).select(F.col("id").cast("int").alias("pos"))
-    key = F.concat_ws("-", F.col("h"), F.col("pos"))
+    key = F.concat_ws("-", F.col("band"), F.col("h"), F.col("pos"))
     v = (md5_long(key) % F.lit(2001) - F.lit(1000)).cast("double") / F.lit(1000.0)
-    return planes.crossJoin(dims).select("h", "pos", v.alias("v"))
+    return bands.crossJoin(planes).crossJoin(dims).select("band", "h", "pos", v.alias("v"))
 
 
-_HYPERPLANES_SQL = f"""
-SELECT h, pos,
-       CAST(({MD5_LONG_SQL.format(x="concat(h, '-', pos)")} % 2001 - 1000) AS DOUBLE) / 1000.0 AS v
-FROM (SELECT CAST(unnest(range({_NPLANES})) AS INT) AS h),
-     (SELECT CAST(unnest(range(64)) AS INT) AS pos)
-"""
-
-
-def embedding_neardup_lsh(spark, sf_dir):
+def _emb_band_buckets(spark, sf_dir):
+    """(vec_id, band, bucket): one sign-bit bucket per vector per band."""
     e = t(spark, sf_dir, "embeddings")
+    nplanes = _emb_nplanes(e.count())
     ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-    hp = _hyperplanes(spark)
+    hp = _banded_hyperplanes(spark, nplanes)
     # sign bits: round the projection so a last-ulp sum difference at ~0
     # cannot flip a bucket bit between engines
     proj = (
         ev.join(F.broadcast(hp), "pos")
-        .groupBy("vec_id", "h")
+        .groupBy("vec_id", "band", "h")
         .agg(F.round(F.sum(F.col("x") * F.col("v")), 6).alias("p"))
     )
-    buckets = proj.groupBy("vec_id").agg(
+    buckets = proj.groupBy("vec_id", "band").agg(
         F.sum(
             F.when(F.col("p") > 0, F.pow(F.lit(2.0), F.col("h")).cast("long")).otherwise(F.lit(0))
         ).alias("bucket")
     )
-    a = buckets.select(F.col("vec_id").alias("id1"), "bucket")
-    b = buckets.select(F.col("vec_id").alias("id2"), "bucket")
-    cand = a.join(b, "bucket").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+    return ev, buckets
+
+
+def _emb_candidates(spark, sf_dir):
+    """Distinct candidate pairs: in-band bucket collisions, capped buckets."""
+    ev, buckets = _emb_band_buckets(spark, sf_dir)
+    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n_vec"))
+    ok = sizes.filter((F.col("n_vec") >= 2) & (F.col("n_vec") <= _EMB_BUCKET_CAP))
+    in_ok = buckets.join(ok.select("band", "bucket"), ["band", "bucket"])
+    a = in_ok.select("band", "bucket", F.col("vec_id").alias("id1"))
+    b = in_ok.select("band", "bucket", F.col("vec_id").alias("id2"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()  # OR-amplification: a pair may collide in several bands
+    )
+    return ev, cand
+
+
+def embedding_lsh_dropped_buckets(spark, sf_dir):
+    """(band, bucket, n_vec) for buckets the cap excluded — the observability
+    hook for the degenerate-bucket guard (empty on healthy corpora)."""
+    _, buckets = _emb_band_buckets(spark, sf_dir)
+    return (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_vec"))
+        .filter(F.col("n_vec") > _EMB_BUCKET_CAP)
+    )
+
+
+def embedding_neardup_lsh(spark, sf_dir):
+    ev, cand = _emb_candidates(spark, sf_dir)
     av = ev.select(F.col("vec_id").alias("id1"), "pos", F.col("x").alias("x1"))
     bv = ev.select(F.col("vec_id").alias("id2"), "pos", F.col("x").alias("x2"))
     dots = (
@@ -549,18 +603,34 @@ EMBEDDING_NEARDUP_LSH_SQL = f"""
 WITH ev AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
   FROM embeddings
-), hp AS ({_HYPERPLANES_SQL}
+), params AS (
+  SELECT {_EMB_NPLANES_SQL} AS r FROM embeddings
+), hp AS (
+  SELECT band, h, pos,
+         CAST(({MD5_LONG_SQL.format(x="concat(band, '-', h, '-', pos)")} % 2001 - 1000) AS DOUBLE) / 1000.0 AS v
+  FROM (SELECT CAST(unnest(range({_EMB_BANDS})) AS INT) AS band),
+       (SELECT CAST(unnest(range(64)) AS INT) AS h),
+       (SELECT CAST(unnest(range(64)) AS INT) AS pos),
+       params
+  WHERE h < params.r
 ), proj AS (
-  SELECT ev.vec_id, hp.h, round(SUM(ev.x * hp.v), 6) AS p
+  SELECT ev.vec_id, hp.band, hp.h, round(SUM(ev.x * hp.v), 6) AS p
   FROM ev JOIN hp ON hp.pos = ev.pos
-  GROUP BY ev.vec_id, hp.h
+  GROUP BY ev.vec_id, hp.band, hp.h
 ), buckets AS (
-  SELECT vec_id,
+  SELECT vec_id, band,
          CAST(SUM(CASE WHEN p > 0 THEN CAST(pow(2.0, h) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-  FROM proj GROUP BY vec_id
+  FROM proj GROUP BY vec_id, band
+), bsizes AS (
+  SELECT band, bucket, COUNT(*) AS n_vec FROM buckets GROUP BY band, bucket
+), in_ok AS (
+  SELECT b.vec_id, b.band, b.bucket
+  FROM buckets b JOIN bsizes s ON s.band = b.band AND s.bucket = b.bucket
+  WHERE s.n_vec >= 2 AND s.n_vec <= {_EMB_BUCKET_CAP}
 ), cand AS (
-  SELECT a.vec_id AS id1, b.vec_id AS id2
-  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM in_ok a JOIN in_ok b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ), norms AS (
   SELECT vec_id, round(SUM(x * x), 9) AS nrm FROM ev GROUP BY vec_id
 ), dots AS (

@@ -92,50 +92,86 @@ WHERE rk <= 5
 
 # --------------------------------------------------------------------------
 # real IVF: train coarse cells from the data (seed partition -> averaged
-# centroids), assign every vector to its nearest centroid, then search only
-# the query's nprobe nearest cells.  All arithmetic is declarative and
-# mirrored in the SQL oracle; distances/cosines are rounded with id
-# tiebreaks so float summation order can't flip an argmin or a rank.
-# At cluster scale the centroid table (ncells x d) broadcasts and the
-# assignment is one map-side join over the corpus — no all-pairs stage.
+# centroids -> one Lloyd reassign/re-average refinement), assign every
+# vector to its nearest centroid, then search only the query's nprobe
+# nearest cells.  All arithmetic is declarative and mirrored in the SQL
+# oracle; distances/cosines are rounded with id tiebreaks so float
+# summation order can't flip an argmin or a rank.
+#
+# Scale shape: ncells GROWS with the corpus (≈ √N, so cell lists stay
+# ~√N long and the assignment join stays O(N·√N) work spread map-side —
+# at 10^9 vectors: ~31k cells), the centroid table (ncells x d) broadcasts,
+# and each Lloyd iteration is one broadcast join + groupBy — no all-pairs
+# stage anywhere.  The serving path is ``ivf_topk_arrow``: one corpus pass,
+# numpy assignment + probe against broadcast centroids, per-partition
+# bounded top-k — no posexplode row blowup.
 # --------------------------------------------------------------------------
 
-_NCELLS = 8
 _NPROBE = 2
+_TRAIN_ITERS = 2  # averaging steps: seed average + one Lloyd refinement
 
 
-def ivf_assignments(spark, sf_dir, ncells: int = _NCELLS):
-    """(vec_id, cell): nearest trained centroid per vector.
+def ivf_ncells(n_vectors: int) -> int:
+    """Coarse cell count ≈ √N (floor), never below 8."""
+    import math
 
-    Training = one averaging step over deterministic seed cells
-    (vec_id % ncells) — the k-means M-step of ``sim_centroids`` computed
-    from data, not the fixture's ``label`` column.
+    return max(8, math.isqrt(max(n_vectors, 1)))
+
+
+_NCELLS_SQL = "greatest(8, CAST(floor(sqrt(COUNT(*))) AS INT))"
+
+
+def ivf_assignments(spark, sf_dir, ncells: int | None = None):
+    """(ev, dist, assign, cent): trained centroids + nearest-cell per vector.
+
+    Training: deterministic seed cells (vec_id % ncells) -> averaged
+    centroids -> reassign -> re-average (``_TRAIN_ITERS`` averaging steps,
+    i.e. one full Lloyd iteration past the seed).  Every average is rounded
+    to 6 decimals (+0.0 normalizes IEEE -0.0) so the SQL oracle reproduces
+    the training bit-for-bit.
     """
     e = t(spark, sf_dir, "embeddings")
+    if ncells is None:
+        ncells = ivf_ncells(e.count())
     ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-    seed = ev.withColumn("cell0", F.pmod(F.col("vec_id"), F.lit(ncells)).cast("int"))
-    cent = (
-        seed.groupBy("cell0", "pos")
-        .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("c"))
-        .select(F.col("cell0").alias("cell"), "pos", "c")
-    )
-    dist = (
-        ev.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "cell")
-        .agg(
-            F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6).alias("d")
+
+    def dist_to(cent):
+        return (
+            ev.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cell")
+            .agg(
+                F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6).alias("d")
+            )
         )
+
+    def argmin(dist):
+        return (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cell")).alias("m"))
+            .select("vec_id", F.col("m.cell").alias("cell"))
+        )
+
+    seed = ev.withColumn("cell", F.pmod(F.col("vec_id"), F.lit(ncells)).cast("int"))
+    cent = (
+        seed.groupBy("cell", "pos")
+        .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("c"))
+        .select("cell", "pos", "c")
     )
-    assign = (
-        dist.groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cell")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"))
-    )
-    return ev, dist, assign
+    for _ in range(_TRAIN_ITERS - 1):
+        assign = argmin(dist_to(cent))
+        cent = (
+            ev.join(assign, "vec_id")
+            .groupBy("cell", "pos")
+            .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("c"))
+            .select("cell", "pos", "c")
+        )
+    dist = dist_to(cent)
+    assign = argmin(dist)
+    return ev, dist, assign, cent
 
 
 def ann_ivf(spark, sf_dir, nprobe: int = _NPROBE, k: int = 3):
-    ev, dist, assign = ivf_assignments(spark, sf_dir)
+    ev, dist, assign, _ = ivf_assignments(spark, sf_dir)
     # nprobe nearest cells per query vector (by centroid distance)
     wq = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
     qcells = (
@@ -179,9 +215,24 @@ ANN_IVF_SQL = f"""
 WITH ev AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
   FROM embeddings
+), params AS (
+  SELECT {_NCELLS_SQL} AS nc FROM embeddings
+), cent0 AS (
+  SELECT CAST(vec_id % params.nc AS INT) AS cell, pos, round(AVG(x), 6) + 0.0 AS c
+  FROM ev, params GROUP BY 1, pos
+), dist0 AS (
+  SELECT ev.vec_id, cent0.cell, round(SUM((ev.x - cent0.c) * (ev.x - cent0.c)), 6) AS d
+  FROM ev JOIN cent0 ON cent0.pos = ev.pos
+  GROUP BY ev.vec_id, cent0.cell
+), assign0 AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dist0)
+  WHERE rn = 1
 ), cent AS (
-  SELECT CAST(vec_id % {_NCELLS} AS INT) AS cell, pos, round(AVG(x), 6) + 0.0 AS c
-  FROM ev GROUP BY 1, pos
+  SELECT a.cell, ev.pos, round(AVG(ev.x), 6) + 0.0 AS c
+  FROM ev JOIN assign0 a ON a.vec_id = ev.vec_id
+  GROUP BY a.cell, ev.pos
 ), dist AS (
   SELECT ev.vec_id, cent.cell, round(SUM((ev.x - cent.c) * (ev.x - cent.c)), 6) AS d
   FROM ev JOIN cent ON cent.pos = ev.pos
@@ -285,12 +336,89 @@ def brute_topk_arrow(spark, sf_dir, query_ids=_QUERY_IDS, k: int = 5):
     )
 
 
+# --------------------------------------------------------------------------
+# production IVF serving kernel: broadcast the trained centroid matrix
+# (ncells x d — ~√N rows, small by construction), then ONE corpus pass in
+# Arrow batches: numpy nearest-centroid assignment, probe-cell filtering,
+# per-partition bounded top-k.  No posexplode (the declarative form
+# multiplies corpus rows x dim for the oracle's benefit), no join over the
+# corpus.  Gated against ANN_IVF_SQL exactly like sim_knn_brute_kernel.
+# --------------------------------------------------------------------------
+
+def ivf_topk_arrow(spark, sf_dir, nprobe: int = _NPROBE, k: int = 3, query_ids=_QUERY_IDS):
+    e = t(spark, sf_dir, "embeddings")
+    _, dist, _, cent = ivf_assignments(spark, sf_dir)
+
+    # centroid matrix + per-query probe cells: ncells x d and n_q x ncells —
+    # driver-small by construction (√N rows; the corpus never leaves executors)
+    cpdf = cent.toPandas()
+    cells = np.sort(cpdf["cell"].unique()).astype(np.int64)
+    cix = {int(c): i for i, c in enumerate(cells)}
+    cmat = np.zeros((len(cells), 64), dtype=np.float64)
+    for cell, pos, c in zip(cpdf["cell"], cpdf["pos"], cpdf["c"]):
+        cmat[cix[int(cell)], int(pos)] = c
+    qd = dist.filter(F.col("vec_id").isin(*list(query_ids))).toPandas()
+    qcells: dict[int, set] = {}
+    for qid, grp in qd.groupby("vec_id"):
+        g = grp.sort_values(["d", "cell"]).head(nprobe)
+        qcells[int(qid)] = {int(c) for c in g["cell"]}
+
+    qrows = e.filter(F.col("vec_id").isin(*list(query_ids))).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnrm = np.round((qmat * qmat).sum(axis=1), 9)
+    bc = spark.sparkContext.broadcast((cells, cmat, qids, qmat, qnrm, qcells))
+
+    def probe_part(it):
+        cells_, cmat_, qids_, qmat_, qnrm_, qcells_ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            # nearest-centroid assignment, mirroring the declarative rule:
+            # round(||x-c||^2, 6) argmin with ascending-cell tiebreak (the
+            # first-minimum of a cell-ascending column order IS that rule)
+            D = np.empty((len(X), len(cells_)), dtype=np.float64)
+            for j in range(len(cells_)):
+                diff = X - cmat_[j]
+                D[:, j] = np.round((diff * diff).sum(axis=1), 6)
+            assigned = cells_[np.argmin(D, axis=1)]
+            cnrm = np.round((X * X).sum(axis=1), 9)
+            out = []
+            for qi, qid in enumerate(qids_):
+                probed = qcells_.get(int(qid), set())
+                mask = np.isin(assigned, list(probed)) & (cids != qid)
+                if not mask.any():
+                    continue
+                dots = X[mask] @ qmat_[qi]
+                cos = np.round(dots / np.sqrt(qnrm_[qi] * cnrm[mask]), 6)
+                sel_ids = cids[mask]
+                order = np.lexsort((sel_ids, -cos))[:k]
+                out.append(
+                    pd.DataFrame({"qid": qid, "cid": sel_ids[order], "cosine": cos[order]})
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    parts = e.select("vec_id", "embedding").mapInPandas(
+        probe_part, schema="qid long, cid long, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        parts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "cid", "cosine", "rk")
+    )
+
+
 QUERIES = {
     "sim_knn_brute": knn_brute,
-    # the production kernel itself is gated against the same SQL oracle as
-    # the declarative join form — the scale path is what gets verified
+    # the production kernels are gated against the same SQL oracles as the
+    # declarative join forms — the scale path is what gets verified
     "sim_knn_brute_kernel": brute_topk_arrow,
     "sim_ann_ivf": ann_ivf,
+    "sim_ann_ivf_kernel": ivf_topk_arrow,
     "sim_centroids": centroids,
 }
 
@@ -298,5 +426,6 @@ ORACLES = {
     "sim_knn_brute": KNN_BRUTE_SQL,
     "sim_knn_brute_kernel": KNN_BRUTE_SQL,
     "sim_ann_ivf": ANN_IVF_SQL,
+    "sim_ann_ivf_kernel": ANN_IVF_SQL,
     "sim_centroids": CENTROIDS_SQL,
 }

@@ -105,14 +105,44 @@ def test_shingles_short_docs_yield_no_rows(spark):
     assert sorted(out["shingle"]) == ["w x y z", "x y z extra"]
 
 
+def test_embedding_lsh_recall_floor_and_cap_guard(spark, sf_dir):
+    """Banded-LSH near-dup recall vs the exact all-pairs form, plus the
+    degenerate-bucket observability hook.
+
+    The LSH path trades recall for never being corpus-quadratic; the floor
+    pins that the multi-band OR-amplification keeps it useful (measured
+    ~0.50 on this fixture at threshold 0.35 — a deliberately weak
+    similarity for sign-LSH; real near-dup thresholds ~0.9 collide far
+    more reliably).
+    """
+    from search_engine_spark.operators.dedup import (
+        embedding_lsh_dropped_buckets,
+        embedding_neardup,
+        embedding_neardup_lsh,
+    )
+
+    exact = embedding_neardup(spark, sf_dir).toPandas()  # vec_id < 300 slice
+    lsh = embedding_neardup_lsh(spark, sf_dir).toPandas()
+    eset = set(zip(exact.id1, exact.id2))
+    lset = {p for p in zip(lsh.id1, lsh.id2) if p[0] < 300 and p[1] < 300}
+    assert eset, "fixture contract: exact near-dup pairs exist"
+    recall = len(lset & eset) / len(eset)
+    assert recall >= 0.35, f"LSH recall@0.35 too low: {recall}"
+    # every LSH pair is exact-verified, so the <300 slice must be a subset
+    assert lset <= eset
+    # cap guard: observable, and empty on this healthy fixture
+    assert embedding_lsh_dropped_buckets(spark, sf_dir).count() == 0
+
+
 def test_ivf_recall_and_full_probe_exactness(spark, sf_dir):
-    """IVF with nprobe=2/8 beats random-cell recall; nprobe=8 == brute force.
+    """IVF nprobe recall floor; probing every cell == brute force.
 
     The full-probe equality is the structural check that the train->assign->
     search pipeline is a real partition of the corpus: probing every cell
     must recover the exact brute-force top-k (same rounding, same tiebreaks).
+    Checked for the declarative form AND the Arrow serving kernel.
     """
-    from search_engine_spark.operators.similarity import _NCELLS, ann_ivf, knn_brute
+    from search_engine_spark.operators.similarity import ann_ivf, ivf_topk_arrow, knn_brute
 
     brute = knn_brute(spark, sf_dir).toPandas()
     b3 = brute[brute.rk <= 3]
@@ -125,8 +155,9 @@ def test_ivf_recall_and_full_probe_exactness(spark, sf_dir):
     recall = hits / len(b3)
     assert recall >= 0.35, f"nprobe=2 recall@3 too low: {recall}"
 
-    full = ann_ivf(spark, sf_dir, nprobe=_NCELLS).toPandas()
-    full = full.sort_values(["qid", "rk"]).reset_index(drop=True)
     b3s = b3.sort_values(["qid", "rk"]).reset_index(drop=True)
-    assert list(full["cid"]) == list(b3s["cid"])
-    assert (full["cosine"] - b3s["cosine"]).abs().max() == 0.0
+    for fn in (ann_ivf, ivf_topk_arrow):
+        full = fn(spark, sf_dir, nprobe=1_000_000).toPandas()
+        full = full.sort_values(["qid", "rk"]).reset_index(drop=True)
+        assert list(full["cid"]) == list(b3s["cid"]), fn.__name__
+        assert (full["cosine"] - b3s["cosine"]).abs().max() == 0.0, fn.__name__
