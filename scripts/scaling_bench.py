@@ -95,18 +95,22 @@ def main():
             print(json.dumps(m), file=sys.stderr)
 
     best = {c: min(ms, key=lambda m: m["wall_sec"]) for c, ms in legs.items()}
+    mean = {c: sum(m["wall_sec"] for m in ms) / len(ms) for c, ms in legs.items()}
     t_small, t_big = best[args.n]["wall_sec"], best[4 * args.n]["wall_sec"]
     print(json.dumps({
         "docs": args.docs,
         "n_cores": args.n,
         "4n_cores": 4 * args.n,
+        "runs_per_leg": args.runs,
         "wall_sec": {str(c): [m["wall_sec"] for m in ms] for c, ms in legs.items()},
         "docs_per_sec": {
             str(args.n): best[args.n]["docs_per_sec"],
             str(4 * args.n): best[4 * args.n]["docs_per_sec"],
         },
-        "speedup": round(t_small / t_big, 3),
-        "efficiency": round(t_small / t_big / 4, 3),
+        "speedup_best": round(t_small / t_big, 3),
+        "efficiency_best": round(t_small / t_big / 4, 3),
+        "speedup_mean": round(mean[args.n] / mean[4 * args.n], 3),
+        "efficiency_mean": round(mean[args.n] / mean[4 * args.n] / 4, 3),
         "freq_throttle_calibration_Mips_per_core": calibrate([1, args.n, 4 * args.n]),
     }))
 

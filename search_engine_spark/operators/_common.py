@@ -61,16 +61,26 @@ def ranked_topk(df, order_cols, n: int, rank_name: str = "rk"):
     Two-phase: ``orderBy(...).limit(n)`` executes as TakeOrderedAndProject —
     a per-partition bounded heap plus driver k-way merge, never a global
     sort.  The rank is then a ``row_number`` window over ONLY the ≤n
-    surviving rows (``partitionBy(lit(0))`` keeps the window's partition
-    spec non-empty, so the "global sort" the window implies touches n rows,
-    not the corpus).  ``order_cols`` must be a deterministic total order
-    (unique tiebreak), or the rank is not reproducible.
+    surviving rows.  The window needs a defined partition spec (a bare
+    ``lit(0)`` is constant-folded away, resurrecting the "No Partition
+    Defined" single-partition-sort plan): ``spark_partition_id()`` over the
+    ``coalesce(1)``d slice is 0 for every row but non-foldable, so the
+    window hash-partitions the ≤n rows instead of warning about the corpus.
+    The single-partition property is coalesce(1)'s documented contract — no
+    reliance on monotonically_increasing_id counter internals.
+    ``order_cols`` must be a deterministic total order (unique tiebreak),
+    or the rank is not reproducible.
     """
     from pyspark.sql import Window
 
-    topped = df.orderBy(*order_cols).limit(n)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
-    return topped.withColumn(rank_name, F.row_number().over(w).cast("int"))
+    topped = df.orderBy(*order_cols).limit(n).coalesce(1).withColumn(
+        "_rk_part", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_rk_part").orderBy(*order_cols)
+    return (
+        topped.withColumn(rank_name, F.row_number().over(w).cast("int"))
+        .drop("_rk_part")
+    )
 
 
 # Tokenizer shared by the text/dedup/fulltext operators: lower -> split on

@@ -130,7 +130,8 @@ WHERE tf_must > 0 AND (tf_should1 > 0 OR tf_should2 > 0)
 _Q_TERMS = ("scan", "window")  # ascending order — scores sum in this order
 
 
-def _bm25_spark_df(spark, sf_dir, k=20):
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, score rounded to 6, dl int) for the fixed 2-term query."""
     d = t(spark, sf_dir, "documents")
     toks = tokens_col()
     base = d.select(
@@ -157,12 +158,17 @@ def _bm25_spark_df(spark, sf_dir, k=20):
             idf(dfc) * tf / (tf + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl") / avgdl)),
         ).otherwise(F.lit(0.0))
 
-    scored = j.select(
+    return j.select(
         "doc_id",
         F.round(
             tscore(F.col("tf1"), F.col("df1")) + tscore(F.col("tf2"), F.col("df2")), 6
         ).alias("score"),
+        F.col("dl").cast("int").alias("dli"),
     )
+
+
+def _bm25_spark_df(spark, sf_dir, k=20):
+    scored = _bm25_scored(spark, sf_dir)
     order = [F.desc("score"), F.asc("doc_id")]
     return ranked_topk(scored, order, k).select("doc_id", "score", "rk")
 
@@ -193,7 +199,8 @@ _BM25_CTES_TMPL = f"""base AS (
            + (CASE WHEN tf2 > 0 THEN
               ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2
                 / (tf2 + {K1} * (1.0 - {B} + {B} * dl / (sum_dl / n)))
-            ELSE 0.0 END), 6) AS score
+            ELSE 0.0 END), 6) AS score,
+         CAST(dl AS INT) AS dli
   FROM base CROSS JOIN stats
   WHERE tf1 > 0 OR tf2 > 0
 )"""
@@ -261,6 +268,71 @@ def engine_bm25_topk(spark, sf_dir):
 ENGINE_BM25_TOPK_SQL = BM25_TOPK_SQL
 
 # --------------------------------------------------------------------------
+# grouped search rollup (reference /v2/search and /retail/v1/search,
+# app.py:488-520, pipelines.py:484-661: score -> group by g_id -> $first
+# score per group -> rank groups) — as a declarative plan AND through the
+# engine's group_by= path, both against the same SQL oracle.
+# --------------------------------------------------------------------------
+
+_GROUP_MOD = 53  # == query.engine.GROUP_MOD / oracle.GROUP_MOD
+
+
+def grouped_topk(spark, sf_dir, k=10):
+    from pyspark.sql import Window
+
+    g = _bm25_scored(spark, sf_dir).withColumn(
+        "g_id", F.pmod(F.col("dli"), F.lit(_GROUP_MOD)).cast("int")
+    )
+    w = Window.partitionBy("g_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    best = g.withColumn("rn", F.row_number().over(w))
+    counts = g.groupBy("g_id").agg(F.count("*").alias("n_docs"))
+    top = (
+        best.filter(F.col("rn") == 1)
+        .select("g_id", F.col("doc_id").alias("top_doc"), "score")
+        .join(counts, "g_id")
+    )
+    order = [F.desc("score"), F.asc("top_doc")]
+    return ranked_topk(top, order, k).select("g_id", "top_doc", "score", "n_docs", "rk")
+
+
+def engine_grouped_topk(spark, sf_dir, k=10):
+    """The engine's group_by= path vs the same SQL oracle."""
+    from ..query.engine import SearchEngine
+
+    index_dir = _index_for(spark, sf_dir)
+    eng = SearchEngine(spark, index_dir)
+    res = eng.search(" ".join(_Q_TERMS), k=k, group_by=True)
+    pdf = res.page.copy()
+    pdf["score"] = pdf["score"].round(6)
+    pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    pdf = pdf.head(k)
+    pdf["rk"] = range(1, len(pdf) + 1)
+    pdf = pdf.rename(columns={"doc_id": "top_doc"})
+    return spark.createDataFrame(
+        pdf[["g_id", "top_doc", "score", "n_docs", "rk"]],
+        "g_id int, top_doc long, score double, n_docs long, rk int",
+    )
+
+
+GROUPED_TOPK_SQL = (
+    "\nWITH " + _BM25_CTES_TMPL.format(t1=_Q_TERMS[0], t2=_Q_TERMS[1]) + f""",
+g AS (SELECT doc_id, score, dli % {_GROUP_MOD} AS g_id FROM scored),
+best AS (
+  SELECT g_id, doc_id, score,
+         row_number() OVER (PARTITION BY g_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM g
+), agg AS (SELECT g_id, COUNT(*) AS n_docs FROM g GROUP BY g_id)
+SELECT CAST(g_id AS INT) AS g_id, top_doc, score, n_docs, rk
+FROM (
+  SELECT b.g_id, b.doc_id AS top_doc, b.score, a.n_docs,
+         row_number() OVER (ORDER BY b.score DESC, b.doc_id ASC) AS rk
+  FROM best b JOIN agg a USING (g_id)
+  WHERE b.rn = 1
+) WHERE rk <= 10
+"""
+)
+
+# --------------------------------------------------------------------------
 # C7: query-log sink — the engine appends one request/response row per
 # search (reference logs every endpoint hit, app.py:62-64,436-438,525-526).
 # The gate runs a fixed query set with logging on, reads the log TABLE back
@@ -316,6 +388,8 @@ QUERIES = {
     "ft_must_should": must_should,
     "ft_bm25_topk": bm25_topk,
     "ft_engine_bm25_topk": engine_bm25_topk,
+    "ft_grouped_topk": grouped_topk,
+    "ft_engine_grouped_topk": engine_grouped_topk,
     "ft_query_log_replay": query_log_replay,
 }
 
@@ -326,5 +400,7 @@ ORACLES = {
     "ft_must_should": MUST_SHOULD_SQL,
     "ft_bm25_topk": BM25_TOPK_SQL,
     "ft_engine_bm25_topk": ENGINE_BM25_TOPK_SQL,
+    "ft_grouped_topk": GROUPED_TOPK_SQL,
+    "ft_engine_grouped_topk": GROUPED_TOPK_SQL,
     "ft_query_log_replay": QUERY_LOG_REPLAY_SQL,
 }

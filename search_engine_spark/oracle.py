@@ -36,6 +36,7 @@ K1 = 1.2
 B = 0.75
 CONSTANT_BOOST = 5.0  # reference constants.py:16 PRODUCT_BOOST_CONSTANT_VAL
 AVAIL_BOOST = 10.0  # reference search_utils.py:157 default boost
+GROUP_MOD = 53  # derived g_id rule shared with the Spark engine (dl % 53)
 
 
 def bm25(tf: int, df: int, dl: int, n_docs: int, avgdl: float) -> float:
@@ -136,3 +137,33 @@ class OracleIndex:
             scores = {d: s + (AVAIL_BOOST if self.avail(d) > 0 else 0.0) for d, s in scores.items()}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return QueryResult(total=len(ranked), hits=ranked[skip : skip + k])
+
+    def search_grouped(
+        self,
+        keyword: str,
+        k: int = 10,
+        skip: int = 0,
+        conjunctive: bool = False,
+        constant_boost: bool = False,
+        avail_boost: bool = False,
+    ) -> tuple[int, list[tuple[int, int, float, int]]]:
+        """Grouped rollup (reference /v2/search, app.py:488-520): score ->
+        group by g_id = dl % GROUP_MOD -> keep each group's best hit (score
+        desc, doc_id asc) + member count -> rank groups by their best hit.
+
+        Returns (total_groups, [(g_id, top_doc, score, n_docs), ...]).
+        """
+        base = self.search(keyword, k=self.n_docs, skip=0, conjunctive=conjunctive,
+                           constant_boost=constant_boost, avail_boost=avail_boost)
+        groups: dict[int, list] = {}
+        for d, s in base.hits:  # already (score desc, doc_id asc)
+            g = self.doc_len[d] % GROUP_MOD
+            if g in groups:
+                groups[g][2] += 1
+            else:
+                groups[g] = [d, s, 1]
+        rows = sorted(
+            ((g, d, s, n) for g, (d, s, n) in groups.items()),
+            key=lambda r: (-r[2], r[1]),
+        )
+        return len(rows), rows[skip : skip + k]

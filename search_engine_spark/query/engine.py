@@ -45,6 +45,10 @@ K1 = 1.2
 B = 0.75
 CONSTANT_BOOST = 5.0  # reference constants.py:16
 AVAIL_BOOST = 10.0  # reference search_utils.py:157
+# derived group key for grouped search (reference /v2/search groups scored
+# hits by g_id, app.py:488-520); like boosted/avail it derives from dl so
+# the engine and every oracle compute it identically from the corpus
+GROUP_MOD = 53
 
 _SCORED_SCHEMA = "doc_id long, term string, score double, dl int"
 
@@ -250,6 +254,7 @@ class SearchEngine:
         avail_boost: bool,
         k: int,
         skip: int,
+        group_by: bool = False,
     ) -> SearchResult:
         rows = (
             self._candidate_segments(terms)
@@ -292,6 +297,24 @@ class SearchEngine:
             acc = acc + np.where(dls % 37 == 0, CONSTANT_BOOST, 0.0)
         if avail_boost:
             acc = acc + np.where(dls % 7 > 0, AVAIL_BOOST, 0.0)
+        if group_by:
+            # group rollup (reference /v2/search, app.py:488-520): best hit
+            # per g_id, group count, groups ranked by their best hit
+            gid = (dls % GROUP_MOD).astype(np.int64)
+            order = np.lexsort((uniq, -acc))
+            gs, us, sc = gid[order], uniq[order], acc[order]
+            uniq_g, first_pos, counts = np.unique(gs, return_index=True, return_counts=True)
+            top_doc, top_score = us[first_pos], sc[first_pos]
+            sel = np.lexsort((top_doc, -top_score))[skip : skip + k]
+            page = pd.DataFrame(
+                {
+                    "doc_id": top_doc[sel],
+                    "score": top_score[sel],
+                    "g_id": uniq_g[sel],
+                    "n_docs": counts[sel],
+                }
+            )
+            return SearchResult(total=int(uniq_g.size), page=page)
         total = int(uniq.size)
         order = np.lexsort((uniq, -acc))[skip : skip + k]
         page = pd.DataFrame({"doc_id": uniq[order], "score": acc[order]})
@@ -336,6 +359,7 @@ class SearchEngine:
         with_url: bool = False,
         force_distributed: bool = False,
         total_mode: str = "exact",
+        group_by: bool = False,
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
 
@@ -375,7 +399,8 @@ class SearchEngine:
 
         if not force_distributed and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS:
             res = self._driver_search(
-                present, idf, conj, constant_boost, avail_boost, k, skip
+                present, idf, conj, constant_boost, avail_boost, k, skip,
+                group_by=group_by,
             )
             if with_url and len(res.page):
                 ids = [int(d) for d in res.page["doc_id"]]
@@ -394,7 +419,10 @@ class SearchEngine:
             AVAIL_BOOST if avail_boost else 0.0
         )
 
-        wand = mode == "wand" and skip == 0
+        # grouped rollup needs every doc's exact score (a group's winner can
+        # sit below the doc-level top-k that WAND's θ prunes against), so it
+        # rides the full-scoring sort path
+        wand = mode == "wand" and skip == 0 and not group_by
         if wand:
             scored = self._wand_scored(present, idf, conj, constant_boost, avail_boost, k, boost_ceiling)
         else:
@@ -402,6 +430,8 @@ class SearchEngine:
             if conj:
                 scored = scored.filter(F.col("n_terms") == len(present))
             scored = self._apply_boosts(scored, constant_boost, avail_boost)
+            if group_by:
+                scored = self._group_rollup(scored)
             # one-pass count + page over a single cached plan — the Spark
             # equivalent of the reference's $facet {total, data}
             # (pipelines.py:27-42)
@@ -412,7 +442,8 @@ class SearchEngine:
         if with_url:
             urls = self.spark.read.parquet(self.cat.doc_stats).select("doc_id", "url")
             page_df = page_df.join(urls, "doc_id", "left")
-        page = page_df.select("doc_id", "score", *(["url"] if with_url else [])).toPandas()
+        page_cols = (["g_id", "n_docs"] if group_by else []) + (["url"] if with_url else [])
+        page = page_df.select("doc_id", "score", *page_cols).toPandas()
         page = page.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
 
         if wand:
@@ -434,6 +465,25 @@ class SearchEngine:
             total = scored.count()
             scored.unpersist()
         return SearchResult(total=total, page=page)
+
+    def _group_rollup(self, scored: DataFrame) -> DataFrame:
+        """Scored docs -> one row per group: the group's best hit + count.
+
+        Reference /v2/search semantics (app.py:488-520): sort by score,
+        group by g_id, $first the winner, count members.  The window
+        partitions by g_id — a keyed shuffle, never a global sort.
+        """
+        from pyspark.sql import Window
+
+        g = scored.withColumn("g_id", F.pmod(F.col("dl"), F.lit(GROUP_MOD)).cast("int"))
+        w = Window.partitionBy("g_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        best = g.withColumn("rn", F.row_number().over(w))
+        counts = g.groupBy("g_id").agg(F.count("*").alias("n_docs"))
+        return (
+            best.filter(F.col("rn") == 1)
+            .select("g_id", "doc_id", "score")
+            .join(counts, "g_id")
+        )
 
     def _match_count(self, terms: list[str], conjunctive: bool) -> int:
         """Total match count without decoding scores.

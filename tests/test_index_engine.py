@@ -71,6 +71,22 @@ def test_wand_matches_sort_exactly(engine):
 
 
 @pytest.mark.parametrize("force_dist", [False, True])
+def test_grouped_rank_identity(engine, oracle_tiny, force_dist):
+    """Engine group_by= vs the pure-Python oracle's grouped rollup — both
+    paths (driver fast path and distributed sort path)."""
+    for kw in ["milk", "cadbury dairy milk", "the"]:
+        got = engine.search(kw, k=10, group_by=True, force_distributed=force_dist)
+        total, rows = oracle_tiny.search_grouped(kw, k=10)
+        assert got.total == total, kw
+        g = [
+            (int(r.g_id), int(r.doc_id), round(float(r.score), 6), int(r.n_docs))
+            for r in got.page.itertuples()
+        ]
+        e = [(gid, d, round(s, 6), n) for gid, d, s, n in rows]
+        assert g == e, f"grouped:{kw!r}: {g[:3]} != {e[:3]}"
+
+
+@pytest.mark.parametrize("force_dist", [False, True])
 def test_conjunctive(engine, oracle_tiny, force_dist):
     got = engine.search("cadbury dairy", k=50, conjunctive=True, force_distributed=force_dist)
     want = oracle_tiny.search("cadbury dairy", k=50, conjunctive=True)
