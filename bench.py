@@ -107,8 +107,11 @@ def main():
         "dd_minhash_signatures": dedup.minhash_signatures,
         "dd_dedup_decisions": dedup.dedup_decisions,
         "dd_simhash": dedup.simhash,
+        "dd_embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         "sim_knn_brute": similarity.knn_brute,
         "sim_ann_ivf": similarity.ann_ivf,
+        "sim_ann_ivf_kernel": similarity.ivf_topk_arrow,
+        "ft_grouped_topk": fulltext.grouped_topk,
     }
     for name, fn in heads.items():
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -348,6 +348,44 @@ FROM (
 """
 
 # --------------------------------------------------------------------------
+# B6/C8 variant through the supplier dimension: fact -> dim -> dim chain
+# (lineitem -> supplier -> nation), revenue in exact decimal arithmetic —
+# the reference's warehouse-side rollup (pipelines.py:517-524 against the
+# STORE_WH_MAP denormalization) with both dims broadcast.
+# --------------------------------------------------------------------------
+
+def supplier_revenue_rollup(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+SUPPLIER_REVENUE_ROLLUP_SQL = """
+SELECT n_name, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+       COUNT(DISTINCT s_suppkey) AS n_suppliers
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+# --------------------------------------------------------------------------
 # B5: $push $$ROOT — collect whole rows into a per-group array (reference
 # $group + $push $$ROOT, pipeline_utils.py:17-21, lamda/inventory_sync.py:
 # 40-43).  Mongo's array order is nondeterministic; here the array is
@@ -441,6 +479,7 @@ QUERIES = {
     "rel_distinct_segments": distinct_segments,
     "rel_conditional_boost": conditional_boost,
     "rel_push_root": push_root_orders,
+    "rel_supplier_revenue": supplier_revenue_rollup,
 }
 
 ORACLES = {
@@ -460,4 +499,5 @@ ORACLES = {
     "rel_distinct_segments": DISTINCT_SEGMENTS_SQL,
     "rel_conditional_boost": CONDITIONAL_BOOST_SQL,
     "rel_push_root": PUSH_ROOT_ORDERS_SQL,
+    "rel_supplier_revenue": SUPPLIER_REVENUE_ROLLUP_SQL,
 }
