@@ -9,6 +9,7 @@ that equivalence is the test contract (tests/test_streaming.py).
 from .windowed import (  # noqa: F401
     run_to_memory,
     session_window_counts,
+    stateful_asof,
     stream_events,
     stream_hourly_rollup,
 )

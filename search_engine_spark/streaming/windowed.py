@@ -49,12 +49,77 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
-def run_to_memory(df: DataFrame, name: str, checkpoint_dir: str):
-    """Drain a finite streaming aggregation into an in-memory table."""
+def stateful_asof(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user as-of purchase->view matcher via
+    ``applyInPandasWithState`` — the streaming analog of the batch
+    ``events.asof_purchase_view`` (each purchase matched to the latest
+    prior view by that user).
+
+    Per-user ``GroupState`` = (epoch-micros, view_id) of the latest view,
+    carried across micro-batches with no timeout (at scale: a TTL timeout
+    bounds state for inactive users).  Within a batch, rows process in
+    (ts, kind, event_id) order — exactly the batch operator's running-last
+    window order — so a finite in-order source reproduces the batch result
+    row-for-row (pinned by ``test_stateful_asof_matches_batch``).  Like any
+    event-time as-of over streams, cross-batch correctness assumes the
+    source delivers batches in event-time order (file sources listing
+    chronologically named files do); out-of-order arrivals would need a
+    watermark-delayed emit on top of the same state shape.
+
+    Timestamps flow as epoch micros (long) so the operator is agnostic to
+    TIMESTAMP vs TIMESTAMP_NTZ sources.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        user_id = int(key[0])
+        last = tuple(state.get) if state.exists else None
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf[pdf["event_type"].isin(["view", "purchase"])].copy()
+            if len(pdf) == 0:
+                continue
+            pdf["kind"] = (pdf["event_type"] == "purchase").astype(int)
+            pdf["us"] = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            pdf = pdf.sort_values(["us", "kind", "event_id"])
+            for us, eid, kind in zip(pdf["us"], pdf["event_id"], pdf["kind"]):
+                if kind == 0:
+                    last = (int(us), int(eid))
+                elif last is not None:
+                    out.append((user_id, int(eid), last[1], int(us), last[0]))
+        if last is not None:
+            state.update(last)
+        yield pd.DataFrame(
+            out, columns=["user_id", "purchase_id", "view_id", "p_us", "v_us"]
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, purchase_id long, view_id long, p_us long, v_us long",
+            stateStructType="v_us long, view_id long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "complete"):
+    """Drain a finite streaming query into an in-memory table.
+
+    ``complete`` for streaming aggregations; ``append`` for stateful
+    row-emitting operators (``applyInPandasWithState``).
+    """
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
