@@ -147,12 +147,49 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# per-language document-length quantiles — the exact (sort-based) form is
+# the oracle-checkable twin of the sketch path a 100 TB profile job uses
+# (percentile_approx / approx_count_distinct, whose error bounds are pinned
+# in tests/test_operators.py::test_sketch_accuracy_bounds — sketches are
+# mergeable/one-pass but engine-specific, so the gate hashes the exact
+# form).  Both engines interpolate quantiles linearly; rounded to 6.
+# --------------------------------------------------------------------------
+
+def length_quantiles(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens_col())
+    base = d.select("lang", n_tok.cast("double").alias("n"))
+    return base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(n, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(n, 0.95)"), 6).alias("q95"),
+        F.min("n").cast("long").alias("min_n"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+
+
+LENGTH_QUANTILES_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       round(quantile_cont(n, 0.25), 6) AS q25,
+       round(quantile_cont(n, 0.5), 6) AS median,
+       round(quantile_cont(n, 0.75), 6) AS q75,
+       round(quantile_cont(n, 0.95), 6) AS q95,
+       CAST(MIN(n) AS BIGINT) AS min_n, CAST(MAX(n) AS BIGINT) AS max_n
+FROM (SELECT lang, CAST(len({TOKENS_SQL}) AS DOUBLE) AS n FROM documents)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "txt_token_counts": token_counts,
     "txt_quality_scores": quality_scores,
     "txt_lang_id": lang_id,
     "txt_fingerprints": fingerprints,
     "txt_corpus_profile": corpus_profile,
+    "txt_length_quantiles": length_quantiles,
 }
 
 ORACLES = {
@@ -161,4 +198,5 @@ ORACLES = {
     "txt_lang_id": LANG_ID_SQL,
     "txt_fingerprints": FINGERPRINTS_SQL,
     "txt_corpus_profile": CORPUS_PROFILE_SQL,
+    "txt_length_quantiles": LENGTH_QUANTILES_SQL,
 }

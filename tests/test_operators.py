@@ -105,6 +105,28 @@ def test_shingles_short_docs_yield_no_rows(spark):
     assert sorted(out["shingle"]) == ["w x y z", "x y z extra"]
 
 
+def test_sketch_accuracy_bounds(spark, sf_dir):
+    """The one-pass sketch forms a 100 TB profile job uses, bounded against
+    their exact gated twins: approx_count_distinct (HLL++) within its
+    configured rsd, percentile_approx within the accuracy-parameter rank
+    error.  The sketches are mergeable map-side aggregates — the scale
+    path; the exact forms exist for the value-hash gate."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators._common import t, tokens_col
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens_col()).alias("tok"))
+    exact = tok.agg(F.countDistinct("tok")).collect()[0][0]
+    approx = tok.agg(F.approx_count_distinct("tok", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.06, (approx, exact)
+
+    n = d.select(F.size(tokens_col()).cast("double").alias("n"))
+    ex = n.agg(F.expr("percentile(n, 0.5)")).collect()[0][0]
+    ap = n.agg(F.percentile_approx("n", 0.5, 10000)).collect()[0][0]
+    assert abs(ap - ex) <= max(2.0, 0.02 * ex), (ap, ex)
+
+
 def test_embedding_lsh_recall_floor_and_cap_guard(spark, sf_dir):
     """Banded-LSH near-dup recall vs the exact all-pairs form, plus the
     degenerate-bucket observability hook.
