@@ -287,9 +287,21 @@ SELECT doc1, doc2, n_bands FROM cand
 
 
 def _verified_pairs(spark, sf_dir):
-    """Candidates verified with exact token-set Jaccard >= 1/2 (integers)."""
+    """Candidates verified with exact token-set Jaccard >= 1/2 (integers).
+
+    The token stream is semi-join-filtered to candidate docs BEFORE the
+    intersection joins: candidates are a vanishing fraction of the corpus,
+    so this turns a full-corpus token shuffle into a (usually broadcast)
+    id filter + a small shuffle — the result is identical (only candidate
+    docs' rows ever survive those joins).
+    """
     cand = lsh_candidate_pairs(spark, sf_dir)
-    tok = _token_sids(spark, sf_dir)
+    cand_docs = (
+        cand.select(F.col("doc1").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc2").alias("doc_id")))
+        .distinct()
+    )
+    tok = _token_sids(spark, sf_dir).join(cand_docs, "doc_id", "left_semi")
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     t1 = tok.select(F.col("doc_id").alias("doc1"), "sid")
     t2 = tok.select(F.col("doc_id").alias("doc2"), "sid")
@@ -579,6 +591,14 @@ def embedding_lsh_dropped_buckets(spark, sf_dir):
 
 def embedding_neardup_lsh(spark, sf_dir):
     ev, cand = _emb_candidates(spark, sf_dir)
+    # verify only candidate vectors: semi-join ev down to candidate ids so
+    # the exact-cosine joins shuffle O(candidates × dim), not corpus × dim
+    cand_ids = (
+        cand.select(F.col("id1").alias("vec_id"))
+        .unionByName(cand.select(F.col("id2").alias("vec_id")))
+        .distinct()
+    )
+    ev = ev.join(cand_ids, "vec_id", "left_semi")
     av = ev.select(F.col("vec_id").alias("id1"), "pos", F.col("x").alias("x1"))
     bv = ev.select(F.col("vec_id").alias("id2"), "pos", F.col("x").alias("x2"))
     dots = (
