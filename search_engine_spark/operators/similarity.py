@@ -185,17 +185,24 @@ def ann_ivf(spark, sf_dir, nprobe: int = _NPROBE, k: int = 3):
         .filter(F.col("qid") != F.col("cid"))
         .select("qid", "cid")
     )
-    a = ev.select(F.col("vec_id").alias("qid"), "pos", F.col("x").alias("qx"))
-    b = ev.select(F.col("vec_id").alias("cid"), "pos", F.col("x").alias("cx"))
+    # score only what can appear in the output: the query side is the fixed
+    # id set (filter pushes to the scan), the corpus side is semi-joined to
+    # candidate ids — the exact-score shuffle is O(candidates × dim), never
+    # corpus × dim (the serving path, ivf_topk_arrow, has no joins at all)
+    qev = ev.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    cev = ev.join(cands.select(F.col("cid").alias("vec_id")).distinct(), "vec_id", "left_semi")
+    a = qev.select(F.col("vec_id").alias("qid"), "pos", F.col("x").alias("qx"))
+    b = cev.select(F.col("vec_id").alias("cid"), "pos", F.col("x").alias("cx"))
     dots = (
         cands.join(a, "qid")
         .join(b, ["cid", "pos"])
         .groupBy("qid", "cid")
         .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
     )
-    norms = ev.groupBy("vec_id").agg(F.round(F.sum(F.col("x") * F.col("x")), 9).alias("nrm"))
-    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nq"))
-    nc = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nc"))
+    nq = qev.groupBy("vec_id").agg(F.round(F.sum(F.col("x") * F.col("x")), 9).alias("nrm")) \
+        .select(F.col("vec_id").alias("qid"), F.col("nrm").alias("nq"))
+    nc = cev.groupBy("vec_id").agg(F.round(F.sum(F.col("x") * F.col("x")), 9).alias("nrm")) \
+        .select(F.col("vec_id").alias("cid"), F.col("nrm").alias("nc"))
     scored = (
         dots.join(nq, "qid")
         .join(nc, "cid")
