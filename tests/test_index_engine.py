@@ -173,3 +173,15 @@ def test_wand_total_modes(engine):
     ap = engine.search(multi, k=5, mode="wand", force_distributed=True, total_mode="approx")
     assert ap.total >= ex.total  # Σdf is an upper bound on distinct docs
     assert list(ex.page["doc_id"]) == list(ap.page["doc_id"])  # page unaffected
+
+    # conjunctive approx bound is min(df) — tight for an intersection, where
+    # Σdf can overstate by orders of magnitude
+    conj_kw = "milk oil"
+    exc = engine.search(conj_kw, k=5, mode="wand", conjunctive=True, force_distributed=True)
+    apc = engine.search(
+        conj_kw, k=5, mode="wand", conjunctive=True, force_distributed=True,
+        total_mode="approx",
+    )
+    dfs = engine.term_dfs(["milk", "oil"])
+    assert exc.total <= apc.total == min(dfs.values()) < sum(dfs.values())
+    assert list(exc.page["doc_id"]) == list(apc.page["doc_id"])
