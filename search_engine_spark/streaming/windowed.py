@@ -84,7 +84,12 @@ def stateful_asof(events: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             pdf["kind"] = (pdf["event_type"] == "purchase").astype(int)
-            pdf["us"] = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            # pin ns resolution before the epoch cast: pandas may deliver
+            # datetime64[us] depending on the Arrow conversion, and a bare
+            # int64 cast would then yield micros (so //1000 -> millis)
+            pdf["us"] = (
+                pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64") // 1000
+            )
             pdf = pdf.sort_values(["us", "kind", "event_id"])
             for us, eid, kind in zip(pdf["us"], pdf["event_id"], pdf["kind"]):
                 if kind == 0:
