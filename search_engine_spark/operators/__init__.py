@@ -9,8 +9,9 @@
   document fingerprinting over the documents table.
 - ``dedup``       — exact, n-gram Jaccard, MinHash signatures + LSH pairs,
   SimHash.
-- ``similarity``  — brute-force cosine top-k + LSH-bucketed ANN over the
-  embeddings table.
+- ``similarity``  — brute-force cosine top-k + IVF ANN over the embeddings
+  table, each with a one-pass Arrow serving kernel gated against the same
+  oracle as its declarative twin.
 - ``multimodal``  — binary-column plumbing (decode stubbed; Spark-side schema,
   partitioning, Arrow batch shape are real).
 

@@ -4,11 +4,12 @@
   path broadcasts the (tiny) query matrix and scans the corpus once; ranking
   happens on rounded scores with a vec_id tiebreak so float noise can't flip
   ranks between engines.
-- ``sim_ann_ivf`` — real IVF ANN: coarse centroids trained from the data
-  (seed cells -> averaged centroids), every vector assigned to its nearest
-  centroid via a broadcast centroid join, search restricted to the query's
-  ``nprobe`` nearest cells.  The oracle recomputes the identical train/
-  assign/search pipeline in SQL.
+- ``sim_ann_ivf`` — real IVF ANN: √N coarse centroids trained from the
+  data (seed average + a Lloyd reassign/re-average refinement), every
+  vector assigned to its nearest centroid via a broadcast centroid join,
+  search restricted to the query's ``nprobe`` nearest cells.  The oracle
+  recomputes the identical train/assign/search pipeline in SQL; the
+  serving path is ``ivf_topk_arrow`` (one Arrow corpus pass, no joins).
 - ``sim_centroids`` — per-label centroid (the k-means M-step, gated
   separately).
 
