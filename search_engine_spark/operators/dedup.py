@@ -360,24 +360,28 @@ def dedup_decisions(spark, sf_dir):
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
-    for _ in range(50):
+    for rnd in range(50):
         prop = (
             labels.join(nbrs, labels.doc == nbrs.src)
             .select(F.col("dst").alias("doc"), "lbl")
         )
-        # pointer doubling (label shortcutting): a doc labeled L adopts L's
-        # current label too, so label chains halve every round — convergence
-        # in O(log diameter) rounds instead of O(diameter).  Same fixpoint
-        # (the component minimum): shortcutting only ever propagates labels
-        # that min-propagation would reach anyway, just sooner.
-        l2 = labels.select(F.col("doc").alias("lbl"), F.col("lbl").alias("lbl2"))
-        shortcut = (
-            labels.join(l2, "lbl")
-            .select("doc", F.col("lbl2").alias("lbl"))
-        )
+        step = labels.unionByName(prop)
+        if rnd > 0:
+            # pointer doubling (label shortcutting): a doc labeled L adopts
+            # L's current label too, so label chains halve every round —
+            # convergence in O(log diameter) rounds instead of O(diameter).
+            # Same fixpoint (the component minimum): shortcutting only ever
+            # propagates labels min-propagation would reach anyway, just
+            # sooner.  Skipped in round 0, where labels are still the
+            # identity map and label-of-label is a no-op join.
+            l2 = labels.select(F.col("doc").alias("lbl"), F.col("lbl").alias("lbl2"))
+            shortcut = (
+                labels.join(l2, "lbl")
+                .select("doc", F.col("lbl2").alias("lbl"))
+            )
+            step = step.unionByName(shortcut)
         labels = (
-            labels.unionByName(prop).unionByName(shortcut)
-            .groupBy("doc").agg(F.min("lbl").alias("lbl"))
+            step.groupBy("doc").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint()
         new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:
