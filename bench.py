@@ -107,7 +107,10 @@ def main():
         "dd_minhash_signatures": dedup.minhash_signatures,
         "dd_dedup_decisions": dedup.dedup_decisions,
         "dd_simhash": dedup.simhash,
-        "dd_embedding_neardup_lsh": dedup.embedding_neardup_lsh,
+        # serving form: Arrow bucketing kernel (declarative twin is the oracle)
+        "dd_embedding_neardup_lsh_kernel": lambda spark, sf_dir: dedup.embedding_neardup_lsh(
+            spark, sf_dir, buckets_fn=dedup._emb_band_buckets_arrow
+        ),
         "sim_knn_brute": similarity.knn_brute,
         "sim_ann_ivf": similarity.ann_ivf,
         "sim_ann_ivf_kernel": similarity.ivf_topk_arrow,

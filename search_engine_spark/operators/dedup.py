@@ -565,9 +565,57 @@ def _emb_band_buckets(spark, sf_dir):
     return ev, buckets
 
 
-def _emb_candidates(spark, sf_dir):
+def _emb_band_buckets_arrow(spark, sf_dir):
+    """Arrow form of the bucketing stage: ONE corpus pass, numpy matmul
+    against the broadcast (bands x planes x dim) hyperplane tensor —
+    replaces the posexplode x planes join (corpus x dim x planes rows) the
+    declarative form shuffles.  Bit-compatible: projections round to 6
+    before the sign test, same as the declarative/oracle rule.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings")
+    nplanes = _emb_nplanes(e.count())
+    V = np.empty((_EMB_BANDS * nplanes, 64), dtype=np.float64)
+    for b in range(_EMB_BANDS):
+        for h in range(nplanes):
+            for p in range(64):
+                hx = hashlib.md5(f"{b}-{h}-{p}".encode()).hexdigest()[:15]
+                V[b * nplanes + h, p] = (int(hx, 16) % 2001 - 1000) / 1000.0
+    powers = np.array([1 << h for h in range(nplanes)], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((V, powers))
+
+    def bucketize(it):
+        V_, powers_ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            P = np.round(X @ V_.T, 6)  # (batch, bands*planes)
+            bits = (P > 0).reshape(len(X), _EMB_BANDS, len(powers_))
+            buckets = (bits * powers_).sum(axis=2)  # (batch, bands)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vec_ids, _EMB_BANDS),
+                    "band": np.tile(np.arange(_EMB_BANDS, dtype=np.int32), len(X)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    buckets = e.select("vec_id", "embedding").mapInPandas(
+        bucketize, schema="vec_id long, band int, bucket long"
+    )
+    return ev, buckets
+
+
+def _emb_candidates(spark, sf_dir, buckets_fn=None):
     """Distinct candidate pairs: in-band bucket collisions, capped buckets."""
-    ev, buckets = _emb_band_buckets(spark, sf_dir)
+    ev, buckets = (buckets_fn or _emb_band_buckets)(spark, sf_dir)
     sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n_vec"))
     ok = sizes.filter((F.col("n_vec") >= 2) & (F.col("n_vec") <= _EMB_BUCKET_CAP))
     in_ok = buckets.join(ok.select("band", "bucket"), ["band", "bucket"])
@@ -593,8 +641,8 @@ def embedding_lsh_dropped_buckets(spark, sf_dir):
     )
 
 
-def embedding_neardup_lsh(spark, sf_dir):
-    ev, cand = _emb_candidates(spark, sf_dir)
+def embedding_neardup_lsh(spark, sf_dir, buckets_fn=None):
+    ev, cand = _emb_candidates(spark, sf_dir, buckets_fn=buckets_fn)
     # verify only candidate vectors: semi-join ev down to candidate ids so
     # the exact-cosine joins shuffle O(candidates × dim), not corpus × dim
     cand_ids = (
@@ -701,6 +749,10 @@ QUERIES = {
     "dd_simhash": simhash,
     "dd_embedding_neardup": embedding_neardup,
     "dd_embedding_neardup_lsh": embedding_neardup_lsh,
+    # serving form: Arrow bucketing kernel, same oracle as the declarative
+    "dd_embedding_neardup_lsh_kernel": lambda spark, sf_dir: embedding_neardup_lsh(
+        spark, sf_dir, buckets_fn=_emb_band_buckets_arrow
+    ),
 }
 
 ORACLES = {
@@ -713,4 +765,5 @@ ORACLES = {
     "dd_simhash": SIMHASH_SQL,
     "dd_embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "dd_embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
+    "dd_embedding_neardup_lsh_kernel": EMBEDDING_NEARDUP_LSH_SQL,
 }
