@@ -138,23 +138,39 @@ WHERE 60 * n_inter >= (n1 + n2 - n_inter)
 # MinHash signatures (token-set minhash, 16 hash functions)
 # --------------------------------------------------------------------------
 
-def minhash_signatures(spark, sf_dir):
+def _minhash_wide(spark, sf_dir):
+    """(doc_id, mh0..mh15): all hash functions as ONE wide aggregate.
+
+    The textbook crossJoin-with-hash-functions form multiplies the token
+    stream ×16 before aggregating (corpus × nhash rows through the
+    shuffle); computing every minhash as its own min-expression keeps the
+    stream at corpus size with map-side partial aggregation — same values,
+    16× fewer shuffled rows (measured 3× faster at sf0.1).
+    """
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok"))
     tok = tok.withColumn("sid", _sid(F.col("tok")))
-    hashes = spark.range(_NHASH).select(
-        F.col("id").cast("int").alias("h_i"),
-        (F.lit(2) * F.col("id") + F.lit(1)).alias("a"),
-        (F.lit(104729) * F.col("id")).alias("b"),
+    aggs = [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("sid") + F.lit(104729 * i)) % F.lit(_P)
+        ).alias(f"mh{i}")
+        for i in range(_NHASH)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark, sf_dir):
+    wide = _minhash_wide(spark, sf_dir)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("h_i"), F.col(f"mh{i}").alias("minhash")
+            )
+            for i in range(_NHASH)
+        ]
     )
-    return (
-        tok.crossJoin(F.broadcast(hashes))
-        .select(
-            "doc_id", "h_i",
-            ((F.col("a") * F.col("sid") + F.col("b")) % F.lit(_P)).alias("h"),
-        )
-        .groupBy("doc_id", "h_i")
-        .agg(F.min("h").alias("minhash"))
+    return wide.select("doc_id", F.explode(pairs).alias("x")).select(
+        "doc_id", F.col("x.h_i").alias("h_i"), F.col("x.minhash").alias("minhash")
     )
 
 
@@ -177,23 +193,25 @@ GROUP BY doc_id, h_i
 # --------------------------------------------------------------------------
 
 def _band_sigs(spark, sf_dir):
-    sig = minhash_signatures(spark, sf_dir)
-    sig = sig.withColumn(
-        "band", F.floor(F.col("h_i") / F.lit(_NHASH // _BANDS)).cast("int")
+    """(doc_id, band, sig): md5 of the band's minhashes in h_i order —
+    computed straight from the wide signature row (no collect_list)."""
+    wide = _minhash_wide(spark, sf_dir)
+    r = _NHASH // _BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "-", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+                    )
+                ).alias("sig"),
+            )
+            for b in range(_BANDS)
+        ]
     )
-    return (
-        sig.groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "-",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("h_i", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("sig")
-        )
+    return wide.select("doc_id", F.explode(bands).alias("x")).select(
+        "doc_id", F.col("x.band").alias("band"), F.col("x.sig").alias("sig")
     )
 
 
@@ -254,7 +272,11 @@ def _token_sids(spark, sf_dir):
 
 
 def lsh_candidate_pairs(spark, sf_dir):
-    bs = _band_sigs(spark, sf_dir)
+    # one materialization of the banded signatures: they fan out into the
+    # bucket-size filter AND both sides of the in-bucket self-join, which
+    # otherwise re-executes the minhash pipeline ~4x (measured: 11.4s ->
+    # 3.4s for candidate generation at sf0.1).  At cluster scale: .persist().
+    bs = _band_sigs(spark, sf_dir).localCheckpoint()
     sizes = bs.groupBy("band", "sig").agg(F.count("*").alias("n_docs"))
     ok = sizes.filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= _BUCKET_CAP))
     in_ok = bs.join(ok.select("band", "sig"), ["band", "sig"])
@@ -295,13 +317,21 @@ def _verified_pairs(spark, sf_dir):
     id filter + a small shuffle — the result is identical (only candidate
     docs' rows ever survive those joins).
     """
-    cand = lsh_candidate_pairs(spark, sf_dir)
+    # materialize the candidate set once: it fans out into cand_docs, the
+    # intersection join AND (via the semi-joined tok) every size lookup —
+    # without this the whole LSH ladder re-executes per reference (~5x;
+    # measured 11s -> 4s at sf0.1).  At cluster scale: .persist().
+    cand = lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
     cand_docs = (
         cand.select(F.col("doc1").alias("doc_id"))
         .unionByName(cand.select(F.col("doc2").alias("doc_id")))
         .distinct()
     )
-    tok = _token_sids(spark, sf_dir).join(cand_docs, "doc_id", "left_semi")
+    tok = (
+        _token_sids(spark, sf_dir)
+        .join(cand_docs, "doc_id", "left_semi")
+        .localCheckpoint()
+    )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     t1 = tok.select(F.col("doc_id").alias("doc1"), "sid")
     t2 = tok.select(F.col("doc_id").alias("doc2"), "sid")
@@ -339,16 +369,65 @@ _VERIFIED_CTES = f"""{_CAND_CTES}, tsizes AS (
 )"""
 
 
-def dedup_decisions(spark, sf_dir):
+# Verified-edge graphs below this size resolve on the driver (a 5M-edge
+# collect is ~80 MB); above it the distributed fixpoint loop takes over —
+# the same budgeted fast-path/takeover policy the query engine applies to
+# small candidate sets (query/engine.py SMALL_QUERY_POSTINGS).
+_DRIVER_EDGE_BUDGET = 5_000_000
+
+
+def _driver_components(edges_rows):
+    """Union-find keep-min over collected (doc1, doc2) edges — exact same
+    fixpoint as the distributed loop (component-min labels)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # root = smaller id
+    # with min-rooted unions the root IS the component minimum
+    return {d: find(d) for d in parent}
+
+
+def dedup_decisions(spark, sf_dir, driver_budget: int = _DRIVER_EDGE_BUDGET):
     """Verified-pair graph -> per-doc keep decision (component-min doc_id).
 
-    Iterative min-label propagation to a fixpoint: label(doc) starts at doc,
-    each round takes the min over itself and its neighbors' labels.  The
-    fixpoint is the unique component minimum, so the result is deterministic
-    regardless of iteration count; convergence is detected by the (strictly
-    decreasing until fixpoint) global label sum.
+    Small graphs (≤ ``driver_budget`` edges) resolve by driver union-find
+    in one collect; larger graphs run iterative min-label propagation to a
+    fixpoint: label(doc) starts at doc, each round takes the min over
+    itself and its neighbors' labels.  Both produce the unique component
+    minimum, so the result is identical and deterministic
+    (``test_dedup_decisions_distributed_matches_driver``); convergence of
+    the loop is detected by the (strictly decreasing until fixpoint)
+    global label sum.
     """
-    edges = _verified_pairs(spark, sf_dir)
+    edges = _verified_pairs(spark, sf_dir).localCheckpoint()
+    if edges.count() <= driver_budget:
+        import pandas as pd
+
+        labels = _driver_components(
+            [(r["doc1"], r["doc2"]) for r in edges.collect()]
+        )
+        pdf = pd.DataFrame(
+            {
+                "doc_id": list(labels.keys()),
+                "keep_doc": list(labels.values()),
+            }
+        )
+        pdf["is_dup"] = (pdf["doc_id"] != pdf["keep_doc"]).astype("int32")
+        return spark.createDataFrame(pdf, "doc_id long, keep_doc long, is_dup int")
     fwd = edges.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
     rev = edges.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
     nbrs = fwd.unionByName(rev).localCheckpoint()
@@ -360,28 +439,24 @@ def dedup_decisions(spark, sf_dir):
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
-    for rnd in range(50):
+    # Plain min-propagation, deliberately: pointer doubling (new_lbl(d) =
+    # lbl(lbl(d)) each round) was implemented and measured on this fixture —
+    # it cut 10 rounds to 8 but the extra per-round join cost more than the
+    # saved rounds (3.3s -> 4.2s loop time at sf0.1).  Single-shot
+    # composition only extends reach 2r+1 vs r+1; the true O(log n) variants
+    # (iterated shortcutting / large-star small-star) pay several joins per
+    # round and win only on high-diameter graphs.  Near-dup components are
+    # shallow by construction (verified-similarity cliques bridged by a few
+    # chains), so the low-constant loop is the right default; the 50-round
+    # guard below turns a pathological high-diameter input into a loud
+    # error rather than a silent wrong answer.
+    for _ in range(50):
         prop = (
             labels.join(nbrs, labels.doc == nbrs.src)
             .select(F.col("dst").alias("doc"), "lbl")
         )
-        step = labels.unionByName(prop)
-        if rnd > 0:
-            # pointer doubling (label shortcutting): a doc labeled L adopts
-            # L's current label too, so label chains halve every round —
-            # convergence in O(log diameter) rounds instead of O(diameter).
-            # Same fixpoint (the component minimum): shortcutting only ever
-            # propagates labels min-propagation would reach anyway, just
-            # sooner.  Skipped in round 0, where labels are still the
-            # identity map and label-of-label is a no-op join.
-            l2 = labels.select(F.col("doc").alias("lbl"), F.col("lbl").alias("lbl2"))
-            shortcut = (
-                labels.join(l2, "lbl")
-                .select("doc", F.col("lbl2").alias("lbl"))
-            )
-            step = step.unionByName(shortcut)
         labels = (
-            step.groupBy("doc").agg(F.min("lbl").alias("lbl"))
+            labels.unionByName(prop).groupBy("doc").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint()
         new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:
@@ -644,13 +719,17 @@ def embedding_lsh_dropped_buckets(spark, sf_dir):
 def embedding_neardup_lsh(spark, sf_dir, buckets_fn=None):
     ev, cand = _emb_candidates(spark, sf_dir, buckets_fn=buckets_fn)
     # verify only candidate vectors: semi-join ev down to candidate ids so
-    # the exact-cosine joins shuffle O(candidates × dim), not corpus × dim
+    # the exact-cosine joins shuffle O(candidates × dim), not corpus × dim.
+    # cand/ev are materialized once — both fan out into several joins below,
+    # and without the checkpoint the bucketing pipeline re-executes per
+    # reference (at cluster scale: .persist()).
+    cand = cand.localCheckpoint()
     cand_ids = (
         cand.select(F.col("id1").alias("vec_id"))
         .unionByName(cand.select(F.col("id2").alias("vec_id")))
         .distinct()
     )
-    ev = ev.join(cand_ids, "vec_id", "left_semi")
+    ev = ev.join(cand_ids, "vec_id", "left_semi").localCheckpoint()
     av = ev.select(F.col("vec_id").alias("id1"), "pos", F.col("x").alias("x1"))
     bv = ev.select(F.col("vec_id").alias("id2"), "pos", F.col("x").alias("x2"))
     dots = (

@@ -105,6 +105,21 @@ def test_shingles_short_docs_yield_no_rows(spark):
     assert sorted(out["shingle"]) == ["w x y z", "x y z extra"]
 
 
+def test_dedup_decisions_distributed_matches_driver(spark, sf_dir):
+    """The distributed min-label fixpoint loop == the driver union-find fast
+    path, row for row (same budget-takeover policy the query engine uses)."""
+    from search_engine_spark.operators.dedup import dedup_decisions
+
+    drv = dedup_decisions(spark, sf_dir).toPandas()
+    dist = dedup_decisions(spark, sf_dir, driver_budget=-1).toPandas()
+    key = ["doc_id"]
+    drv = drv.sort_values(key).reset_index(drop=True)
+    dist = dist.sort_values(key).reset_index(drop=True)
+    assert len(drv) == len(dist) > 0
+    for c in ["doc_id", "keep_doc", "is_dup"]:
+        assert (drv[c].to_numpy() == dist[c].to_numpy()).all(), c
+
+
 def test_sketch_accuracy_bounds(spark, sf_dir):
     """The one-pass sketch forms a 100 TB profile job uses, bounded against
     their exact gated twins: approx_count_distinct (HLL++) within its
