@@ -166,7 +166,13 @@ def ivf_assignments(spark, sf_dir, ncells: int | None = None):
             .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("c"))
             .select("cell", "pos", "c")
         )
-    dist = dist_to(cent)
+    # materialize the trained centroids (ncells × dim — tiny) and the
+    # distance table (N × ncells): both fan out into assignment, probe-cell
+    # selection, and the kernel's centroid collect, which otherwise
+    # re-execute the whole training chain per reference.  At cluster
+    # scale: .persist() (the distance table shards across executors).
+    cent = cent.localCheckpoint()
+    dist = dist_to(cent).localCheckpoint()
     assign = argmin(dist)
     return ev, dist, assign, cent
 
