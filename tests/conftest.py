@@ -7,10 +7,21 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # keep test sessions light
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from search_engine_spark.session import get_spark
 
-    s = get_spark("tests", cpus=int(os.environ["SPARK_GRAFT_CPUS"]), shuffle_partitions=8)
+    # warehouse + metastore under tmp so bucketed saveAsTable tests never
+    # write into the repo cwd
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        "tests",
+        cpus=int(os.environ["SPARK_GRAFT_CPUS"]),
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(wh / "spark-warehouse"),
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={wh}",
+        },
+    )
     yield s
 
 
