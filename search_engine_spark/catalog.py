@@ -53,11 +53,14 @@ QUERY_LOG_SCHEMA = pa.schema(
 )
 
 
-def append_parquet_atomic(dir_path: str, schema: pa.Schema, rows: list[dict]) -> None:
+def append_parquet_atomic(
+    dir_path: str, schema: pa.Schema, rows: list[dict], prefix: str = "log"
+) -> None:
     """Append rows to a parquet directory atomically (write temp + rename).
 
-    Fields named ``*_at`` are stamped with the current time.  Readers never
-    observe a partial file: rename is atomic on POSIX.
+    The single commit protocol for every append-only table (manifest,
+    query log): fields named ``*_at`` are stamped with the current time,
+    and readers never observe a partial file — rename is atomic on POSIX.
     """
     if not rows:
         return
@@ -70,10 +73,26 @@ def append_parquet_atomic(dir_path: str, schema: pa.Schema, rows: list[dict]) ->
         else:
             arrays.append(pa.array([r[field.name] for r in rows], field.type))
     table = pa.table(arrays, schema=schema)
-    final = os.path.join(dir_path, f"log-{uuid.uuid4().hex}.parquet")
+    final = os.path.join(dir_path, f"{prefix}-{uuid.uuid4().hex}.parquet")
     tmp = final + ".tmp"
     pq.write_table(table, tmp)
     os.rename(tmp, final)
+
+
+def read_parquet_dir(dir_path: str, schema: pa.Schema) -> pa.Table:
+    """Read every committed file of an append-only table (empty if none)."""
+    files = (
+        [
+            os.path.join(dir_path, f)
+            for f in sorted(os.listdir(dir_path))
+            if f.endswith(".parquet")
+        ]
+        if os.path.isdir(dir_path)
+        else []
+    )
+    if not files:
+        return schema.empty_table()
+    return pa.concat_tables([pq.read_table(f) for f in files])
 
 
 class IndexCatalog:
@@ -108,44 +127,17 @@ class IndexCatalog:
     # -- manifest: atomic append of lineage rows -----------------------------
     def append_manifest(self, rows: list[dict]) -> None:
         """Atomically commit a batch of lineage rows (write temp + rename)."""
-        if not rows:
-            return
-        now = time.time_ns() // 1000
-        arrays = []
-        for field in MANIFEST_SCHEMA:
-            if field.name == "committed_at":
-                arrays.append(pa.array([now] * len(rows), pa.timestamp("us")))
-            else:
-                arrays.append(pa.array([r[field.name] for r in rows], field.type))
-        table = pa.table(arrays, schema=MANIFEST_SCHEMA)
-        final = os.path.join(self.manifest_dir, f"manifest-{uuid.uuid4().hex}.parquet")
-        tmp = final + ".tmp"
-        pq.write_table(table, tmp)
-        os.rename(tmp, final)
+        append_parquet_atomic(self.manifest_dir, MANIFEST_SCHEMA, rows, prefix="manifest")
 
     def read_manifest(self) -> pa.Table:
-        files = [
-            os.path.join(self.manifest_dir, f)
-            for f in sorted(os.listdir(self.manifest_dir))
-            if f.endswith(".parquet")
-        ]
-        if not files:
-            return MANIFEST_SCHEMA.empty_table()
-        return pa.concat_tables([pq.read_table(f) for f in files])
+        return read_parquet_dir(self.manifest_dir, MANIFEST_SCHEMA)
 
     # -- query log: append-only request/response log -------------------------
     def append_query_log(self, rows: list[dict]) -> None:
         append_parquet_atomic(self.query_log_dir, QUERY_LOG_SCHEMA, rows)
 
     def read_query_log(self) -> pa.Table:
-        files = [
-            os.path.join(self.query_log_dir, f)
-            for f in sorted(os.listdir(self.query_log_dir))
-            if f.endswith(".parquet")
-        ] if os.path.isdir(self.query_log_dir) else []
-        if not files:
-            return QUERY_LOG_SCHEMA.empty_table()
-        return pa.concat_tables([pq.read_table(f) for f in files])
+        return read_parquet_dir(self.query_log_dir, QUERY_LOG_SCHEMA)
 
     def completed_partitions(self) -> set[int]:
         m = self.read_manifest()

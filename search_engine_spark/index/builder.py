@@ -92,6 +92,10 @@ class BuildConfig:
     # emits ids that a post-encode join maps back to strings.  Web-scale
     # vocabularies (10^9+ terms from typos/urls) take the distributed path.
     dict_budget: int = 2_000_000
+    # "auto": JVM tokenizer unless the sampled NFC check fails; "jvm" /
+    # "pandas" pin the path (pandas applies NFC — choose it for corpora
+    # known to mix normalization forms beyond what sampling can see)
+    tokenizer: str = "auto"
 
 
 # ---------------------------------------------------------------------------
@@ -275,24 +279,35 @@ def tokens_from_docs(docs_with_ids: DataFrame) -> DataFrame:
     )
 
 
-def sampled_nfc_ok(docs: DataFrame, sample: int = 512) -> bool:
-    """Cheap ingest-contract check: is a random sample of ``text`` NFC?
+def sampled_nfc_ok(docs: DataFrame, rows_per_split: int = 4) -> bool:
+    """Cheap ingest-contract check: does sampled ``text`` look NFC?
 
     The JVM tokenize path assumes NFC input (its regex split has no
     normalization step); when the sample shows non-NFC text the builder
     auto-routes to the spec-exact pandas tokenizer, which applies NFC.
-    A seeded ``sample`` (not a head ``limit``) spreads the check across
-    input splits so non-NFC text past the first files is still caught; the
-    limit keeps the action bounded (it stops reading once satisfied).  A
-    corpus too small for the sampled fraction falls back to a full read.
+
+    Sampling discipline: ``rows_per_split`` rows from the head of EVERY
+    input partition (``mapPartitions`` + ``islice`` — iterator laziness
+    stops each split's read after a few rows, so the cost is one row-group
+    touch per split, never a corpus scan).  Unlike a driver-side ``limit``
+    — which short-circuits on the first partitions and never sees later
+    files — every input split contributes, so a corpus whose early files
+    are ASCII and whose later files are NFD is caught.  Residual bias: the
+    rows are split HEADS, not uniform within a split; a file that is NFC
+    for its first rows and NFD later still slips through, which is the
+    price of not scanning — the pandas route remains selectable via
+    ``BuildConfig`` for corpora known to be mixed.
     """
     import unicodedata
+    from itertools import islice
 
     txt = docs.select("text").filter(F.col("text").isNotNull())
-    rows = txt.sample(fraction=0.1, seed=7).limit(sample).collect()
-    if not rows:
-        rows = txt.limit(sample).collect()
-    return all(unicodedata.is_normalized("NFC", r["text"]) for r in rows)
+    heads = txt.rdd.mapPartitions(
+        lambda it, n=rows_per_split: list(islice(it, n))
+    ).collect()
+    if not heads:
+        return True
+    return all(unicodedata.is_normalized("NFC", r["text"]) for r in heads)
 
 
 def tokens_from_docs_pandas(docs_with_ids: DataFrame) -> DataFrame:
@@ -595,12 +610,17 @@ def build_index(
     _BCAST_DOCS_MAX = 20_000_000
 
     # JVM tokenize assumes NFC input; auto-route to the spec-exact pandas
-    # tokenizer (which applies NFC) when a sampled check fails the contract.
-    # Checked once per build (memoized), not per _tokenize call; resume paths
-    # that never re-tokenize never pay the sample collect.
+    # tokenizer (which applies NFC) when a sampled check fails the contract,
+    # or honor an explicit cfg.tokenizer pin.  Checked once per build
+    # (memoized), not per _tokenize call; resume paths that never
+    # re-tokenize never pay the sample collect.
     _nfc_memo: list[bool] = []
 
     def _tokenize(df):
+        if cfg.tokenizer == "jvm":
+            return tokens_from_docs(df)
+        if cfg.tokenizer == "pandas":
+            return tokens_from_docs_pandas(df)
         if not _nfc_memo:
             _nfc_memo.append(sampled_nfc_ok(docs))
         fn = tokens_from_docs if _nfc_memo[0] else tokens_from_docs_pandas

@@ -439,24 +439,33 @@ def dedup_decisions(spark, sf_dir, driver_budget: int = _DRIVER_EDGE_BUDGET):
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
-    # Plain min-propagation, deliberately: pointer doubling (new_lbl(d) =
+    # Plain min-propagation by default: pointer doubling (new_lbl(d) =
     # lbl(lbl(d)) each round) was implemented and measured on this fixture —
     # it cut 10 rounds to 8 but the extra per-round join cost more than the
-    # saved rounds (3.3s -> 4.2s loop time at sf0.1).  Single-shot
-    # composition only extends reach 2r+1 vs r+1; the true O(log n) variants
-    # (iterated shortcutting / large-star small-star) pay several joins per
-    # round and win only on high-diameter graphs.  Near-dup components are
-    # shallow by construction (verified-similarity cliques bridged by a few
-    # chains), so the low-constant loop is the right default; the 50-round
-    # guard below turns a pathological high-diameter input into a loud
-    # error rather than a silent wrong answer.
-    for _ in range(50):
+    # saved rounds (3.3s -> 4.2s loop time at sf0.1); single-shot
+    # composition only extends reach ~2r+1 vs r+1 per round.  Near-dup
+    # components are shallow by construction (verified-similarity cliques
+    # bridged by short chains), so the low-constant loop wins — but a graph
+    # still unconverged after _SHORTCUT_AFTER rounds has proven itself
+    # deep, and from then on the label-of-label shortcut joins in (reach
+    # roughly doubles per round), so even a diameter-10^6 chain finishes in
+    # ~_SHORTCUT_AFTER + log2(diameter) rounds.  The final guard turns an
+    # impossible non-fixpoint into a loud error, never a silent wrong
+    # keep_doc/is_dup.
+    _SHORTCUT_AFTER = 20
+    for rnd in range(80):
         prop = (
             labels.join(nbrs, labels.doc == nbrs.src)
             .select(F.col("dst").alias("doc"), "lbl")
         )
+        step = labels.unionByName(prop)
+        if rnd >= _SHORTCUT_AFTER:
+            l2 = labels.select(F.col("doc").alias("lbl"), F.col("lbl").alias("lbl2"))
+            step = step.unionByName(
+                labels.join(l2, "lbl").select("doc", F.col("lbl2").alias("lbl"))
+            )
         labels = (
-            labels.unionByName(prop).groupBy("doc").agg(F.min("lbl").alias("lbl"))
+            step.groupBy("doc").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint()
         new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:
@@ -464,11 +473,10 @@ def dedup_decisions(spark, sf_dir, driver_budget: int = _DRIVER_EDGE_BUDGET):
             break
         prev_sum = new_sum
     if not converged:
-        # a silent non-fixpoint would return wrong keep_doc/is_dup in
-        # production where no oracle runs — fail loudly instead
         raise RuntimeError(
-            "dedup_decisions: min-label propagation did not converge in 50 "
-            "rounds (component diameter > 2^50 is impossible — this is a bug)"
+            "dedup_decisions: min-label propagation did not converge in 80 "
+            "rounds despite pointer-doubling past round 20 (reach ~2^60) — "
+            "this indicates a bug, not a feasible graph"
         )
     return labels.select(
         F.col("doc").alias("doc_id"),
@@ -691,6 +699,10 @@ def _emb_band_buckets_arrow(spark, sf_dir):
 def _emb_candidates(spark, sf_dir, buckets_fn=None):
     """Distinct candidate pairs: in-band bucket collisions, capped buckets."""
     ev, buckets = (buckets_fn or _emb_band_buckets)(spark, sf_dir)
+    # one materialization: buckets feed the size filter AND both self-join
+    # sides — without it the bucketing stage re-executes per reference
+    # (the lsh_candidate_pairs lesson).  At cluster scale: .persist().
+    buckets = buckets.localCheckpoint()
     sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n_vec"))
     ok = sizes.filter((F.col("n_vec") >= 2) & (F.col("n_vec") <= _EMB_BUCKET_CAP))
     in_ok = buckets.join(ok.select("band", "bucket"), ["band", "bucket"])

@@ -122,7 +122,7 @@ def ivf_ncells(n_vectors: int) -> int:
 _NCELLS_SQL = "greatest(8, CAST(floor(sqrt(COUNT(*))) AS INT))"
 
 
-def ivf_assignments(spark, sf_dir, ncells: int | None = None):
+def ivf_assignments(spark, sf_dir, ncells: int | None = None, materialize_dist: bool = True):
     """(ev, dist, assign, cent): trained centroids + nearest-cell per vector.
 
     Training: deterministic seed cells (vec_id % ncells) -> averaged
@@ -166,13 +166,18 @@ def ivf_assignments(spark, sf_dir, ncells: int | None = None):
             .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("c"))
             .select("cell", "pos", "c")
         )
-    # materialize the trained centroids (ncells × dim — tiny) and the
-    # distance table (N × ncells): both fan out into assignment, probe-cell
-    # selection, and the kernel's centroid collect, which otherwise
-    # re-execute the whole training chain per reference.  At cluster
+    # materialize the trained centroids (ncells × dim — tiny) and, for the
+    # declarative search path, the distance table (N × ncells): both fan
+    # out into assignment and probe-cell selection, which otherwise
+    # re-execute the whole training chain per reference.  The Arrow
+    # serving kernel passes materialize_dist=False — it derives both
+    # assignment and probe cells from the broadcast centroid matrix and
+    # never executes the corpus × ncells shuffle at all.  At cluster
     # scale: .persist() (the distance table shards across executors).
     cent = cent.localCheckpoint()
-    dist = dist_to(cent).localCheckpoint()
+    dist = dist_to(cent)
+    if materialize_dist:
+        dist = dist.localCheckpoint()
     assign = argmin(dist)
     return ev, dist, assign, cent
 
@@ -361,26 +366,34 @@ def brute_topk_arrow(spark, sf_dir, query_ids=_QUERY_IDS, k: int = 5):
 
 def ivf_topk_arrow(spark, sf_dir, nprobe: int = _NPROBE, k: int = 3, query_ids=_QUERY_IDS):
     e = t(spark, sf_dir, "embeddings")
-    _, dist, _, cent = ivf_assignments(spark, sf_dir)
+    # training only — the corpus × ncells distance table is NOT materialized
+    # for serving (probe cells and assignments both derive from the tiny
+    # centroid matrix below)
+    _, _, _, cent = ivf_assignments(spark, sf_dir, materialize_dist=False)
 
-    # centroid matrix + per-query probe cells: ncells x d and n_q x ncells —
-    # driver-small by construction (√N rows; the corpus never leaves executors)
+    # centroid matrix: ncells x d — driver-small by construction (√N rows;
+    # the corpus never leaves executors)
     cpdf = cent.toPandas()
     cells = np.sort(cpdf["cell"].unique()).astype(np.int64)
     cix = {int(c): i for i, c in enumerate(cells)}
     cmat = np.zeros((len(cells), 64), dtype=np.float64)
     for cell, pos, c in zip(cpdf["cell"], cpdf["pos"], cpdf["c"]):
         cmat[cix[int(cell)], int(pos)] = c
-    qd = dist.filter(F.col("vec_id").isin(*list(query_ids))).toPandas()
-    qcells: dict[int, set] = {}
-    for qid, grp in qd.groupby("vec_id"):
-        g = grp.sort_values(["d", "cell"]).head(nprobe)
-        qcells[int(qid)] = {int(c) for c in g["cell"]}
 
     qrows = e.filter(F.col("vec_id").isin(*list(query_ids))).select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qnrm = np.round((qmat * qmat).sum(axis=1), 9)
+
+    # nprobe nearest cells per query, computed on the driver from cmat with
+    # the shared rounding rule: round(||q-c||^2, 6), ties broken by
+    # ascending cell (cells is sorted, lexsort is stable on it)
+    qcells: dict[int, set] = {}
+    for qi, qid in enumerate(qids):
+        diff = qmat[qi] - cmat
+        d = np.round((diff * diff).sum(axis=1), 6)
+        order = np.lexsort((cells, d))[:nprobe]
+        qcells[int(qid)] = {int(c) for c in cells[order]}
     bc = spark.sparkContext.broadcast((cells, cmat, qids, qmat, qnrm, qcells))
 
     def probe_part(it):

@@ -155,8 +155,11 @@ class OracleIndex:
         """
         base = self.search(keyword, k=self.n_docs, skip=0, conjunctive=conjunctive,
                            constant_boost=constant_boost, avail_boost=avail_boost)
+        # winner selection and group ranking on the ROUNDED score with the
+        # doc_id tiebreak — the rule shared with the engine and SQL oracles
+        hits = sorted(base.hits, key=lambda kv: (-round(kv[1], 6), kv[0]))
         groups: dict[int, list] = {}
-        for d, s in base.hits:  # already (score desc, doc_id asc)
+        for d, s in hits:
             g = self.doc_len[d] % GROUP_MOD
             if g in groups:
                 groups[g][2] += 1
@@ -164,6 +167,6 @@ class OracleIndex:
                 groups[g] = [d, s, 1]
         rows = sorted(
             ((g, d, s, n) for g, (d, s, n) in groups.items()),
-            key=lambda r: (-r[2], r[1]),
+            key=lambda r: (-round(r[2], 6), r[1]),
         )
         return len(rows), rows[skip : skip + k]

@@ -299,13 +299,18 @@ class SearchEngine:
             acc = acc + np.where(dls % 7 > 0, AVAIL_BOOST, 0.0)
         if group_by:
             # group rollup (reference /v2/search, app.py:488-520): best hit
-            # per g_id, group count, groups ranked by their best hit
+            # per g_id, group count, groups ranked by their best hit.
+            # Winner selection and group ranking order on the ROUNDED score
+            # (6 decimals, doc_id tiebreak) — the same rule every oracle
+            # uses — so a last-ulp float difference can't flip a winner
+            # between implementations; reported scores stay raw.
             gid = (dls % GROUP_MOD).astype(np.int64)
-            order = np.lexsort((uniq, -acc))
+            accr = np.round(acc, 6)
+            order = np.lexsort((uniq, -accr))
             gs, us, sc = gid[order], uniq[order], acc[order]
             uniq_g, first_pos, counts = np.unique(gs, return_index=True, return_counts=True)
             top_doc, top_score = us[first_pos], sc[first_pos]
-            sel = np.lexsort((top_doc, -top_score))[skip : skip + k]
+            sel = np.lexsort((top_doc, -np.round(top_score, 6)))[skip : skip + k]
             page = pd.DataFrame(
                 {
                     "doc_id": top_doc[sel],
@@ -437,14 +442,24 @@ class SearchEngine:
             # (pipelines.py:27-42)
             scored = scored.persist()
 
-        ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        # grouped results rank on the rounded score (the shared oracle rule;
+        # real 6-decimal ties exist between group winners); doc-level pages
+        # keep the raw order that the rank-identity suite pins
+        score_key = F.round("score", 6) if group_by else F.col("score")
+        ranked = scored.orderBy(F.desc(score_key), F.asc("doc_id"))
         page_df = ranked.offset(skip).limit(k) if skip else ranked.limit(k)
         if with_url:
             urls = self.spark.read.parquet(self.cat.doc_stats).select("doc_id", "url")
             page_df = page_df.join(urls, "doc_id", "left")
         page_cols = (["g_id", "n_docs"] if group_by else []) + (["url"] if with_url else [])
         page = page_df.select("doc_id", "score", *page_cols).toPandas()
-        page = page.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+        sort_col = page["score"].round(6) if group_by else page["score"]
+        page = (
+            page.assign(_sk=sort_col)
+            .sort_values(["_sk", "doc_id"], ascending=[False, True])
+            .drop(columns="_sk")
+            .reset_index(drop=True)
+        )
 
         if wand:
             # WAND pruned the scored set; the exact total (the reference's
@@ -471,12 +486,16 @@ class SearchEngine:
 
         Reference /v2/search semantics (app.py:488-520): sort by score,
         group by g_id, $first the winner, count members.  The window
-        partitions by g_id — a keyed shuffle, never a global sort.
+        partitions by g_id — a keyed shuffle, never a global sort.  The
+        winner is picked on the ROUNDED score with the doc_id tiebreak
+        (the shared oracle rule), so float noise can't flip it.
         """
         from pyspark.sql import Window
 
         g = scored.withColumn("g_id", F.pmod(F.col("dl"), F.lit(GROUP_MOD)).cast("int"))
-        w = Window.partitionBy("g_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        w = Window.partitionBy("g_id").orderBy(
+            F.desc(F.round("score", 6)), F.asc("doc_id")
+        )
         best = g.withColumn("rn", F.row_number().over(w))
         counts = g.groupBy("g_id").agg(F.count("*").alias("n_docs"))
         return (

@@ -76,26 +76,31 @@ def stateful_asof(events: DataFrame) -> DataFrame:
 
         user_id = int(key[0])
         last = tuple(state.get) if state.exists else None
+        # a group's micro-batch arrives as an ITERATOR of Arrow chunks
+        # (split at arrow.maxRecordsPerBatch) in no guaranteed order —
+        # concatenate first, sort ONCE, then scan; sorting per chunk would
+        # process a later-chunk view after an earlier-chunk purchase and
+        # silently break batch parity past ~100k rows per user per batch
+        parts = [p for p in pdfs if len(p)]
         out = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
             pdf = pdf[pdf["event_type"].isin(["view", "purchase"])].copy()
-            if len(pdf) == 0:
-                continue
-            pdf["kind"] = (pdf["event_type"] == "purchase").astype(int)
-            # pin ns resolution before the epoch cast: pandas may deliver
-            # datetime64[us] depending on the Arrow conversion, and a bare
-            # int64 cast would then yield micros (so //1000 -> millis)
-            pdf["us"] = (
-                pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64") // 1000
-            )
-            pdf = pdf.sort_values(["us", "kind", "event_id"])
-            for us, eid, kind in zip(pdf["us"], pdf["event_id"], pdf["kind"]):
-                if kind == 0:
-                    last = (int(us), int(eid))
-                elif last is not None:
-                    out.append((user_id, int(eid), last[1], int(us), last[0]))
+            if len(pdf):
+                pdf["kind"] = (pdf["event_type"] == "purchase").astype(int)
+                # pin ns resolution before the epoch cast: pandas may deliver
+                # datetime64[us] depending on the Arrow conversion, and a bare
+                # int64 cast would then yield micros (so //1000 -> millis)
+                pdf["us"] = (
+                    pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
+                    // 1000
+                )
+                pdf = pdf.sort_values(["us", "kind", "event_id"])
+                for us, eid, kind in zip(pdf["us"], pdf["event_id"], pdf["kind"]):
+                    if kind == 0:
+                        last = (int(us), int(eid))
+                    elif last is not None:
+                        out.append((user_id, int(eid), last[1], int(us), last[0]))
         if last is not None:
             state.update(last)
         yield pd.DataFrame(
