@@ -428,6 +428,28 @@ def dedup_decisions(spark, sf_dir, driver_budget: int = _DRIVER_EDGE_BUDGET):
         )
         pdf["is_dup"] = (pdf["doc_id"] != pdf["keep_doc"]).astype("int32")
         return spark.createDataFrame(pdf, "doc_id long, keep_doc long, is_dup int")
+    return _distributed_components(edges)
+
+
+def _distributed_components(edges, shortcut_after: int = 20, max_rounds: int = 80):
+    """(doc1, doc2) edge DataFrame -> (doc_id, keep_doc, is_dup) via
+    distributed min-label propagation to a fixpoint.
+
+    Plain min-propagation by default: pointer doubling (new_lbl(d) =
+    lbl(lbl(d)) each round) was implemented and measured on the fixture —
+    it cut 10 rounds to 8 but the extra per-round join cost more than the
+    saved rounds (3.3s -> 4.2s loop time at sf0.1); single-shot
+    composition only extends reach ~2r+1 vs r+1 per round.  Near-dup
+    components are shallow by construction (verified-similarity cliques
+    bridged by short chains), so the low-constant loop wins — but a graph
+    still unconverged after ``shortcut_after`` rounds has proven itself
+    deep, and from then on the label-of-label shortcut joins in (reach
+    roughly doubles per round), so even a diameter-10^6 chain finishes in
+    ~shortcut_after + log2(diameter) rounds
+    (``test_deep_chain_converges_via_shortcut``).  The final guard turns
+    an impossible non-fixpoint into a loud error, never a silent wrong
+    keep_doc/is_dup.
+    """
     fwd = edges.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
     rev = edges.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
     nbrs = fwd.unionByName(rev).localCheckpoint()
@@ -439,27 +461,13 @@ def dedup_decisions(spark, sf_dir, driver_budget: int = _DRIVER_EDGE_BUDGET):
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
-    # Plain min-propagation by default: pointer doubling (new_lbl(d) =
-    # lbl(lbl(d)) each round) was implemented and measured on this fixture —
-    # it cut 10 rounds to 8 but the extra per-round join cost more than the
-    # saved rounds (3.3s -> 4.2s loop time at sf0.1); single-shot
-    # composition only extends reach ~2r+1 vs r+1 per round.  Near-dup
-    # components are shallow by construction (verified-similarity cliques
-    # bridged by short chains), so the low-constant loop wins — but a graph
-    # still unconverged after _SHORTCUT_AFTER rounds has proven itself
-    # deep, and from then on the label-of-label shortcut joins in (reach
-    # roughly doubles per round), so even a diameter-10^6 chain finishes in
-    # ~_SHORTCUT_AFTER + log2(diameter) rounds.  The final guard turns an
-    # impossible non-fixpoint into a loud error, never a silent wrong
-    # keep_doc/is_dup.
-    _SHORTCUT_AFTER = 20
-    for rnd in range(80):
+    for rnd in range(max_rounds):
         prop = (
             labels.join(nbrs, labels.doc == nbrs.src)
             .select(F.col("dst").alias("doc"), "lbl")
         )
         step = labels.unionByName(prop)
-        if rnd >= _SHORTCUT_AFTER:
+        if rnd >= shortcut_after:
             l2 = labels.select(F.col("doc").alias("lbl"), F.col("lbl").alias("lbl2"))
             step = step.unionByName(
                 labels.join(l2, "lbl").select("doc", F.col("lbl2").alias("lbl"))
@@ -474,8 +482,8 @@ def dedup_decisions(spark, sf_dir, driver_budget: int = _DRIVER_EDGE_BUDGET):
         prev_sum = new_sum
     if not converged:
         raise RuntimeError(
-            "dedup_decisions: min-label propagation did not converge in 80 "
-            "rounds despite pointer-doubling past round 20 (reach ~2^60) — "
+            f"min-label propagation did not converge in {max_rounds} rounds "
+            f"despite pointer-doubling past round {shortcut_after} — "
             "this indicates a bug, not a feasible graph"
         )
     return labels.select(

@@ -120,6 +120,22 @@ def test_dedup_decisions_distributed_matches_driver(spark, sf_dir):
         assert (drv[c].to_numpy() == dist[c].to_numpy()).all(), c
 
 
+def test_deep_chain_converges_via_shortcut(spark):
+    """A 200-node path graph cannot converge in 30 plain rounds (reach is
+    one hop per round); with shortcutting engaged after round 5 the reach
+    doubles per round and the loop converges well inside the cap — and
+    every node labels to the chain minimum."""
+    from search_engine_spark.operators.dedup import _distributed_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc1 long, doc2 long"
+    ).repartition(4)
+    out = _distributed_components(edges, shortcut_after=5, max_rounds=30).toPandas()
+    assert len(out) == 200
+    assert (out["keep_doc"] == 0).all()
+    assert int(out["is_dup"].sum()) == 199
+
+
 def test_sketch_accuracy_bounds(spark, sf_dir):
     """The one-pass sketch forms a 100 TB profile job uses, bounded against
     their exact gated twins: approx_count_distinct (HLL++) within its
