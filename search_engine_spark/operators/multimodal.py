@@ -45,6 +45,51 @@ FROM documents
 # stubbed decode + real Arrow plumbing
 # --------------------------------------------------------------------------
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL minimal image codec: binary PPM (P6, maxval 255) -> HxWx3 uint8.
+
+    Pure numpy/stdlib — no external imaging library needed — so the
+    uncompressed-format decode path is genuinely implemented, not stubbed;
+    only compressed formats (JPEG/PNG, which need libjpeg/zlib codecs this
+    container lacks) remain behind ``decode_image_stub``.  Strict parser:
+    raises ``ValueError`` on anything but well-formed P6/255 payloads.
+    """
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(payload[start:pos])
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM geometry/maxval: {w}x{h}/{maxval}")
+    pos += 1  # single whitespace byte after maxval, per spec
+    raster = payload[pos : pos + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def synthesize_ppm(text: str, w: int = 16, h: int = 8) -> bytes:
+    """Deterministic P6 payload whose channel planes tile the per-channel
+    sha256 digests of ``text`` — the same integer math the feature oracle
+    recomputes, so decoded features are SQL-verifiable."""
+    n = w * h
+    chans = []
+    for tag in (b"r", b"g", b"b"):
+        d = hashlib.sha256(text.encode("utf-8") + tag).digest()
+        chans.append(np.frombuffer(d * ((n + 31) // 32), dtype=np.uint8)[:n])
+    raster = np.stack(chans, axis=-1).reshape(-1).tobytes()
+    return b"P6\n%d %d\n255\n" % (w, h) + raster
+
+
 def decode_image_stub(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to HxWxC uint8.
 
@@ -145,6 +190,36 @@ FROM documents, (SELECT unnest(range(4)) AS i)
 """
 
 
+def decode_ppm_features(spark, sf_dir):
+    """Synthesize a REAL P6 PPM per document -> decode it with the real
+    numpy codec -> per-channel means.
+
+    This is the full codec round-trip (header synthesis, strict parse,
+    raster reshape, feature extraction) through Arrow batches; because the
+    synthesized planes tile the per-channel sha256 digests, the decoded
+    means equal the oracle's digest-byte means exactly — the codec path is
+    hash-verified, not rows-only.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def feats(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                img = decode_ppm(synthesize_ppm(text))
+                m = img.mean(axis=(0, 1))
+                rows.append((doc_id, float(m[0]), float(m[1]), float(m[2])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return d.mapInPandas(
+        feats, schema="doc_id long, mean_r double, mean_g double, mean_b double"
+    )
+
+
 # The fake-decode path is deterministic integer math over sha256: channel
 # c's 32x32 plane tiles the 32-byte digest of (payload || tag), so its mean
 # is sum(digest bytes)/32 — exactly representable, no rounding needed.  The
@@ -171,11 +246,15 @@ FROM b GROUP BY doc_id
 QUERIES = {
     "mm_media_meta": media_meta,
     "mm_extract_features": extract_features,
+    "mm_decode_ppm_features": decode_ppm_features,
     "mm_frame_sample": frame_sample,
 }
 
 ORACLES = {
     "mm_media_meta": MEDIA_META_SQL,
     "mm_extract_features": EXTRACT_FEATURES_SQL,
+    # the decoded planes tile the same per-channel digests, so the real
+    # codec round-trip verifies against the same digest-byte-mean oracle
+    "mm_decode_ppm_features": EXTRACT_FEATURES_SQL,
     "mm_frame_sample": FRAME_SAMPLE_SQL,
 }

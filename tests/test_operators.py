@@ -73,6 +73,26 @@ def test_arrow_brute_topk_matches_declarative(spark, sf_dir):
     assert (a["cosine"] - b["cosine"]).abs().max() < 1e-6
 
 
+def test_ppm_codec_contract():
+    """The real P6 decoder: round-trip, geometry, and strict rejection."""
+    import numpy as np
+    import pytest as _pytest
+
+    from search_engine_spark.operators.multimodal import decode_ppm, synthesize_ppm
+
+    img = decode_ppm(synthesize_ppm("hello world", w=16, h=8))
+    assert img.shape == (8, 16, 3) and img.dtype.name == "uint8"
+    # handcrafted 2x1 image: red pixel then blue pixel
+    raw = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])
+    img2 = decode_ppm(raw)
+    assert img2.shape == (1, 2, 3)
+    assert img2[0, 0].tolist() == [255, 0, 0] and img2[0, 1].tolist() == [0, 0, 255]
+    for bad in (b"P5\n1 1\n255\n\x00", b"P6\n2 1\n255\n\x00", b"P6\n2 1\n65535\n" + bytes(12)):
+        with _pytest.raises(ValueError):
+            decode_ppm(bad)
+    assert (np.sort(np.unique(img)) >= 0).all()
+
+
 def test_multimodal_stub_contract(spark, sf_dir):
     from search_engine_spark.operators.multimodal import decode_image_stub, extract_features
 
