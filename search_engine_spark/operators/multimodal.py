@@ -90,6 +90,48 @@ def synthesize_ppm(text: str, w: int = 16, h: int = 8) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + raster
 
 
+def decode_wav_pcm16(payload: bytes) -> np.ndarray:
+    """REAL minimal audio codec: RIFF/WAVE PCM 16-bit -> (n_frames, n_ch)
+    int16.  Pure stdlib/numpy (uncompressed PCM needs no codec library);
+    strict parser — raises ``ValueError`` on anything but canonical
+    RIFF + fmt(PCM16) + data layouts."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    if payload[12:16] != b"fmt " or struct.unpack("<I", payload[16:20])[0] != 16:
+        raise ValueError("expected a 16-byte PCM fmt chunk")
+    fmt, n_ch, _rate, _brate, _align, bits = struct.unpack("<HHIIHH", payload[20:36])
+    if fmt != 1 or bits != 16 or n_ch < 1:
+        raise ValueError(f"unsupported WAV encoding: fmt={fmt} bits={bits} ch={n_ch}")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    size = struct.unpack("<I", payload[40:44])[0]
+    raster = payload[44 : 44 + size]
+    if len(raster) != size or size % (2 * n_ch) != 0:
+        raise ValueError("truncated WAV data chunk")
+    return np.frombuffer(raster, dtype="<i2").reshape(-1, n_ch)
+
+
+def synthesize_wav(text: str, frames: int = 64) -> bytes:
+    """Deterministic stereo PCM16 WAV whose per-channel sample streams tile
+    the sha256 digests of (text || channel tag) — SQL-recomputable."""
+    import struct
+
+    chans = []
+    for tag in (b"l", b"r"):
+        d = hashlib.sha256(text.encode("utf-8") + tag).digest()
+        reps = (2 * frames + 31) // 32
+        chans.append(np.frombuffer(d * reps, dtype="<i2")[:frames])
+    data = np.stack(chans, axis=-1).astype("<i2").tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
 def decode_image_stub(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to HxWxC uint8.
 
@@ -220,6 +262,45 @@ def decode_ppm_features(spark, sf_dir):
     )
 
 
+def decode_wav_features(spark, sf_dir):
+    """Synthesize a REAL stereo PCM16 WAV per document -> decode it with the
+    real RIFF parser -> per-channel sample means (exact: a sum of int16s
+    divided by a power of two)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def feats(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pcm = decode_wav_pcm16(synthesize_wav(text))
+                m = pcm.astype(np.float64).mean(axis=0)
+                rows.append((doc_id, float(m[0]), float(m[1])))
+            yield pd.DataFrame(rows, columns=["doc_id", "mean_l", "mean_r"])
+
+    return d.mapInPandas(feats, schema="doc_id long, mean_l double, mean_r double")
+
+
+# little-endian int16 j of a hex digest: low byte = chars (4j+1,4j+2),
+# high byte = chars (4j+3,4j+4); two's complement via the 32768 fold
+DECODE_WAV_FEATURES_SQL = """
+WITH h AS (
+  SELECT doc_id, sha256(text || 'l') AS hl, sha256(text || 'r') AS hr
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hl, 4 * j + 3, 2) || substr(hl, 4 * j + 1, 2)) AS INT) AS vl,
+         CAST(('0x' || substr(hr, 4 * j + 3, 2) || substr(hr, 4 * j + 1, 2)) AS INT) AS vr
+  FROM h, (SELECT unnest(range(16)) AS j)
+)
+SELECT doc_id,
+       SUM(CASE WHEN vl >= 32768 THEN vl - 65536 ELSE vl END) / 16.0 AS mean_l,
+       SUM(CASE WHEN vr >= 32768 THEN vr - 65536 ELSE vr END) / 16.0 AS mean_r
+FROM b GROUP BY doc_id
+"""
+
+
 # The fake-decode path is deterministic integer math over sha256: channel
 # c's 32x32 plane tiles the 32-byte digest of (payload || tag), so its mean
 # is sum(digest bytes)/32 — exactly representable, no rounding needed.  The
@@ -247,6 +328,7 @@ QUERIES = {
     "mm_media_meta": media_meta,
     "mm_extract_features": extract_features,
     "mm_decode_ppm_features": decode_ppm_features,
+    "mm_decode_wav_features": decode_wav_features,
     "mm_frame_sample": frame_sample,
 }
 
@@ -256,5 +338,6 @@ ORACLES = {
     # the decoded planes tile the same per-channel digests, so the real
     # codec round-trip verifies against the same digest-byte-mean oracle
     "mm_decode_ppm_features": EXTRACT_FEATURES_SQL,
+    "mm_decode_wav_features": DECODE_WAV_FEATURES_SQL,
     "mm_frame_sample": FRAME_SAMPLE_SQL,
 }

@@ -93,6 +93,30 @@ def test_ppm_codec_contract():
     assert (np.sort(np.unique(img)) >= 0).all()
 
 
+def test_wav_codec_contract():
+    """The real PCM16 WAV decoder: round-trip, values, strict rejection."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from search_engine_spark.operators.multimodal import decode_wav_pcm16, synthesize_wav
+
+    pcm = decode_wav_pcm16(synthesize_wav("hello", frames=64))
+    assert pcm.shape == (64, 2) and pcm.dtype == np.dtype("<i2")
+    # handcrafted mono file with known samples
+    data = np.array([-1, 0, 32767], dtype="<i2").tobytes()
+    raw = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert decode_wav_pcm16(raw).reshape(-1).tolist() == [-1, 0, 32767]
+    for bad in (b"RIFX" + raw[4:], raw[:40] + struct.pack("<I", 999) + data):
+        with _pytest.raises(ValueError):
+            decode_wav_pcm16(bad)
+
+
 def test_multimodal_stub_contract(spark, sf_dir):
     from search_engine_spark.operators.multimodal import decode_image_stub, extract_features
 
