@@ -132,6 +132,54 @@ def synthesize_wav(text: str, frames: int = 64) -> bytes:
     return hdr + data
 
 
+def decode_y4m(payload: bytes) -> list[dict]:
+    """REAL minimal video codec: YUV4MPEG2 (C444) -> list of frames, each
+    ``{"y": HxW, "u": HxW, "v": HxW}`` uint8 planes.  Uncompressed video
+    needs no codec library; strict parser raises ``ValueError`` on
+    malformed streams."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    for tok in payload[10:nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C") and tok != b"C444":
+            raise ValueError(f"unsupported chroma subsampling {tok!r}")
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    frames, pos, n = [], nl + 1, w * h
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed FRAME marker")
+        pos = fnl + 1
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated frame planes")
+        planes = {
+            k: np.frombuffer(payload[pos + i * n : pos + (i + 1) * n], dtype=np.uint8).reshape(h, w)
+            for i, k in enumerate(("y", "u", "v"))
+        }
+        frames.append(planes)
+        pos += 3 * n
+    return frames
+
+
+def synthesize_y4m(text: str, n_frames: int = 4, w: int = 16, h: int = 8) -> bytes:
+    """Deterministic C444 Y4M stream: frame f's plane p tiles the digest of
+    (text || p || f) — SQL-recomputable per frame and plane."""
+    n = w * h
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (w, h)]
+    for f in range(n_frames):
+        out.append(b"FRAME\n")
+        for p in (b"y", b"u", b"v"):
+            d = hashlib.sha256(text.encode("utf-8") + p + str(f).encode()).digest()
+            out.append((d * ((n + 31) // 32))[:n])
+    return b"".join(out)
+
+
 def decode_image_stub(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to HxWxC uint8.
 
@@ -301,6 +349,60 @@ FROM b GROUP BY doc_id
 """
 
 
+def decode_y4m_frames(spark, sf_dir):
+    """Synthesize a REAL 4-frame Y4M video per document -> decode it with
+    the real container parser -> one row per frame with per-plane means
+    (real frame extraction, upgrading the byte-slice stand-in of
+    ``frame_sample``)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def feats(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for f, planes in enumerate(decode_y4m(synthesize_y4m(text))):
+                    rows.append(
+                        (
+                            doc_id,
+                            f,
+                            float(planes["y"].mean()),
+                            float(planes["u"].mean()),
+                            float(planes["v"].mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "mean_y", "mean_u", "mean_v"]
+            )
+
+    return d.mapInPandas(
+        feats,
+        schema="doc_id long, frame_no int, mean_y double, mean_u double, mean_v double",
+    )
+
+
+DECODE_Y4M_FRAMES_SQL = """
+WITH fr AS (SELECT CAST(unnest(range(4)) AS INT) AS frame_no),
+h AS (
+  SELECT doc_id, frame_no,
+         sha256(text || 'y' || CAST(frame_no AS VARCHAR)) AS hy,
+         sha256(text || 'u' || CAST(frame_no AS VARCHAR)) AS hu,
+         sha256(text || 'v' || CAST(frame_no AS VARCHAR)) AS hv
+  FROM documents, fr
+), b AS (
+  SELECT doc_id, frame_no,
+         CAST(('0x' || substr(hy, 2 * i + 1, 2)) AS INT) AS by,
+         CAST(('0x' || substr(hu, 2 * i + 1, 2)) AS INT) AS bu,
+         CAST(('0x' || substr(hv, 2 * i + 1, 2)) AS INT) AS bv
+  FROM h, (SELECT unnest(range(32)) AS i)
+)
+SELECT doc_id, frame_no, SUM(by) / 32.0 AS mean_y, SUM(bu) / 32.0 AS mean_u,
+       SUM(bv) / 32.0 AS mean_v
+FROM b GROUP BY doc_id, frame_no
+"""
+
+
 # The fake-decode path is deterministic integer math over sha256: channel
 # c's 32x32 plane tiles the 32-byte digest of (payload || tag), so its mean
 # is sum(digest bytes)/32 — exactly representable, no rounding needed.  The
@@ -329,6 +431,7 @@ QUERIES = {
     "mm_extract_features": extract_features,
     "mm_decode_ppm_features": decode_ppm_features,
     "mm_decode_wav_features": decode_wav_features,
+    "mm_decode_y4m_frames": decode_y4m_frames,
     "mm_frame_sample": frame_sample,
 }
 
@@ -339,5 +442,6 @@ ORACLES = {
     # codec round-trip verifies against the same digest-byte-mean oracle
     "mm_decode_ppm_features": EXTRACT_FEATURES_SQL,
     "mm_decode_wav_features": DECODE_WAV_FEATURES_SQL,
+    "mm_decode_y4m_frames": DECODE_Y4M_FRAMES_SQL,
     "mm_frame_sample": FRAME_SAMPLE_SQL,
 }

@@ -117,6 +117,24 @@ def test_wav_codec_contract():
             decode_wav_pcm16(bad)
 
 
+def test_y4m_codec_contract():
+    """The real Y4M parser: round-trip, frame count, strict rejection."""
+    import pytest as _pytest
+
+    from search_engine_spark.operators.multimodal import decode_y4m, synthesize_y4m
+
+    frames = decode_y4m(synthesize_y4m("hello", n_frames=3, w=4, h=2))
+    assert len(frames) == 3
+    assert frames[0]["y"].shape == (2, 4) and set(frames[0]) == {"y", "u", "v"}
+    for bad in (
+        b"JUNK W4 H2\nFRAME\n" + bytes(24),
+        b"YUV4MPEG2 W4 H2 C420\nFRAME\n" + bytes(24),  # unsupported subsampling
+        b"YUV4MPEG2 W4 H2 C444\nFRAME\n" + bytes(10),  # truncated planes
+    ):
+        with _pytest.raises(ValueError):
+            decode_y4m(bad)
+
+
 def test_multimodal_stub_contract(spark, sf_dir):
     from search_engine_spark.operators.multimodal import decode_image_stub, extract_features
 
