@@ -403,6 +403,56 @@ FROM b GROUP BY doc_id, frame_no
 """
 
 
+def resize_features(spark, sf_dir):
+    """Decode -> 2x nearest-neighbor downsample -> per-channel means.
+
+    The resize step is real array math on the decoded image (stride-2
+    slicing — the standard nearest-neighbor kernel); because the decoded
+    plane tiles the digest row-major (w=16, so even rows repeat digest
+    bytes 0..15 and odd rows bytes 16..31), the downsampled mean is the
+    mean of the even-indexed bytes of the digest's first half — which the
+    SQL oracle recomputes directly.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def feats(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                img = decode_ppm(synthesize_ppm(text))  # (8, 16, 3)
+                small = img[::2, ::2, :]  # (4, 8, 3) nearest-neighbor
+                m = small.mean(axis=(0, 1))
+                rows.append((doc_id, float(m[0]), float(m[1]), float(m[2])))
+            yield pd.DataFrame(rows, columns=["doc_id", "mean_r", "mean_g", "mean_b"])
+
+    return d.mapInPandas(
+        feats, schema="doc_id long, mean_r double, mean_g double, mean_b double"
+    )
+
+
+# even rows of the 8x16 tiled plane hold digest bytes 0..15, and stride-2
+# columns select the even-indexed ones — so the 4x8 resized mean is the
+# mean of digest bytes {0,2,...,14} (exact: sum of 8 ints / 8.0)
+RESIZE_FEATURES_SQL = """
+WITH h AS (
+  SELECT doc_id, sha256(text || 'r') AS hr, sha256(text || 'g') AS hg,
+         sha256(text || 'b') AS hb
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hr, 4 * i + 1, 2)) AS INT) AS br,
+         CAST(('0x' || substr(hg, 4 * i + 1, 2)) AS INT) AS bg,
+         CAST(('0x' || substr(hb, 4 * i + 1, 2)) AS INT) AS bb
+  FROM h, (SELECT unnest(range(8)) AS i)
+)
+SELECT doc_id, SUM(br) / 8.0 AS mean_r, SUM(bg) / 8.0 AS mean_g,
+       SUM(bb) / 8.0 AS mean_b
+FROM b GROUP BY doc_id
+"""
+
+
 # The fake-decode path is deterministic integer math over sha256: channel
 # c's 32x32 plane tiles the 32-byte digest of (payload || tag), so its mean
 # is sum(digest bytes)/32 — exactly representable, no rounding needed.  The
@@ -432,6 +482,7 @@ QUERIES = {
     "mm_decode_ppm_features": decode_ppm_features,
     "mm_decode_wav_features": decode_wav_features,
     "mm_decode_y4m_frames": decode_y4m_frames,
+    "mm_resize_features": resize_features,
     "mm_frame_sample": frame_sample,
 }
 
@@ -443,5 +494,6 @@ ORACLES = {
     "mm_decode_ppm_features": EXTRACT_FEATURES_SQL,
     "mm_decode_wav_features": DECODE_WAV_FEATURES_SQL,
     "mm_decode_y4m_frames": DECODE_Y4M_FRAMES_SQL,
+    "mm_resize_features": RESIZE_FEATURES_SQL,
     "mm_frame_sample": FRAME_SAMPLE_SQL,
 }
