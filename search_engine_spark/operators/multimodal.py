@@ -77,6 +77,31 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary P6 PPM (the encoder dual of ``decode_ppm``;
+    round-trip identity is property-tested over arbitrary images)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("expected an HxWx3 uint8 array")
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
+
+
+def encode_wav(pcm: np.ndarray, rate: int = 8000) -> bytes:
+    """(n_frames, n_ch) int16 -> RIFF/WAVE PCM16 (dual of
+    ``decode_wav_pcm16``; round-trip property-tested)."""
+    import struct
+
+    if pcm.ndim != 2 or pcm.dtype != np.dtype("<i2"):
+        raise ValueError("expected an (n_frames, n_ch) little-endian int16 array")
+    n_ch = pcm.shape[1]
+    data = np.ascontiguousarray(pcm).tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, rate, rate * 2 * n_ch, 2 * n_ch, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def synthesize_ppm(text: str, w: int = 16, h: int = 8) -> bytes:
     """Deterministic P6 payload whose channel planes tile the per-channel
     sha256 digests of ``text`` — the same integer math the feature oracle

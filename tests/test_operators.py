@@ -117,6 +117,44 @@ def test_wav_codec_contract():
             decode_wav_pcm16(bad)
 
 
+def test_codec_roundtrip_properties():
+    """encode->decode identity for arbitrary images and PCM buffers."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from search_engine_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_wav,
+    )
+
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 8), st.integers(1, 8), st.just(3)),
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def ppm_roundtrip(img):
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+
+    @given(
+        arrays(
+            np.dtype("<i2"),
+            st.tuples(st.integers(1, 32), st.integers(1, 3)),
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def wav_roundtrip(pcm):
+        assert (decode_wav_pcm16(encode_wav(pcm)) == pcm).all()
+
+    ppm_roundtrip()
+    wav_roundtrip()
+
+
 def test_y4m_codec_contract():
     """The real Y4M parser: round-trip, frame count, strict rejection."""
     import pytest as _pytest
