@@ -97,6 +97,14 @@ class BuildConfig:
     # known to mix normalization forms beyond what sampling can see)
     tokenizer: str = "auto"
 
+    def __post_init__(self):
+        # a typo like "panda" would otherwise silently fall through to the
+        # auto-sampling path instead of honoring the (misspelled) pin
+        if self.tokenizer not in ("auto", "jvm", "pandas"):
+            raise ValueError(
+                f"tokenizer must be 'auto', 'jvm', or 'pandas'; got {self.tokenizer!r}"
+            )
+
 
 # ---------------------------------------------------------------------------
 # Phase 1: doc ids

@@ -108,7 +108,7 @@ WHERE rk <= 5
 # bounded top-k — no posexplode row blowup.
 # --------------------------------------------------------------------------
 
-_NPROBE = 2
+_NPROBE = 2  # GATE parity default only — see ivf_default_nprobe for serving
 _TRAIN_ITERS = 2  # averaging steps: seed average + one Lloyd refinement
 
 
@@ -117,6 +117,22 @@ def ivf_ncells(n_vectors: int) -> int:
     import math
 
     return max(8, math.isqrt(max(n_vectors, 1)))
+
+
+def ivf_default_nprobe(ncells: int) -> int:
+    """Serving default: probe ceil(ncells/3) cells, at least 8.
+
+    The gate keeps nprobe=2 because it verifies algorithm parity against
+    the SQL oracle, but 2 as a *serving* default silently returns
+    near-random neighbors on weak-structure corpora (recall@3 = 0.07 on the
+    sf0.01 fixture, where top cosines are ~0.4 — sweep in BENCH/BASELINE.md).
+    ceil(ncells/3) recalls ≥0.95 on clustered corpora (the regime IVF
+    serves; pinned by ``test_ivf_serving_recall_floor``) and 0.47 on the
+    adversarially-flat fixture — corpora that flat want nprobe → ncells
+    (i.e. brute force; no cell partition can help when neighbors scatter
+    uniformly across cells).
+    """
+    return max(8, -(-ncells // 3))
 
 
 _NCELLS_SQL = "greatest(8, CAST(floor(sqrt(COUNT(*))) AS INT))"
@@ -364,7 +380,12 @@ def brute_topk_arrow(spark, sf_dir, query_ids=_QUERY_IDS, k: int = 5):
 # corpus.  Gated against ANN_IVF_SQL exactly like sim_knn_brute_kernel.
 # --------------------------------------------------------------------------
 
-def ivf_topk_arrow(spark, sf_dir, nprobe: int = _NPROBE, k: int = 3, query_ids=_QUERY_IDS):
+def ivf_topk_arrow(
+    spark, sf_dir, nprobe: int | None = None, k: int = 3, query_ids=_QUERY_IDS
+):
+    """IVF serving kernel.  ``nprobe=None`` derives the serving default from
+    the trained cell count (``ivf_default_nprobe``); the gate passes the
+    parity value explicitly."""
     e = t(spark, sf_dir, "embeddings")
     # training only — the corpus × ncells distance table is NOT materialized
     # for serving (probe cells and assignments both derive from the tiny
@@ -379,6 +400,9 @@ def ivf_topk_arrow(spark, sf_dir, nprobe: int = _NPROBE, k: int = 3, query_ids=_
     cmat = np.zeros((len(cells), 64), dtype=np.float64)
     for cell, pos, c in zip(cpdf["cell"], cpdf["pos"], cpdf["c"]):
         cmat[cix[int(cell)], int(pos)] = c
+    if nprobe is None:
+        nprobe = ivf_default_nprobe(len(cells))
+    c2 = (cmat * cmat).sum(axis=1)  # ||c||² per cell, reused by every batch
 
     qrows = e.filter(F.col("vec_id").isin(*list(query_ids))).select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
@@ -394,10 +418,10 @@ def ivf_topk_arrow(spark, sf_dir, nprobe: int = _NPROBE, k: int = 3, query_ids=_
         d = np.round((diff * diff).sum(axis=1), 6)
         order = np.lexsort((cells, d))[:nprobe]
         qcells[int(qid)] = {int(c) for c in cells[order]}
-    bc = spark.sparkContext.broadcast((cells, cmat, qids, qmat, qnrm, qcells))
+    bc = spark.sparkContext.broadcast((cells, cmat, c2, qids, qmat, qnrm, qcells))
 
     def probe_part(it):
-        cells_, cmat_, qids_, qmat_, qnrm_, qcells_ = bc.value
+        cells_, cmat_, c2_, qids_, qmat_, qnrm_, qcells_ = bc.value
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -405,11 +429,12 @@ def ivf_topk_arrow(spark, sf_dir, nprobe: int = _NPROBE, k: int = 3, query_ids=_
             X = np.array(list(pdf["embedding"]), dtype=np.float64)
             # nearest-centroid assignment, mirroring the declarative rule:
             # round(||x-c||^2, 6) argmin with ascending-cell tiebreak (the
-            # first-minimum of a cell-ascending column order IS that rule)
-            D = np.empty((len(X), len(cells_)), dtype=np.float64)
-            for j in range(len(cells_)):
-                diff = X - cmat_[j]
-                D[:, j] = np.round((diff * diff).sum(axis=1), 6)
+            # first-minimum of a cell-ascending column order IS that rule).
+            # One vectorized ||x||² + ||c||² − 2·X@C.T — the per-cell Python
+            # loop this replaces cost ncells=√N iterations per Arrow batch
+            # (31k at 10^9 vectors); the matmul is one BLAS call.
+            x2 = (X * X).sum(axis=1)
+            D = np.round(x2[:, None] + c2_[None, :] - 2.0 * (X @ cmat_.T), 6)
             assigned = cells_[np.argmin(D, axis=1)]
             cnrm = np.round((X * X).sum(axis=1), 9)
             out = []
@@ -445,7 +470,9 @@ QUERIES = {
     # declarative join forms — the scale path is what gets verified
     "sim_knn_brute_kernel": brute_topk_arrow,
     "sim_ann_ivf": ann_ivf,
-    "sim_ann_ivf_kernel": ivf_topk_arrow,
+    # gate pins the parity nprobe explicitly (the oracle SQL bakes it in);
+    # bare ivf_topk_arrow(...) serves at ivf_default_nprobe(ncells)
+    "sim_ann_ivf_kernel": lambda spark, sf_dir: ivf_topk_arrow(spark, sf_dir, nprobe=_NPROBE),
     "sim_centroids": centroids,
 }
 

@@ -78,7 +78,14 @@ class SearchEngine:
         # endpoint, app.py:62-64,436-438): when enabled, every search()
         # appends one row to the catalog's append-only query_log table
         self.log_queries = log_queries
+        # resume qids from the existing append-only log: a second engine
+        # instance (or a restart) against the same index must not reuse qids,
+        # or qid stops being a usable log key (the log table is shared)
         self._qid = 0
+        if log_queries:
+            existing = self.cat.read_query_log()
+            if existing.num_rows:
+                self._qid = max(q for q in existing.column("qid").to_pylist() if q is not None)
         self.stats = self.cat.read_corpus_stats()
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
