@@ -143,6 +143,11 @@ def synthesize_wav(text: str, frames: int = 64) -> bytes:
     the sha256 digests of (text || channel tag) — SQL-recomputable."""
     import struct
 
+    # DECODE_WAV_FEATURES_SQL averages exactly the digest's 16 int16s, which
+    # equals the decoded mean ONLY when the sample stream tiles the digest a
+    # whole number of times (one digest = 16 little-endian int16s)
+    if frames % 16 != 0:
+        raise ValueError(f"frames must be a multiple of 16 (digest tiling); got {frames}")
     chans = []
     for tag in (b"l", b"r"):
         d = hashlib.sha256(text.encode("utf-8") + tag).digest()
@@ -205,10 +210,166 @@ def synthesize_y4m(text: str, n_frames: int = 4, w: int = 16, h: int = 8) -> byt
     return b"".join(out)
 
 
-def decode_image_stub(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to HxWxC uint8.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    The real codec (PIL/libjpeg) is not in this container; ``fake=True``
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL compressed-image codec: non-interlaced 8-bit RGB/RGBA PNG ->
+    HxWxC uint8, in pure stdlib zlib + numpy.
+
+    Full decode path: signature + chunk walk with CRC verification, IHDR
+    geometry checks, IDAT concatenation, ``zlib.decompress`` (the DEFLATE
+    half is stdlib — PNG needs no external codec), and all five scanline
+    filters (None/Sub/Up/Average/Paeth) reversed per the PNG spec.  Sub and
+    Up unfilter vectorized (per-byte-lane cumsum / row add); Average and
+    Paeth carry a genuine left+up dependency, so those rows reconstruct
+    pixel-sequentially — strictly correct, and filter choice is per-row so
+    mixed streams decode fine.  Strict parser: raises ``ValueError`` on
+    anything but well-formed 8-bit color-type-2/6 non-interlaced PNGs
+    (palette/16-bit/interlaced stay unsupported, loudly).
+    """
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, ended = len(_PNG_SIG), None, [], False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk body")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} interlace={interlace} "
+            "(only 8-bit RGB/RGBA non-interlaced)"
+        )
+    nch = 3 if color == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("IDAT size does not match geometry")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft, row = int(ftypes[y]), rows[y]
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: per-byte-lane prefix sum mod 256
+            rec = row.reshape(w, nch).cumsum(axis=0).reshape(stride) & 0xFF
+        elif ft == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif ft == 3:  # Average — left-dependent, pixel-sequential
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = rec[i - nch] if i >= nch else 0
+                rec[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth — left-dependent, pixel-sequential
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, nch)
+
+
+def encode_png(img: np.ndarray, row_filters=None) -> bytes:
+    """HxWx{3,4} uint8 -> real PNG (the encoder dual of ``decode_png``;
+    round-trip identity property-tested).  ``row_filters`` optionally pins a
+    filter type (0-4) per scanline — the synthesizer uses it to exercise
+    every unfilter path in the gated pipeline; default is filter 0."""
+    import struct
+    import zlib
+
+    if img.ndim != 3 or img.shape[2] not in (3, 4) or img.dtype != np.uint8:
+        raise ValueError("expected an HxWx{3,4} uint8 array")
+    h, w, nch = img.shape
+    if row_filters is None:
+        row_filters = [0] * h
+    if len(row_filters) != h:
+        raise ValueError("row_filters must have one entry per scanline")
+    flat = img.astype(np.int32).reshape(h, w * nch)
+    prev = np.zeros(w * nch, dtype=np.int32)
+    scan = []
+    for y in range(h):
+        rec, ft = flat[y], int(row_filters[y])
+        left = np.concatenate([np.zeros(nch, dtype=np.int32), rec[:-nch]])
+        upleft = np.concatenate([np.zeros(nch, dtype=np.int32), prev[:-nch]])
+        if ft == 0:
+            filt = rec
+        elif ft == 1:
+            filt = rec - left
+        elif ft == 2:
+            filt = rec - prev
+        elif ft == 3:
+            filt = rec - ((left + prev) >> 1)
+        elif ft == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = rec - pred
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        scan.append(bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = rec
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if nch == 3 else 6, 0, 0, 0)
+    idat = zlib.compress(b"".join(scan))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def synthesize_png(text: str, w: int = 16, h: int = 8) -> bytes:
+    """Deterministic real PNG whose channel planes tile the per-channel
+    sha256 digests of ``text`` (same plane math as ``synthesize_ppm``, so the
+    decoded means verify against the same digest-byte oracle); row filters
+    cycle 0..4 so the gated decode exercises every unfilter path."""
+    n = w * h
+    chans = []
+    for tag in (b"r", b"g", b"b"):
+        d = hashlib.sha256(text.encode("utf-8") + tag).digest()
+        chans.append(np.frombuffer(d * ((n + 31) // 32), dtype=np.uint8)[:n])
+    img = np.stack(chans, axis=-1).reshape(h, w, 3)
+    return encode_png(img, row_filters=[r % 5 for r in range(h)])
+
+
+def decode_image_stub(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode a JPEG image payload to HxWxC uint8.
+
+    The ONE remaining stubbed format: JPEG (libjpeg's DCT entropy codec is
+    not stdlib; PPM and PNG have real decoders above, WAV/Y4M likewise).
+    ``fake=True``
     yields a deterministic pseudo-image derived from per-channel payload
     digests (sha256(payload + channel tag), tiled to a 32x32 plane) so the
     downstream plumbing (shapes, batching, feature extraction) is testable
@@ -329,6 +490,35 @@ def decode_ppm_features(spark, sf_dir):
             yield pd.DataFrame(
                 rows, columns=["doc_id", "mean_r", "mean_g", "mean_b"]
             )
+
+    return d.mapInPandas(
+        feats, schema="doc_id long, mean_r double, mean_g double, mean_b double"
+    )
+
+
+def decode_png_features(spark, sf_dir):
+    """Synthesize a REAL (zlib-compressed, CRC'd, mixed-filter) PNG per
+    document -> decode it with the real stdlib-zlib codec -> per-channel
+    means.
+
+    The full compressed-image path — DEFLATE inflate, CRC verification, and
+    all five scanline unfilters (the synthesizer cycles filter types per
+    row) — runs inside Arrow batches and is hash-verified: the decoded
+    planes tile the per-channel digests, so the means equal the oracle's
+    digest-byte means exactly.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def feats(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                img = decode_png(synthesize_png(text))
+                m = img.mean(axis=(0, 1))
+                rows.append((doc_id, float(m[0]), float(m[1]), float(m[2])))
+            yield pd.DataFrame(rows, columns=["doc_id", "mean_r", "mean_g", "mean_b"])
 
     return d.mapInPandas(
         feats, schema="doc_id long, mean_r double, mean_g double, mean_b double"
@@ -505,6 +695,7 @@ QUERIES = {
     "mm_media_meta": media_meta,
     "mm_extract_features": extract_features,
     "mm_decode_ppm_features": decode_ppm_features,
+    "mm_decode_png_features": decode_png_features,
     "mm_decode_wav_features": decode_wav_features,
     "mm_decode_y4m_frames": decode_y4m_frames,
     "mm_resize_features": resize_features,
@@ -517,6 +708,9 @@ ORACLES = {
     # the decoded planes tile the same per-channel digests, so the real
     # codec round-trip verifies against the same digest-byte-mean oracle
     "mm_decode_ppm_features": EXTRACT_FEATURES_SQL,
+    # the PNG pipeline decodes the same digest-tiled planes (through zlib +
+    # the five unfilters), so it verifies against the same digest-mean oracle
+    "mm_decode_png_features": EXTRACT_FEATURES_SQL,
     "mm_decode_wav_features": DECODE_WAV_FEATURES_SQL,
     "mm_decode_y4m_frames": DECODE_Y4M_FRAMES_SQL,
     "mm_resize_features": RESIZE_FEATURES_SQL,

@@ -155,6 +155,74 @@ def test_codec_roundtrip_properties():
     wav_roundtrip()
 
 
+def test_png_codec_contract():
+    """The real stdlib-zlib PNG codec: strict parse, CRC check, filters."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from search_engine_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        synthesize_png,
+    )
+
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    for ft in range(5):  # every filter type round-trips alone
+        assert (decode_png(encode_png(img, row_filters=[ft] * 4)) == img).all()
+    # mixed per-row filters (what synthesize_png emits) round-trip too
+    syn = synthesize_png("hello", w=6, h=5)
+    assert decode_png(syn).shape == (5, 6, 3)
+    # RGBA
+    rgba = np.arange(3 * 4 * 4, dtype=np.uint8).reshape(3, 4, 4)
+    assert (decode_png(encode_png(rgba)) == rgba).all()
+
+    good = encode_png(img)
+    # corrupt one IDAT byte -> CRC failure must raise, not decode garbage
+    idat_at = good.find(b"IDAT") + 4
+    bad_crc = good[:idat_at] + bytes([good[idat_at] ^ 0xFF]) + good[idat_at + 1 :]
+    for bad in (
+        b"JUNK" + good[4:],             # bad signature
+        good[:40],                      # truncated
+        bad_crc,                        # CRC mismatch
+    ):
+        with _pytest.raises(ValueError):
+            decode_png(bad)
+    # 16-bit / interlaced headers rejected loudly
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16 + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF
+    )
+    with _pytest.raises(ValueError):
+        decode_png(good[:8] + chunk + good[8 + 12 + 13 :])
+
+
+def test_png_roundtrip_property():
+    """encode->decode identity over arbitrary images and filter rows."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from search_engine_spark.operators.multimodal import decode_png, encode_png
+
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 8), st.integers(1, 8), st.sampled_from([3, 4])),
+        ),
+        st.randoms(use_true_random=False),
+    )
+    @settings(max_examples=50, deadline=None)
+    def png_roundtrip(img, rnd):
+        filters = [rnd.randint(0, 4) for _ in range(img.shape[0])]
+        assert (decode_png(encode_png(img, row_filters=filters)) == img).all()
+
+    png_roundtrip()
+
+
 def test_y4m_codec_contract():
     """The real Y4M parser: round-trip, frame count, strict rejection."""
     import pytest as _pytest
