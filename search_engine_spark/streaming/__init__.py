@@ -10,6 +10,7 @@ from .windowed import (  # noqa: F401
     run_to_memory,
     session_window_counts,
     stateful_asof,
+    stateful_asof_watermarked,
     stream_events,
     stream_hourly_rollup,
 )

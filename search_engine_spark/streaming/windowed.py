@@ -63,8 +63,8 @@ def stateful_asof(events: DataFrame) -> DataFrame:
     row-for-row (pinned by ``test_stateful_asof_matches_batch``).  Like any
     event-time as-of over streams, cross-batch correctness assumes the
     source delivers batches in event-time order (file sources listing
-    chronologically named files do); out-of-order arrivals would need a
-    watermark-delayed emit on top of the same state shape.
+    chronologically named files do); ``stateful_asof_watermarked`` below is
+    the watermark-delayed emit variant that drops that assumption.
 
     Timestamps flow as epoch micros (long) so the operator is agnostic to
     TIMESTAMP vs TIMESTAMP_NTZ sources.
@@ -116,6 +116,100 @@ def stateful_asof(events: DataFrame) -> DataFrame:
             stateStructType="v_us long, view_id long",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stateful_asof_watermarked(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Out-of-order-hardened as-of matcher: the watermark-delayed emit
+    variant of ``stateful_asof``.
+
+    ``stateful_asof`` assumes micro-batches arrive in event-time order;
+    this variant drops that assumption.  Every (view|purchase) row is
+    BUFFERED in per-user ``GroupState`` and only rows at or below the
+    event-time watermark (max event time seen − ``delay``) are finalized —
+    processed in the batch operator's (ts, kind, event_id) order — so
+    arrivals shuffled across micro-batches by up to ``delay`` still emit
+    exactly the batch result (``test_stateful_asof_out_of_order_matches_
+    batch`` drives reverse-chronological files).  Rows later than the
+    watermark are dropped by Spark upstream, the standard bounded-lateness
+    contract.
+
+    Buffered users register an ``EventTimeTimeout`` at the earliest buffered
+    timestamp, so maturity is driven by watermark advance even in batches
+    where the user has no new rows (including the no-data batch a finite
+    source runs after its last file).  State per user = last matured view +
+    the not-yet-matured tail — O(rows inside the lateness window), the
+    minimum any bounded-disorder as-of can hold.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if events.isStreaming:
+        events = events.withWatermark("ts", delay)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        user_id = int(key[0])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            v_us, view_id, b_us, b_id, b_kind = state.get
+            last = (int(v_us), int(view_id)) if int(view_id) >= 0 else None
+            buf = list(zip(b_us, b_kind, b_id))
+        else:
+            last, buf = None, []
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            pdf = pdf[pdf["event_type"].isin(["view", "purchase"])].copy()
+            if len(pdf):
+                pdf["kind"] = (pdf["event_type"] == "purchase").astype(int)
+                pdf["us"] = (
+                    pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
+                    // 1000
+                )
+                buf.extend(zip(pdf["us"], pdf["kind"], pdf["event_id"]))
+        buf.sort()  # (us, kind, event_id): views before purchases at equal ts
+        out, rest = [], []
+        for us, kind, eid in buf:
+            if us > wm_us:
+                rest.append((us, kind, eid))
+                continue
+            if kind == 0:
+                last = (int(us), int(eid))
+            elif last is not None:
+                out.append((user_id, int(eid), last[1], int(us), last[0]))
+        lv_us, lv_id = last if last is not None else (0, -1)
+        state.update(
+            (
+                lv_us,
+                lv_id,
+                [int(r[0]) for r in rest],
+                [int(r[2]) for r in rest],
+                [int(r[1]) for r in rest],
+            )
+        )
+        if rest:
+            # wake this user when the earliest buffered row matures (must be
+            # strictly ahead of the current watermark per the API contract)
+            state.setTimeoutTimestamp(max(wm_us // 1000 + 1, rest[0][0] // 1000))
+        yield pd.DataFrame(
+            out, columns=["user_id", "purchase_id", "view_id", "p_us", "v_us"]
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, purchase_id long, view_id long, p_us long, v_us long",
+            stateStructType=(
+                "v_us long, view_id long, buf_us array<long>, "
+                "buf_id array<long>, buf_kind array<int>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
