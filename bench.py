@@ -12,10 +12,28 @@ Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
 
 Output: {"metric": ..., "value": <total sec>, "unit": "sec",
          "queries": {name: sec}, "sf": ..., "extras": {...}}
+
+Throttle-immune protocol (this VM's clock drifts ±2x within a session —
+round-3 burned a day chasing phantom regressions): every run embeds an
+inline integer-loop clock probe (``extras.clock_probe_mips``, measured at
+start and end) so absolute walls can be normalized across rounds.  Modes:
+
+- ``--passes 2``            interleaved A/B legs: the repeatable query
+                            suite runs twice back-to-back in one session;
+                            per-query wall = min of legs (page-cache-warm,
+                            throttle-smoothed); both legs recorded in
+                            ``extras.pass_walls``.
+- ``--interleave PREV.json`` additionally loads a prior round's bench JSON
+                            and reports per-query ratios, raw AND
+                            probe-normalized (ratio × probe_now/probe_then)
+                            in ``extras.vs_baseline`` — the only
+                            cross-round comparison that survives the host's
+                            frequency drift.  Implies ``--passes 2``.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -26,7 +44,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def clock_probe(n: int = 20_000_000) -> float:
+    """Per-core python integer throughput (M it/s) — the host-throttle
+    calibration used across BENCH/BASELINE.md."""
+    t0 = time.time()
+    x = 0
+    for i in range(n):
+        x += i
+    return round(n / 1e6 / (time.time() - t0), 2)
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=1,
+                    help="legs for the repeatable query suite (A/B interleave)")
+    ap.add_argument("--interleave", default=None, metavar="PREV_JSON",
+                    help="prior bench JSON to ratio against (implies --passes 2)")
+    args = ap.parse_args()
+    if args.interleave and args.passes < 2:
+        args.passes = 2
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -36,15 +73,22 @@ def main():
     spark = get_spark("bench", cpus=cpus)
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
+    pass_walls: dict[str, list[float]] = {}
+
+    extras["clock_probe_mips"] = clock_probe()
 
     def timed(name, fn):
         t0 = time.time()
         out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        wall = round(time.time() - t0, 3)
+        pass_walls.setdefault(name, []).append(wall)
+        # min across legs: both legs run warm in one session, so min is the
+        # least-throttled observation of the same plan
+        timings[name] = min(pass_walls[name])
         return out
 
-    # ---- index build over documents (fresh dir every run) ----------------
+    # ---- index build over documents (fresh dir every run; single-leg) ----
     from search_engine_spark.index.builder import BuildConfig, build_index
 
     index_dir = os.path.join(tempfile.gettempdir(), "bench_index")
@@ -72,32 +116,30 @@ def main():
     extras["webtext_docs"] = wt_docs
     extras["webtext_docs_per_sec"] = round(wt_docs / timings["webtext_index_build"], 1)
 
-    from search_engine_spark.query.engine import SearchEngine as _SE
-
-    wt_eng = _SE(spark, wt_index)
-    timed("webtext_search_multiterm", lambda: wt_eng.search("cadbury dairy milk", k=10))
-    # head-term serving config: WAND-pruned page + Σdf-bounded approx total
-    # (the exact disjunctive total decodes every matched term's doc_ids —
-    # timed separately as the exact-mode cost)
-    timed("webtext_search_head_term", lambda: wt_eng.search(
-        "the oil", k=10, force_distributed=True, mode="wand", total_mode="approx"))
-    timed("webtext_search_head_term_exact_total", lambda: wt_eng.search(
-        "the oil", k=10, force_distributed=True, mode="wand"))
-    timed("webtext_search_autocomplete", lambda: wt_eng.search("oi", k=10))
-
-    # ---- engine queries ----------------------------------------------------
+    # ---- repeatable query suite (interleaved across --passes legs) --------
     from search_engine_spark.query.engine import SearchEngine
-
-    eng = SearchEngine(spark, index_dir)
-    timed("search_topk", lambda: eng.search("scan window merge", k=10))
-    timed("search_sort_dist", lambda: eng.search("scan window merge", k=10, mode="sort", force_distributed=True))
-    timed("search_wand_dist", lambda: eng.search("scan window merge", k=10, mode="wand", force_distributed=True))
-    timed("search_autocomplete", lambda: eng.search("wi", k=10))
-    timed("search_conjunctive", lambda: eng.search("scan window", k=10, conjunctive=True))
-
-    # ---- operator headliners ----------------------------------------------
     from search_engine_spark.operators import dedup, events, fulltext, relational, similarity, textstats
 
+    wt_eng = SearchEngine(spark, wt_index)
+    eng = SearchEngine(spark, index_dir)
+    suite: dict = {
+        "webtext_search_multiterm": lambda: wt_eng.search("cadbury dairy milk", k=10),
+        # head-term serving config: WAND-pruned page + Σdf-bounded approx
+        # total (the exact disjunctive total decodes every matched term's
+        # doc_ids — timed separately as the exact-mode cost)
+        "webtext_search_head_term": lambda: wt_eng.search(
+            "the oil", k=10, force_distributed=True, mode="wand", total_mode="approx"),
+        "webtext_search_head_term_exact_total": lambda: wt_eng.search(
+            "the oil", k=10, force_distributed=True, mode="wand"),
+        "webtext_search_autocomplete": lambda: wt_eng.search("oi", k=10),
+        "search_topk": lambda: eng.search("scan window merge", k=10),
+        "search_sort_dist": lambda: eng.search(
+            "scan window merge", k=10, mode="sort", force_distributed=True),
+        "search_wand_dist": lambda: eng.search(
+            "scan window merge", k=10, mode="wand", force_distributed=True),
+        "search_autocomplete": lambda: eng.search("wi", k=10),
+        "search_conjunctive": lambda: eng.search("scan window", k=10, conjunctive=True),
+    }
     heads = {
         "rel_pricing_summary": relational.pricing_summary,
         "rel_order_quantity_rollup": relational.order_quantity_rollup,
@@ -113,11 +155,42 @@ def main():
         ),
         "sim_knn_brute": similarity.knn_brute,
         "sim_ann_ivf": similarity.ann_ivf,
+        # serving config: Arrow matmul training + derived nprobe default
         "sim_ann_ivf_kernel": similarity.ivf_topk_arrow,
         "ft_grouped_topk": fulltext.grouped_topk,
     }
     for name, fn in heads.items():
-        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+        suite[name] = lambda fn=fn: fn(spark, sf_dir).count()
+
+    for leg in range(args.passes):
+        for name, fn in suite.items():
+            timed(name, fn)
+
+    extras["clock_probe_mips_end"] = clock_probe()
+    if args.passes > 1:
+        extras["pass_walls"] = {k: v for k, v in pass_walls.items() if len(v) > 1}
+
+    if args.interleave:
+        with open(args.interleave) as f:
+            prev = json.load(f)
+        if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+            prev = prev["parsed"]  # the driver wraps bench output under "parsed"
+        prev_q = prev.get("queries", {})
+        prev_probe = prev.get("extras", {}).get("clock_probe_mips")
+        probe_now = extras["clock_probe_mips"]
+        vs = {}
+        for name, cur in timings.items():
+            if name not in prev_q or not prev_q[name]:
+                continue
+            ratio = round(cur / prev_q[name], 3)
+            rec = {"prev_s": prev_q[name], "cur_s": cur, "ratio": ratio}
+            if prev_probe:
+                # walls on this host scale ~1/clock: normalize both legs to
+                # the same clock before comparing
+                rec["probe_normalized_ratio"] = round(ratio * probe_now / prev_probe, 3)
+            vs[name] = rec
+        extras["vs_baseline"] = vs
+        extras["vs_baseline_probe"] = {"prev": prev_probe, "cur": probe_now}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

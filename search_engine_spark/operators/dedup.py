@@ -725,10 +725,13 @@ def _emb_candidates(spark, sf_dir, buckets_fn=None):
     return ev, cand
 
 
-def embedding_lsh_dropped_buckets(spark, sf_dir):
+def embedding_lsh_dropped_buckets(spark, sf_dir, buckets_fn=None):
     """(band, bucket, n_vec) for buckets the cap excluded — the observability
-    hook for the degenerate-bucket guard (empty on healthy corpora)."""
-    _, buckets = _emb_band_buckets(spark, sf_dir)
+    hook for the degenerate-bucket guard (empty on healthy corpora).  Pass
+    ``buckets_fn=_emb_band_buckets_arrow`` at scale (the declarative
+    bucketing is the oracle form; its posexplode×planes join is corpus ×
+    dim × planes rows)."""
+    _, buckets = (buckets_fn or _emb_band_buckets)(spark, sf_dir)
     return (
         buckets.groupBy("band", "bucket")
         .agg(F.count("*").alias("n_vec"))

@@ -372,6 +372,82 @@ def brute_topk_arrow(spark, sf_dir, query_ids=_QUERY_IDS, k: int = 5):
 
 
 # --------------------------------------------------------------------------
+# Arrow IVF *training*: the declarative ivf_assignments computes every
+# Lloyd distance via a posexplode join — corpus×dim rows joined against
+# ncells×dim centroid rows, i.e. O(N·ncells) shuffled rows (6.4×10^10 at
+# 1M vectors / 1000 cells).  That form exists so DuckDB can verify the
+# training bit-for-bit; at scale the assignment step must be a matmul.
+# This path computes the SAME training math (seed cells = vec_id % ncells,
+# round(avg, 6)+0.0 centroids, round(||x−c||², 6) argmin with ascending-
+# cell tiebreak) but assigns via one Arrow corpus pass per Lloyd step;
+# only the re-average is declarative (corpus-sized groupBy, no join
+# blowup).  Parity with the declarative training is pinned by
+# test_ivf_arrow_training_matches_declarative.
+# --------------------------------------------------------------------------
+
+
+def _cent_matrix(cent_pdf, dim: int = 64):
+    cells = np.sort(cent_pdf["cell"].unique()).astype(np.int64)
+    cix = {int(c): i for i, c in enumerate(cells)}
+    cmat = np.zeros((len(cells), dim), dtype=np.float64)
+    for cell, pos, c in zip(cent_pdf["cell"], cent_pdf["pos"], cent_pdf["c"]):
+        cmat[cix[int(cell)], int(pos)] = c
+    return cells, cmat
+
+
+def _assign_arrow(e, cells, cmat):
+    """One corpus pass: (vec_id, cell) nearest-centroid assignment via the
+    shared rounded-distance rule, vectorized."""
+    spark = e.sparkSession
+    bc = spark.sparkContext.broadcast((cells, cmat, (cmat * cmat).sum(axis=1)))
+
+    def assign(it):
+        cells_, cmat_, c2_ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            x2 = (X * X).sum(axis=1)
+            D = np.round(x2[:, None] + c2_[None, :] - 2.0 * (X @ cmat_.T), 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cells_[np.argmin(D, axis=1)].astype(np.int32),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cell int"
+    )
+
+
+def ivf_train_arrow(spark, sf_dir, ncells: int | None = None):
+    """Trained (cell, pos, c) centroids, Arrow-assigned — the scale path.
+
+    Identical training schedule to ``ivf_assignments`` (_TRAIN_ITERS
+    averaging steps); each Lloyd assignment is one matmul corpus pass, each
+    re-average one corpus-sized groupBy."""
+    e = t(spark, sf_dir, "embeddings")
+    if ncells is None:
+        ncells = ivf_ncells(e.count())
+    ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    seed = ev.withColumn("cell", F.pmod(F.col("vec_id"), F.lit(ncells)).cast("int"))
+    cent = (
+        seed.groupBy("cell", "pos")
+        .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("c"))
+    )
+    for _ in range(_TRAIN_ITERS - 1):
+        cells, cmat = _cent_matrix(cent.toPandas())
+        assign = _assign_arrow(e, cells, cmat)
+        cent = (
+            ev.join(assign, "vec_id")
+            .groupBy("cell", "pos")
+            .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("c"))
+        )
+    return cent.localCheckpoint()
+
+
+# --------------------------------------------------------------------------
 # production IVF serving kernel: broadcast the trained centroid matrix
 # (ncells x d — ~√N rows, small by construction), then ONE corpus pass in
 # Arrow batches: numpy nearest-centroid assignment, probe-cell filtering,
@@ -381,25 +457,29 @@ def brute_topk_arrow(spark, sf_dir, query_ids=_QUERY_IDS, k: int = 5):
 # --------------------------------------------------------------------------
 
 def ivf_topk_arrow(
-    spark, sf_dir, nprobe: int | None = None, k: int = 3, query_ids=_QUERY_IDS
+    spark, sf_dir, nprobe: int | None = None, k: int = 3, query_ids=_QUERY_IDS,
+    train: str = "arrow",
 ):
     """IVF serving kernel.  ``nprobe=None`` derives the serving default from
     the trained cell count (``ivf_default_nprobe``); the gate passes the
-    parity value explicitly."""
+    parity value explicitly.  ``train`` picks the centroid-training path:
+    ``"arrow"`` (default — matmul Lloyd assignment, the only form viable
+    past ~10^5 vectors) or ``"declarative"`` (the posexplode-join form the
+    SQL oracle mirrors; the gate pins it)."""
     e = t(spark, sf_dir, "embeddings")
-    # training only — the corpus × ncells distance table is NOT materialized
-    # for serving (probe cells and assignments both derive from the tiny
-    # centroid matrix below)
-    _, _, _, cent = ivf_assignments(spark, sf_dir, materialize_dist=False)
+    if train == "arrow":
+        cent = ivf_train_arrow(spark, sf_dir)
+    elif train == "declarative":
+        # training only — the corpus × ncells distance table is NOT
+        # materialized for serving (probe cells and assignments both derive
+        # from the tiny centroid matrix below)
+        _, _, _, cent = ivf_assignments(spark, sf_dir, materialize_dist=False)
+    else:
+        raise ValueError(f"train must be 'arrow' or 'declarative'; got {train!r}")
 
     # centroid matrix: ncells x d — driver-small by construction (√N rows;
     # the corpus never leaves executors)
-    cpdf = cent.toPandas()
-    cells = np.sort(cpdf["cell"].unique()).astype(np.int64)
-    cix = {int(c): i for i, c in enumerate(cells)}
-    cmat = np.zeros((len(cells), 64), dtype=np.float64)
-    for cell, pos, c in zip(cpdf["cell"], cpdf["pos"], cpdf["c"]):
-        cmat[cix[int(cell)], int(pos)] = c
+    cells, cmat = _cent_matrix(cent.toPandas())
     if nprobe is None:
         nprobe = ivf_default_nprobe(len(cells))
     c2 = (cmat * cmat).sum(axis=1)  # ||c||² per cell, reused by every batch
@@ -470,9 +550,12 @@ QUERIES = {
     # declarative join forms — the scale path is what gets verified
     "sim_knn_brute_kernel": brute_topk_arrow,
     "sim_ann_ivf": ann_ivf,
-    # gate pins the parity nprobe explicitly (the oracle SQL bakes it in);
-    # bare ivf_topk_arrow(...) serves at ivf_default_nprobe(ncells)
-    "sim_ann_ivf_kernel": lambda spark, sf_dir: ivf_topk_arrow(spark, sf_dir, nprobe=_NPROBE),
+    # gate pins the parity nprobe + declarative training explicitly (the
+    # oracle SQL bakes both in); bare ivf_topk_arrow(...) serves at
+    # ivf_default_nprobe(ncells) with Arrow-matmul training
+    "sim_ann_ivf_kernel": lambda spark, sf_dir: ivf_topk_arrow(
+        spark, sf_dir, nprobe=_NPROBE, train="declarative"
+    ),
     "sim_centroids": centroids,
 }
 

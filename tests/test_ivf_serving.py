@@ -61,6 +61,26 @@ def test_ivf_default_nprobe_derivation():
     assert ivf_default_nprobe(ivf_ncells(N_VEC)) >= 8
 
 
+def test_ivf_arrow_training_matches_declarative(spark):
+    """The matmul training path (the only form viable past ~10^5 vectors)
+    produces bit-identical centroids to the posexplode-join form the SQL
+    oracle verifies — same seed, same rounded averages, same rounded-
+    distance argmin."""
+    from search_engine_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_train_arrow,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    _, _, _, cent_d = ivf_assignments(spark, sf, materialize_dist=False)
+    a = ivf_train_arrow(spark, sf).toPandas().sort_values(["cell", "pos"]).reset_index(drop=True)
+    d = cent_d.toPandas().sort_values(["cell", "pos"]).reset_index(drop=True)
+    assert len(a) == len(d) > 0
+    assert (a["cell"].to_numpy() == d["cell"].to_numpy()).all()
+    assert (a["pos"].to_numpy() == d["pos"].to_numpy()).all()
+    assert (a["c"].to_numpy() == d["c"].to_numpy()).all()
+
+
 def _topk_sets(pdf, k):
     out = {}
     for qid, grp in pdf.groupby("qid"):

@@ -1,0 +1,53 @@
+"""Pins the committed 1M-row scale-evidence artifact (BENCH/scale_r4_1m.json,
+produced by scripts/scale_ladder_bench.py) so the ladder's scale claims are
+asserted by the suite, not just narrated in BENCH/BASELINE.md.
+
+Skips if the artifact is absent (fresh checkout before a scale run)."""
+
+import json
+import os
+
+import pytest
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "BENCH", "scale_r4_1m.json")
+
+
+@pytest.fixture(scope="module")
+def evidence():
+    if not os.path.exists(ART):
+        pytest.skip("no committed scale artifact; run scripts/scale_ladder_bench.py")
+    with open(ART) as f:
+        return json.load(f)
+
+
+def test_candidate_count_stays_bucket_bounded(evidence):
+    """No quadratic blowup: LSH candidate pairs at 10^6 docs stay within the
+    O(N · bands · cap) enumeration bound — and in practice orders of
+    magnitude under it (all-pairs would be ~5×10^11)."""
+    from search_engine_spark.operators.dedup import _BANDS, _BUCKET_CAP
+
+    st = evidence["stages"]["dd_lsh_candidate_pairs"]
+    n = evidence["n_docs"]
+    assert n >= 1_000_000
+    assert st["rows"] <= n * _BANDS * _BUCKET_CAP
+    assert st["rows"] < n * (n - 1) / 1000  # nowhere near quadratic
+
+
+def test_planted_pairs_survive_ladder(evidence):
+    """The 5% planted clone pairs (jaccard ≈0.9) survive candidate
+    generation AND exact verification at ≥90% — the 1M-scale twin of
+    test_minhash_ladder_recall_floor."""
+    planted = evidence["n_docs"] // 20
+    assert evidence["stages"]["dd_verified_pairs"]["rows"] >= 0.9 * planted
+
+
+def test_component_tier_and_observability_recorded(evidence):
+    st = evidence["stages"]
+    assert st["dd_verified_pairs"]["component_tier"] in (
+        "driver_union_find", "distributed_fixpoint"
+    )
+    emb = st["dd_embedding_neardup_lsh_kernel"]
+    assert "dropped_buckets" in emb and "nplanes_per_band" in emb
+    # plane count scaled with the corpus: ceil(log2 1e6) - 4 = 16
+    assert emb["nplanes_per_band"] == 16
