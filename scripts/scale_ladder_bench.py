@@ -226,9 +226,7 @@ def main():
     ).toPandas()
     timed(
         "dd_embedding_neardup_lsh_kernel",
-        lambda: dedup.embedding_neardup_lsh(
-            spark, sf_dir, buckets_fn=dedup._emb_band_buckets_arrow
-        ).count(),
+        lambda: dedup.embedding_neardup_lsh_kernel(spark, sf_dir).count(),
         nplanes_per_band=nplanes,
         bands=dedup._EMB_BANDS,
         dropped_buckets=int(len(dropped)),

@@ -773,6 +773,61 @@ def embedding_neardup_lsh(spark, sf_dir, buckets_fn=None):
     )
 
 
+def embedding_neardup_lsh_kernel(spark, sf_dir):
+    """Full serving form of the embedding near-dup ladder: Arrow bucketing
+    (one matmul corpus pass) + BUCKET-LOCAL verification.
+
+    The declarative verify (``embedding_neardup_lsh``) joins each candidate
+    pair against posexploded vectors — candidates × dim shuffled rows, which
+    at 10^6 vectors / ~5×10^7 candidates is ~6×10^9 rows (measured: >60 GB
+    of spill, the round-4 1M-run killer).  Here every capped bucket
+    (≤ _EMB_BUCKET_CAP members) verifies ITS OWN members: the only shuffle
+    is bucket-membership × whole-array rows, O(N · bands · vec_bytes) —
+    ~2.4 GB at 1M×64-dim, independent of how many candidate pairs the
+    buckets imply.  Per bucket, all-pairs cosine is one ≤64×64 numpy Gram
+    matrix; a pair colliding in several bands yields identical rounded
+    cosines, collapsed by the final distinct (same rounding rule as the
+    declarative twin: norms to 9, cosine to 6 — cross-engine float noise
+    ≪ the grid per the _common.py rounding policy).
+
+    Same output contract and SQL oracle as ``embedding_neardup_lsh``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    _, buckets = _emb_band_buckets_arrow(spark, sf_dir)
+    buckets = buckets.localCheckpoint()
+    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n_vec"))
+    ok = sizes.filter((F.col("n_vec") >= 2) & (F.col("n_vec") <= _EMB_BUCKET_CAP))
+    in_ok = buckets.join(ok.select("band", "bucket"), ["band", "bucket"])
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    members = in_ok.join(e, "vec_id")
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        # float32 products, float64 accumulation: Spark's declarative twin
+        # multiplies two FLOAT columns (single-precision product, ~6e-8
+        # quantization) before SUM casts to double — a systematic offset,
+        # not order noise, so the kernel must reproduce it or boundary
+        # pairs flip their 6th decimal (observed at sf0.001: pair 116/235,
+        # true cosine 1.1e-9 below the .3633755 grid line)
+        X32 = np.array(list(pdf["embedding"]), dtype=np.float32)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        n = np.round((X32 * X32).astype(np.float64).sum(axis=1), 9)
+        G = (X32[:, None, :] * X32[None, :, :]).astype(np.float64).sum(axis=2)
+        C = np.round(G / np.sqrt(n[:, None] * n[None, :]), 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        lo = np.minimum(ids[iu], ids[ju])
+        hi = np.maximum(ids[iu], ids[ju])
+        cos = C[iu, ju]
+        keep = cos >= 0.35
+        return pd.DataFrame({"id1": lo[keep], "id2": hi[keep], "cosine": cos[keep]})
+
+    pairs = members.groupBy("band", "bucket").applyInPandas(
+        verify, schema="id1 long, id2 long, cosine double"
+    )
+    return pairs.distinct()
+
+
 EMBEDDING_NEARDUP_LSH_SQL = f"""
 WITH ev AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
@@ -851,10 +906,9 @@ QUERIES = {
     "dd_simhash": simhash,
     "dd_embedding_neardup": embedding_neardup,
     "dd_embedding_neardup_lsh": embedding_neardup_lsh,
-    # serving form: Arrow bucketing kernel, same oracle as the declarative
-    "dd_embedding_neardup_lsh_kernel": lambda spark, sf_dir: embedding_neardup_lsh(
-        spark, sf_dir, buckets_fn=_emb_band_buckets_arrow
-    ),
+    # serving form: Arrow bucketing + bucket-local verify, same oracle as
+    # the declarative twin
+    "dd_embedding_neardup_lsh_kernel": embedding_neardup_lsh_kernel,
 }
 
 ORACLES = {

@@ -333,22 +333,29 @@ GROUP BY label, pos
 # --------------------------------------------------------------------------
 
 def brute_topk_arrow(spark, sf_dir, query_ids=_QUERY_IDS, k: int = 5):
+    """One-pass brute top-k, arithmetic-identical to the declarative twin:
+    float32 products (Spark multiplies two FLOAT columns in single
+    precision before SUM's double accumulation), norms rounded to 9,
+    cosine = round(dot / sqrt(nq·nc), 6), and every rank decision taken on
+    the ROUNDED cosine with a cid tiebreak — so a near-tie can't order
+    differently than the declarative/oracle path."""
     e = t(spark, sf_dir, "embeddings")
     qrows = e.filter(F.col("vec_id").isin(*list(query_ids))).select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    qb = spark.sparkContext.broadcast((qids, qmat))
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float32)
+    qn = np.round((qmat * qmat).astype(np.float64).sum(axis=1), 9)
+    qb = spark.sparkContext.broadcast((qids, qmat, qn))
 
     def topk_part(it):
-        qids_, qmat_ = qb.value
+        qids_, qmat_, qn_ = qb.value
         for pdf in it:
             if len(pdf) == 0:
                 continue
             cids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            cmat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
-            sims = cmat @ qmat_.T  # (n_batch, n_q)
+            cmat = np.array(list(pdf["embedding"]), dtype=np.float32)
+            cn = np.round((cmat * cmat).astype(np.float64).sum(axis=1), 9)
+            dots = (cmat[:, None, :] * qmat_[None, :, :]).astype(np.float64).sum(axis=2)
+            sims = np.round(dots / np.sqrt(cn[:, None] * qn_[None, :]), 6)
             out = []
             for qi, qid in enumerate(qids_):
                 s = sims[:, qi]
@@ -367,7 +374,7 @@ def brute_topk_arrow(spark, sf_dir, query_ids=_QUERY_IDS, k: int = 5):
     return (
         parts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("qid", "cid", F.round("cosine", 6).alias("cosine"), "rk")
+        .select("qid", "cid", "cosine", "rk")
     )
 
 

@@ -416,6 +416,34 @@ def test_embedding_lsh_recall_floor_and_cap_guard(spark, sf_dir):
     assert embedding_lsh_dropped_buckets(spark, sf_dir).count() == 0
 
 
+def test_embedding_lsh_bucketlocal_kernel_matches_declarative(spark, sf_dir):
+    """The full serving kernel (Arrow bucketing + bucket-local verify) is
+    row-identical to the declarative candidate-join form — same buckets,
+    same cap, same rounded cosines — while shuffling O(N·bands) array rows
+    instead of O(candidates × dim) posexploded rows."""
+    from search_engine_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_lsh_kernel,
+    )
+
+    decl = (
+        embedding_neardup_lsh(spark, sf_dir)
+        .toPandas()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    kern = (
+        embedding_neardup_lsh_kernel(spark, sf_dir)
+        .toPandas()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    assert len(decl) == len(kern) > 0
+    assert (decl["id1"].to_numpy() == kern["id1"].to_numpy()).all()
+    assert (decl["id2"].to_numpy() == kern["id2"].to_numpy()).all()
+    assert (decl["cosine"].to_numpy() == kern["cosine"].to_numpy()).all()
+
+
 def test_ivf_recall_and_full_probe_exactness(spark, sf_dir):
     """IVF nprobe recall floor; probing every cell == brute force.
 
