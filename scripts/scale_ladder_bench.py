@@ -150,6 +150,24 @@ def main():
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--out", default="BENCH/scale_r4_1m.json")
     ap.add_argument("--keep", action="store_true", help="keep the generated corpora")
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        metavar="STAGE",
+        choices=["minhash", "emb", "ivf", "brute"],
+        help="run only the named stage groups, each in THIS fresh process — "
+        "back-to-back stages in one JVM pollute each other's walls (GC "
+        "pressure from the previous stage's shuffle state); per-stage "
+        "scaling legs must come from fresh-process runs",
+    )
+    ap.add_argument(
+        "--force-distributed-components",
+        action="store_true",
+        help="set the driver union-find edge budget to 0 so dedup_decisions "
+        "exercises the distributed min-label fixpoint tier (the >5M-edge "
+        "path) on this corpus; runs ONLY the decisions stage",
+    )
     args = ap.parse_args()
 
     from search_engine_spark.session import get_spark
@@ -204,47 +222,71 @@ def main():
 
     from search_engine_spark.operators import dedup, similarity
 
-    # --- minhash ladder -----------------------------------------------------
-    timed("dd_minhash_signatures", lambda: dedup.minhash_signatures(spark, sf_dir).count())
-    n_cand = timed("dd_lsh_candidate_pairs",
-                   lambda: dedup.lsh_candidate_pairs(spark, sf_dir).count())
-    cand_bound = args.docs * dedup._BANDS * dedup._BUCKET_CAP
-    results["stages"]["dd_lsh_candidate_pairs"]["bound_n_bands_cap"] = cand_bound
-    results["stages"]["dd_lsh_candidate_pairs"]["bound_ratio"] = round(n_cand / cand_bound, 4)
+    if args.force_distributed_components:
+        dedup._DRIVER_EDGE_BUDGET = 0
+        dec = timed(
+            "dd_dedup_decisions_distributed",
+            lambda: dedup.dedup_decisions(spark, sf_dir).count(),
+            component_tier="distributed_fixpoint_forced",
+        )
+        results["total_wall_s"] = round(
+            sum(s["wall_s"] for s in results["stages"].values()), 1
+        )
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(results, indent=2))
+        spark.stop()
+        return
 
-    edges = timed("dd_verified_pairs", lambda: dedup._verified_pairs(spark, sf_dir).count())
-    results["stages"]["dd_verified_pairs"]["component_tier"] = (
-        "driver_union_find" if edges <= dedup._DRIVER_EDGE_BUDGET else "distributed_fixpoint"
-    )
-    dec = timed("dd_dedup_decisions", lambda: dedup.dedup_decisions(spark, sf_dir).count())
-    results["stages"]["dd_dedup_decisions"]["planted_clone_docs"] = args.docs // 20
+    def want(group: str) -> bool:
+        return args.only is None or group in args.only
+
+    # --- minhash ladder -----------------------------------------------------
+    if want("minhash"):
+        timed("dd_minhash_signatures", lambda: dedup.minhash_signatures(spark, sf_dir).count())
+        n_cand = timed("dd_lsh_candidate_pairs",
+                       lambda: dedup.lsh_candidate_pairs(spark, sf_dir).count())
+        cand_bound = args.docs * dedup._BANDS * dedup._BUCKET_CAP
+        results["stages"]["dd_lsh_candidate_pairs"]["bound_n_bands_cap"] = cand_bound
+        results["stages"]["dd_lsh_candidate_pairs"]["bound_ratio"] = round(n_cand / cand_bound, 4)
+
+        edges = timed("dd_verified_pairs", lambda: dedup._verified_pairs(spark, sf_dir).count())
+        results["stages"]["dd_verified_pairs"]["component_tier"] = (
+            "driver_union_find" if edges <= dedup._DRIVER_EDGE_BUDGET else "distributed_fixpoint"
+        )
+        dec = timed("dd_dedup_decisions", lambda: dedup.dedup_decisions(spark, sf_dir).count())
+        results["stages"]["dd_dedup_decisions"]["planted_clone_docs"] = args.docs // 20
 
     # --- embedding LSH ladder ----------------------------------------------
-    nplanes = dedup._emb_nplanes(args.vecs)
-    dropped = dedup.embedding_lsh_dropped_buckets(
-        spark, sf_dir, buckets_fn=dedup._emb_band_buckets_arrow
-    ).toPandas()
-    timed(
-        "dd_embedding_neardup_lsh_kernel",
-        lambda: dedup.embedding_neardup_lsh_kernel(spark, sf_dir).count(),
-        nplanes_per_band=nplanes,
-        bands=dedup._EMB_BANDS,
-        dropped_buckets=int(len(dropped)),
-        dropped_bucket_max=int(dropped["n_vec"].max()) if len(dropped) else 0,
-    )
+    if want("emb"):
+        nplanes = dedup._emb_nplanes(args.vecs)
+        dropped = dedup.embedding_lsh_dropped_buckets(
+            spark, sf_dir, buckets_fn=dedup._emb_band_buckets_arrow
+        ).toPandas()
+        timed(
+            "dd_embedding_neardup_lsh_kernel",
+            lambda: dedup.embedding_neardup_lsh_kernel(spark, sf_dir).count(),
+            nplanes_per_band=nplanes,
+            bands=dedup._EMB_BANDS,
+            dropped_buckets=int(len(dropped)),
+            dropped_bucket_max=int(dropped["n_vec"].max()) if len(dropped) else 0,
+        )
 
     # --- IVF ----------------------------------------------------------------
-    ncells = similarity.ivf_ncells(args.vecs)
-    nprobe = similarity.ivf_default_nprobe(ncells)
-    timed(
-        "sim_ann_ivf_kernel_arrow_train",
-        lambda: similarity.ivf_topk_arrow(spark, sf_dir, k=10).count(),
-        ncells=ncells, nprobe=nprobe, train="arrow",
-    )
-    timed(
-        "sim_knn_brute_kernel",
-        lambda: similarity.brute_topk_arrow(spark, sf_dir, k=10).count(),
-    )
+    if want("ivf"):
+        ncells = similarity.ivf_ncells(args.vecs)
+        nprobe = similarity.ivf_default_nprobe(ncells)
+        timed(
+            "sim_ann_ivf_kernel_arrow_train",
+            lambda: similarity.ivf_topk_arrow(spark, sf_dir, k=10).count(),
+            ncells=ncells, nprobe=nprobe, train="arrow",
+        )
+    if want("brute"):
+        timed(
+            "sim_knn_brute_kernel",
+            lambda: similarity.brute_topk_arrow(spark, sf_dir, k=10).count(),
+        )
 
     results["total_wall_s"] = round(
         sum(s["wall_s"] for s in results["stages"].values()), 1
