@@ -679,26 +679,31 @@ def _emb_band_buckets_arrow(spark, sf_dir):
     powers = np.array([1 << h for h in range(nplanes)], dtype=np.int64)
     bc = spark.sparkContext.broadcast((V, powers))
 
-    def bucketize(it):
+    import pyarrow as pa
+
+    from ._common import iter_id_matrix
+
+    def bucketize(batches):
         V_, powers_ = bc.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+        for vec_ids, X32 in iter_id_matrix(batches):
+            # x promotes to double against the double hyperplanes, exactly
+            # like the declarative FLOAT*DOUBLE projection
+            X = X32.astype(np.float64)
             P = np.round(X @ V_.T, 6)  # (batch, bands*planes)
             bits = (P > 0).reshape(len(X), _EMB_BANDS, len(powers_))
             buckets = (bits * powers_).sum(axis=2)  # (batch, bands)
-            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            yield pd.DataFrame(
+            yield pa.RecordBatch.from_pydict(
                 {
-                    "vec_id": np.repeat(vec_ids, _EMB_BANDS),
-                    "band": np.tile(np.arange(_EMB_BANDS, dtype=np.int32), len(X)),
-                    "bucket": buckets.reshape(-1),
+                    "vec_id": pa.array(np.repeat(vec_ids, _EMB_BANDS)),
+                    "band": pa.array(
+                        np.tile(np.arange(_EMB_BANDS, dtype=np.int32), len(X)), pa.int32()
+                    ),
+                    "bucket": pa.array(buckets.reshape(-1)),
                 }
             )
 
     ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-    buckets = e.select("vec_id", "embedding").mapInPandas(
+    buckets = e.select("vec_id", "embedding").mapInArrow(
         bucketize, schema="vec_id long, band int, bucket long"
     )
     return ev, buckets

@@ -346,28 +346,34 @@ def brute_topk_arrow(spark, sf_dir, query_ids=_QUERY_IDS, k: int = 5):
     qn = np.round((qmat * qmat).astype(np.float64).sum(axis=1), 9)
     qb = spark.sparkContext.broadcast((qids, qmat, qn))
 
-    def topk_part(it):
+    import pyarrow as pa
+
+    from ._common import iter_id_matrix
+
+    def topk_part(batches):
         qids_, qmat_, qn_ = qb.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            cmat = np.array(list(pdf["embedding"]), dtype=np.float32)
+        for cids, cmat in iter_id_matrix(batches):
             cn = np.round((cmat * cmat).astype(np.float64).sum(axis=1), 9)
             dots = (cmat[:, None, :] * qmat_[None, :, :]).astype(np.float64).sum(axis=2)
             sims = np.round(dots / np.sqrt(cn[:, None] * qn_[None, :]), 6)
-            out = []
+            out_qid, out_cid, out_cos = [], [], []
             for qi, qid in enumerate(qids_):
                 s = sims[:, qi]
                 mask = cids != qid
                 order = np.lexsort((cids[mask], -s[mask]))[:k]
                 sel = np.flatnonzero(mask)[order]
-                out.append(
-                    pd.DataFrame({"qid": qid, "cid": cids[sel], "cosine": s[sel]})
-                )
-            yield pd.concat(out, ignore_index=True)
+                out_qid.append(np.full(len(sel), qid, dtype=np.int64))
+                out_cid.append(cids[sel])
+                out_cos.append(s[sel])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "qid": pa.array(np.concatenate(out_qid)),
+                    "cid": pa.array(np.concatenate(out_cid)),
+                    "cosine": pa.array(np.concatenate(out_cos)),
+                }
+            )
 
-    parts = e.select("vec_id", "embedding").mapInPandas(
+    parts = e.select("vec_id", "embedding").mapInArrow(
         topk_part, schema="qid long, cid long, cosine double"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
@@ -386,9 +392,10 @@ def brute_topk_arrow(spark, sf_dir, query_ids=_QUERY_IDS, k: int = 5):
 # training bit-for-bit; at scale the assignment step must be a matmul.
 # This path computes the SAME training math (seed cells = vec_id % ncells,
 # round(avg, 6)+0.0 centroids, round(||x−c||², 6) argmin with ascending-
-# cell tiebreak) but assigns via one Arrow corpus pass per Lloyd step;
-# only the re-average is declarative (corpus-sized groupBy, no join
-# blowup).  Parity with the declarative training is pinned by
+# cell tiebreak) but each training step — seed average AND Lloyd
+# reassign/re-average — is one Arrow corpus pass emitting per-partition
+# partial sums; the only shuffle per step is partitions × ncells × dim
+# partial rows.  Parity with the declarative training is pinned by
 # test_ivf_arrow_training_matches_declarative.
 # --------------------------------------------------------------------------
 
@@ -402,55 +409,87 @@ def _cent_matrix(cent_pdf, dim: int = 64):
     return cells, cmat
 
 
-def _assign_arrow(e, cells, cmat):
-    """One corpus pass: (vec_id, cell) nearest-centroid assignment via the
-    shared rounded-distance rule, vectorized."""
-    spark = e.sparkSession
-    bc = spark.sparkContext.broadcast((cells, cmat, (cmat * cmat).sum(axis=1)))
+def _cell_partials_arrow(e, assigner, ncells: int, dim: int = 64):
+    """One corpus pass -> per-partition partial (cell, pos, psum, pcnt).
 
-    def assign(it):
-        cells_, cmat_, c2_ = bc.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            X = np.array(list(pdf["embedding"]), dtype=np.float64)
-            x2 = (X * X).sum(axis=1)
-            D = np.round(x2[:, None] + c2_[None, :] - 2.0 * (X @ cmat_.T), 6)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "cell": cells_[np.argmin(D, axis=1)].astype(np.int32),
-                }
-            )
+    ``assigner(ids, X) -> cell index array``.  Each partition accumulates a
+    dense (ncells x dim) partial-sum matrix and emits AT MOST ncells*dim
+    rows — so a Lloyd re-average shuffles O(partitions * ncells * dim)
+    rows instead of the N*dim posexploded corpus (64M rows at 1M vectors;
+    at 10^9 vectors the posexplode re-average would shuffle 6.4e10 rows
+    per iteration while this stays at partitions * 2M).  The average
+    sum(psum)/sum(pcnt) is the same double arithmetic Spark's partial-
+    aggregating F.avg performs; order noise is absorbed by round(.,6)
+    per the _common.py policy."""
 
-    return e.select("vec_id", "embedding").mapInPandas(
-        assign, schema="vec_id long, cell int"
+    import pyarrow as pa
+
+    from ._common import iter_id_matrix
+
+    def partials(batches):
+        sums = np.zeros((ncells, dim), dtype=np.float64)
+        cnts = np.zeros(ncells, dtype=np.int64)
+        for ids, X32 in iter_id_matrix(batches, dim=dim):
+            X = X32.astype(np.float64)
+            idx = assigner(ids, X)
+            np.add.at(sums, idx, X)
+            cnts += np.bincount(idx, minlength=ncells)
+        nz = np.flatnonzero(cnts)
+        if len(nz) == 0:
+            return
+        yield pa.RecordBatch.from_pydict(
+            {
+                "cell": pa.array(np.repeat(nz, dim).astype(np.int32), pa.int32()),
+                "pos": pa.array(np.tile(np.arange(dim, dtype=np.int32), len(nz)), pa.int32()),
+                "psum": pa.array(sums[nz].reshape(-1)),
+                "pcnt": pa.array(np.repeat(cnts[nz], dim)),
+            }
+        )
+
+    return e.select("vec_id", "embedding").mapInArrow(
+        partials, schema="cell int, pos int, psum double, pcnt long"
     )
 
 
 def ivf_train_arrow(spark, sf_dir, ncells: int | None = None):
-    """Trained (cell, pos, c) centroids, Arrow-assigned — the scale path.
+    """Trained (cell, pos, c) centroids, Arrow-trained — the scale path.
 
     Identical training schedule to ``ivf_assignments`` (_TRAIN_ITERS
-    averaging steps); each Lloyd assignment is one matmul corpus pass, each
-    re-average one corpus-sized groupBy."""
+    averaging steps: seed cells = vec_id % ncells, then Lloyd
+    reassign/re-average via the shared rounded-distance argmin), but with
+    ZERO posexplode anywhere: every step is one matmul/scatter-add corpus
+    pass emitting per-partition partial sums, combined by a tiny
+    groupBy(cell, pos) over partitions x ncells x dim rows.  Centroid
+    parity with the declarative form is pinned by
+    test_ivf_arrow_training_matches_declarative."""
     e = t(spark, sf_dir, "embeddings")
     if ncells is None:
         ncells = ivf_ncells(e.count())
-    ev = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-    seed = ev.withColumn("cell", F.pmod(F.col("vec_id"), F.lit(ncells)).cast("int"))
-    cent = (
-        seed.groupBy("cell", "pos")
-        .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("c"))
+
+    def reavg(partials):
+        return partials.groupBy("cell", "pos").agg(
+            (F.round(F.sum("psum") / F.sum("pcnt"), 6) + F.lit(0.0)).alias("c")
+        )
+
+    cent = reavg(
+        _cell_partials_arrow(e, lambda ids, X: (ids % ncells).astype(np.int64), ncells)
     )
     for _ in range(_TRAIN_ITERS - 1):
         cells, cmat = _cent_matrix(cent.toPandas())
-        assign = _assign_arrow(e, cells, cmat)
-        cent = (
-            ev.join(assign, "vec_id")
-            .groupBy("cell", "pos")
-            .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("c"))
+        c2 = (cmat * cmat).sum(axis=1)
+
+        def lloyd_assign(ids, X, cmat=cmat, c2=c2):
+            x2 = (X * X).sum(axis=1)
+            D = np.round(x2[:, None] + c2[None, :] - 2.0 * (X @ cmat.T), 6)
+            return np.argmin(D, axis=1)
+
+        # argmin index == cell id: cells is the sorted unique cell array and
+        # seed cells are 0..ncells-1 dense, but map through `cells` anyway
+        # in case a cell emptied out during Lloyd
+        part = _cell_partials_arrow(
+            e, lambda ids, X: cells[lloyd_assign(ids, X)], len(cells) and int(cells.max()) + 1
         )
+        cent = reavg(part)
     return cent.localCheckpoint()
 
 
@@ -493,8 +532,9 @@ def ivf_topk_arrow(
 
     qrows = e.filter(F.col("vec_id").isin(*list(query_ids))).select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qnrm = np.round((qmat * qmat).sum(axis=1), 9)
+    q32 = np.array([r["embedding"] for r in qrows], dtype=np.float32)
+    qmat = q32.astype(np.float64)
+    qnrm = np.round((q32 * q32).astype(np.float64).sum(axis=1), 9)
 
     # nprobe nearest cells per query, computed on the driver from cmat with
     # the shared rounding rule: round(||q-c||^2, 6), ties broken by
@@ -505,42 +545,53 @@ def ivf_topk_arrow(
         d = np.round((diff * diff).sum(axis=1), 6)
         order = np.lexsort((cells, d))[:nprobe]
         qcells[int(qid)] = {int(c) for c in cells[order]}
-    bc = spark.sparkContext.broadcast((cells, cmat, c2, qids, qmat, qnrm, qcells))
+    bc = spark.sparkContext.broadcast((cells, cmat, c2, qids, q32, qnrm, qcells))
 
-    def probe_part(it):
-        cells_, cmat_, c2_, qids_, qmat_, qnrm_, qcells_ = bc.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+    import pyarrow as pa
+
+    from ._common import iter_id_matrix
+
+    def probe_part(batches):
+        cells_, cmat_, c2_, qids_, q32_, qnrm_, qcells_ = bc.value
+        for cids, X32 in iter_id_matrix(batches):
+            X = X32.astype(np.float64)
             # nearest-centroid assignment, mirroring the declarative rule:
             # round(||x-c||^2, 6) argmin with ascending-cell tiebreak (the
             # first-minimum of a cell-ascending column order IS that rule).
             # One vectorized ||x||² + ||c||² − 2·X@C.T — the per-cell Python
             # loop this replaces cost ncells=√N iterations per Arrow batch
             # (31k at 10^9 vectors); the matmul is one BLAS call.
+            # (x promotes to double against double centroids — FLOAT*DOUBLE
+            # is double in the declarative plan too.)
             x2 = (X * X).sum(axis=1)
             D = np.round(x2[:, None] + c2_[None, :] - 2.0 * (X @ cmat_.T), 6)
             assigned = cells_[np.argmin(D, axis=1)]
-            cnrm = np.round((X * X).sum(axis=1), 9)
-            out = []
+            # cosine against the query is FLOAT*FLOAT in the declarative
+            # plan: float32 products, double accumulation (_common.py policy)
+            cnrm = np.round((X32 * X32).astype(np.float64).sum(axis=1), 9)
+            out_qid, out_cid, out_cos = [], [], []
             for qi, qid in enumerate(qids_):
                 probed = qcells_.get(int(qid), set())
                 mask = np.isin(assigned, list(probed)) & (cids != qid)
                 if not mask.any():
                     continue
-                dots = X[mask] @ qmat_[qi]
+                dots = (X32[mask] * q32_[qi][None, :]).astype(np.float64).sum(axis=1)
                 cos = np.round(dots / np.sqrt(qnrm_[qi] * cnrm[mask]), 6)
                 sel_ids = cids[mask]
                 order = np.lexsort((sel_ids, -cos))[:k]
-                out.append(
-                    pd.DataFrame({"qid": qid, "cid": sel_ids[order], "cosine": cos[order]})
+                out_qid.append(np.full(len(order), qid, dtype=np.int64))
+                out_cid.append(sel_ids[order])
+                out_cos.append(cos[order])
+            if out_qid:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "qid": pa.array(np.concatenate(out_qid)),
+                        "cid": pa.array(np.concatenate(out_cid)),
+                        "cosine": pa.array(np.concatenate(out_cos)),
+                    }
                 )
-            if out:
-                yield pd.concat(out, ignore_index=True)
 
-    parts = e.select("vec_id", "embedding").mapInPandas(
+    parts = e.select("vec_id", "embedding").mapInArrow(
         probe_part, schema="qid long, cid long, cosine double"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))

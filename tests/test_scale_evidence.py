@@ -42,6 +42,19 @@ def test_planted_pairs_survive_ladder(evidence):
     assert evidence["stages"]["dd_verified_pairs"]["rows"] >= 0.9 * planted
 
 
+def test_rows_identical_across_parallelism(evidence):
+    """local[8] and local[32] over the same 1M input produce identical row
+    counts at every ladder stage — partitioning never changes results."""
+    c8 = ART.replace(".json", "_c8.json")
+    if not os.path.exists(c8):
+        pytest.skip("no committed local[8] leg")
+    with open(c8) as f:
+        other = json.load(f)
+    for name, st in evidence["stages"].items():
+        if "rows" in st and name in other["stages"]:
+            assert other["stages"][name]["rows"] == st["rows"], name
+
+
 def test_component_tier_and_observability_recorded(evidence):
     st = evidence["stages"]
     assert st["dd_verified_pairs"]["component_tier"] in (

@@ -44,8 +44,15 @@ def canon(pdf: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict = {}
 
     import __spark_entry__ as entry_mod
 
@@ -69,21 +76,33 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             fails.append((name, f"SPARK ERROR: {e}"))
+            records[name] = {"err": f"spark: {e}"}
             print(f"[FAIL] {name}: spark error: {e}")
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             weak.append(name)
+            records[name] = {"spark_rows": len(sdf), "rows_only": True, "err": None}
             print(f"[rows-only] {name}: {len(sdf)} rows  ({t_spark:.1f}s)")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             fails.append((name, f"DUCKDB ERROR: {e}"))
+            records[name] = {"err": f"duckdb: {e}"}
             print(f"[FAIL] {name}: duckdb error: {e}")
             continue
         ns, cs, hs = canon(sdf)
         no, co, ho = canon(odf)
+        records[name] = {
+            "rows_match": ns == no,
+            "schema_match": cs == co,
+            "hash_match": hs == ho,
+            "spark_rows": ns,
+            "oracle_rows": no,
+            "spark_s": round(t_spark, 1),
+            "err": None,
+        }
         if ns != no:
             fails.append((name, f"rowcount {ns} != {no}"))
             print(f"[FAIL] {name}: rowcount spark={ns} duck={no}")
@@ -101,6 +120,22 @@ def main():
             print(f"[ok] {name}: {ns} rows  ({t_spark:.1f}s)")
 
     print(f"\n{len(passes)} ok, {len(weak)} rows-only, {len(fails)} FAILED")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_ok": len(passes),
+                    "n_rows_only": len(weak),
+                    "n_failed": len(fails),
+                    "gates": records,
+                },
+                f,
+                indent=2,
+            )
+        print(f"wrote {json_out}")
     for n, r in fails:
         print(f"  FAIL {n}: {r[:200]}")
     sys.exit(1 if fails else 0)
