@@ -1,10 +1,15 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata.
 
-The container has no image/audio codecs, so the decode step is a clearly
-marked stub (``decode_image_stub`` raises unless the deterministic fake is
-requested) — but everything Spark-side is real and tested: binary column
-construction, metadata extraction (sizes, digests), Arrow batch shapes
-through ``mapInPandas``, and deterministic frame sampling over byte ranges.
+The container has no media libraries, so every codec here is built from
+numpy/stdlib — and by round 4 they are REAL for every format the library
+synthesizes: strict P6 PPM, PNG (stdlib zlib + all five scanline filters),
+baseline JPEG (``jpegcodec``: Huffman entropy coding + DCT), RIFF/PCM16
+WAV, and YUV4MPEG2 video, each with an encoder dual and property-tested
+round-trips.  Only formats whose codecs genuinely exceed stdlib
+(progressive JPEG, MP3, H.264) stay behind the one documented stub
+(``decode_image_stub``).  Everything Spark-side is real and tested: binary
+column construction, metadata extraction (sizes, digests), Arrow batch
+shapes through ``mapInPandas``, and deterministic frame sampling.
 
 At 100 TB the payload column stays in parquet/Iceberg as binary chunks;
 metadata queries below never deserialize payloads into Python (built-in
@@ -49,10 +54,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     """REAL minimal image codec: binary PPM (P6, maxval 255) -> HxWx3 uint8.
 
     Pure numpy/stdlib — no external imaging library needed — so the
-    uncompressed-format decode path is genuinely implemented, not stubbed;
-    only compressed formats (JPEG/PNG, which need libjpeg/zlib codecs this
-    container lacks) remain behind ``decode_image_stub``.  Strict parser:
-    raises ``ValueError`` on anything but well-formed P6/255 payloads.
+    uncompressed-format decode path is genuinely implemented, not stubbed
+    (compressed formats have real decoders too: ``decode_png`` below and
+    ``jpegcodec.decode_jpeg``).  Strict parser: raises ``ValueError`` on
+    anything but well-formed P6/255 payloads.
     """
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
@@ -364,11 +369,71 @@ def synthesize_png(text: str, w: int = 16, h: int = 8) -> bytes:
     return encode_png(img, row_filters=[r % 5 for r in range(h)])
 
 
-def decode_image_stub(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode a JPEG image payload to HxWxC uint8.
+def synthesize_jpeg(text: str, blocks_x: int = 4, blocks_y: int = 2) -> bytes:
+    """Deterministic REAL baseline JPEG: a grayscale image of flat 8x8
+    blocks whose values are the first ``blocks_x*blocks_y`` bytes of
+    sha256(text || 'j'), encoded with unit quant tables and a restart
+    interval of 3 (so the gated decode exercises DC prediction resets and
+    RSTn handling).  Flat blocks + unit quant round-trip EXACTLY through
+    the float DCT (see ``jpegcodec`` module docstring), so the decoded
+    pixels equal the digest bytes and the features are SQL-verifiable."""
+    from .jpegcodec import encode_jpeg_baseline
 
-    The ONE remaining stubbed format: JPEG (libjpeg's DCT entropy codec is
-    not stdlib; PPM and PNG have real decoders above, WAV/Y4M likewise).
+    n = blocks_x * blocks_y
+    d = hashlib.sha256(text.encode("utf-8") + b"j").digest()
+    vals = np.frombuffer(d, dtype=np.uint8)[:n].reshape(blocks_y, blocks_x)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    return encode_jpeg_baseline(img, restart_interval=3)
+
+
+def decode_jpeg_features(spark, sf_dir):
+    """Synthesize a REAL baseline JPEG per document -> decode it with the
+    real Huffman+DCT codec -> mean pixel value.
+
+    The full compressed-image path — marker walk, DHT Huffman decode with
+    byte unstuffing and restart markers, dequantize, dezigzag, IDCT — runs
+    inside Arrow batches and is hash-verified: each 8x8 block decodes to
+    exactly its digest byte, so the image mean equals the mean of digest
+    bytes 0..7, which the oracle recomputes from the hex digest.
+    """
+    from .jpegcodec import decode_jpeg
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def feats(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                img = decode_jpeg(synthesize_jpeg(text))
+                rows.append((doc_id, float(img.mean())))
+            yield pd.DataFrame(rows, columns=["doc_id", "mean_y"])
+
+    return d.mapInPandas(feats, schema="doc_id long, mean_y double")
+
+
+# the decoded image is 8 flat blocks of 64 pixels each, valued at digest
+# bytes 0..7 — so the image mean is the mean of those 8 bytes (exact:
+# a sum of 8 ints divided by 8.0)
+DECODE_JPEG_FEATURES_SQL = """
+WITH h AS (
+  SELECT doc_id, sha256(text || 'j') AS hj FROM documents
+), b AS (
+  SELECT doc_id, CAST(('0x' || substr(hj, 2 * i + 1, 2)) AS INT) AS bj
+  FROM h, (SELECT unnest(range(8)) AS i)
+)
+SELECT doc_id, SUM(bj) / 8.0 AS mean_y FROM b GROUP BY doc_id
+"""
+
+
+def decode_image_stub(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload in a format with no decoder here.
+
+    As of round 4 every image format this library synthesizes has a REAL
+    decoder (PPM, PNG, baseline JPEG — see ``jpegcodec``); the stub remains
+    only for formats whose codecs genuinely exceed stdlib (progressive
+    JPEG's spectral-selection passes, MP3/H.264 entropy+transform stacks).
     ``fake=True``
     yields a deterministic pseudo-image derived from per-channel payload
     digests (sha256(payload + channel tag), tiled to a 32x32 plane) so the
@@ -696,6 +761,7 @@ QUERIES = {
     "mm_extract_features": extract_features,
     "mm_decode_ppm_features": decode_ppm_features,
     "mm_decode_png_features": decode_png_features,
+    "mm_decode_jpeg_features": decode_jpeg_features,
     "mm_decode_wav_features": decode_wav_features,
     "mm_decode_y4m_frames": decode_y4m_frames,
     "mm_resize_features": resize_features,
@@ -711,6 +777,7 @@ ORACLES = {
     # the PNG pipeline decodes the same digest-tiled planes (through zlib +
     # the five unfilters), so it verifies against the same digest-mean oracle
     "mm_decode_png_features": EXTRACT_FEATURES_SQL,
+    "mm_decode_jpeg_features": DECODE_JPEG_FEATURES_SQL,
     "mm_decode_wav_features": DECODE_WAV_FEATURES_SQL,
     "mm_decode_y4m_frames": DECODE_Y4M_FRAMES_SQL,
     "mm_resize_features": RESIZE_FEATURES_SQL,

@@ -241,6 +241,112 @@ def test_y4m_codec_contract():
             decode_y4m(bad)
 
 
+def test_jpeg_codec_contract():
+    """The real baseline JPEG codec: exactness on flat blocks, bounded
+    error on general images, restart markers, strict rejection."""
+    import numpy as np
+    import pytest as _pytest
+
+    from search_engine_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(7)
+    # flat 8x8 blocks + unit quant round-trip EXACTLY (the gate's contract)
+    vals = rng.integers(0, 256, size=(2, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    assert (decode_jpeg(encode_jpeg_baseline(img))[:, :, 0] == img).all()
+    # ... including through restart markers (DC prediction resets)
+    assert (
+        decode_jpeg(encode_jpeg_baseline(img, restart_interval=3))[:, :, 0] == img
+    ).all()
+
+    # general grayscale with unit quant: only FDCT-quantize-IDCT float
+    # noise remains, bounded by a couple of gray levels
+    g = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg_baseline(g))[:, :, 0]
+    assert np.abs(d.astype(int) - g.astype(int)).max() <= 2
+
+    # odd (non-multiple-of-8) dimensions pad at encode and crop at decode
+    o = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    do = decode_jpeg(encode_jpeg_baseline(o))
+    assert do.shape == (13, 21, 1)
+    assert np.abs(do[:, :, 0].astype(int) - o.astype(int)).max() <= 2
+
+    # color 4:4:4: adds YCbCr<->RGB rounding, still tightly bounded
+    c = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    dc = decode_jpeg(encode_jpeg_baseline(c))
+    assert dc.shape == (16, 16, 3)
+    assert np.abs(dc.astype(int) - c.astype(int)).max() <= 4
+
+    # color 4:2:0 on a horizontally-smooth image (chroma constant per 2x2)
+    base = np.linspace(0, 255, 32).astype(np.uint8)
+    sm = np.stack([np.tile(base, (32, 1))] * 3, axis=-1)
+    d420 = decode_jpeg(encode_jpeg_baseline(sm, subsampling="420"))
+    assert np.abs(d420.astype(int) - sm.astype(int)).max() <= 2
+
+    # a real quant table quantizes: error scales with the table, shape holds
+    q = np.clip(np.arange(1, 65).reshape(8, 8), 1, 255)
+    dq = decode_jpeg(encode_jpeg_baseline(g, quant_luma=q))
+    assert dq.shape == (24, 40, 1)
+
+    good = encode_jpeg_baseline(img)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    sof_at = good.find(b"\xff\xc0")
+    bad_samp = (
+        good[: sof_at + 13] + b"\x33" + good[sof_at + 14 :]
+    )  # sampling 3x3 in the (single-component) SOF
+    for bad in (b"nope", good[:40], good[:-20], progressive, bad_samp):
+        with _pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_jpeg_flat_roundtrip_property():
+    """Flat-block exactness (the SQL-verifiability contract) over arbitrary
+    block values, geometries, and restart intervals."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from search_engine_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    @given(
+        arrays(np.uint8, st.tuples(st.integers(1, 4), st.integers(1, 4))),
+        st.integers(0, 3),
+    )
+    @settings(max_examples=40, deadline=None)
+    def flat_roundtrip(vals, rst):
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        dec = decode_jpeg(encode_jpeg_baseline(img, restart_interval=rst))
+        assert (dec[:, :, 0] == img).all()
+
+    flat_roundtrip()
+
+
+def test_jpeg_synthesize_digest_exactness():
+    """synthesize_jpeg's decoded pixels ARE the digest bytes — the identity
+    the mm_decode_jpeg_features oracle relies on."""
+    import hashlib
+
+    import numpy as np
+
+    from search_engine_spark.operators.jpegcodec import decode_jpeg
+    from search_engine_spark.operators.multimodal import synthesize_jpeg
+
+    text = "hello world"
+    img = decode_jpeg(synthesize_jpeg(text))
+    d = np.frombuffer(
+        hashlib.sha256(text.encode() + b"j").digest(), dtype=np.uint8
+    )[:8].reshape(2, 4)
+    assert (img[:, :, 0] == np.repeat(np.repeat(d, 8, axis=0), 8, axis=1)).all()
+    assert float(img.mean()) == float(d.mean())
+
+
 def test_multimodal_stub_contract(spark, sf_dir):
     from search_engine_spark.operators.multimodal import decode_image_stub, extract_features
 
