@@ -12,8 +12,9 @@
 - ``similarity``  — brute-force cosine top-k + IVF ANN over the embeddings
   table, each with a one-pass Arrow serving kernel gated against the same
   oracle as its declarative twin.
-- ``multimodal``  — binary-column plumbing (decode stubbed; Spark-side schema,
-  partitioning, Arrow batch shape are real).
+- ``multimodal``  — binary-column plumbing with REAL pure-numpy/stdlib codecs
+  (P6 PPM, PNG, baseline JPEG, PCM16 WAV, YUV4MPEG2); only formats whose
+  codecs exceed stdlib (progressive JPEG/MP3/H.264) stay stubbed.
 
 Every operator is a ``(spark, sf_dir) -> DataFrame`` callable; most carry a
 DuckDB-equivalent ANSI-SQL oracle string for the correctness gate.  Aggregates
