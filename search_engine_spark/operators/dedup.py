@@ -778,6 +778,33 @@ def embedding_neardup_lsh(spark, sf_dir, buckets_fn=None):
     )
 
 
+def _gram_pairs(ids, X32, out):
+    """All-pairs rounded cosines of one bucket -> append kept pairs to out.
+
+    float32 products, float64 accumulation: Spark's declarative twin
+    multiplies two FLOAT columns (single-precision product, ~6e-8
+    quantization) before SUM casts to double — a systematic offset, not
+    order noise, so the kernel must reproduce it or boundary pairs flip
+    their 6th decimal (observed at sf0.001: pair 116/235, true cosine
+    1.1e-9 below the .3633755 grid line).
+    """
+    import numpy as np
+
+    m = len(ids)
+    if m < 2 or m > _EMB_BUCKET_CAP:
+        return
+    n = np.round((X32 * X32).astype(np.float64).sum(axis=1), 9)
+    G = (X32[:, None, :] * X32[None, :, :]).astype(np.float64).sum(axis=2)
+    C = np.round(G / np.sqrt(n[:, None] * n[None, :]), 6)
+    iu, ju = np.triu_indices(m, k=1)
+    cos = C[iu, ju]
+    keep = cos >= 0.35
+    if not keep.any():
+        return
+    a, b = ids[iu][keep], ids[ju][keep]
+    out.append((np.minimum(a, b), np.maximum(a, b), cos[keep]))
+
+
 def embedding_neardup_lsh_kernel(spark, sf_dir):
     """Full serving form of the embedding near-dup ladder: Arrow bucketing
     (one matmul corpus pass) + BUCKET-LOCAL verification.
@@ -788,47 +815,92 @@ def embedding_neardup_lsh_kernel(spark, sf_dir):
     of spill, the round-4 1M-run killer).  Here every capped bucket
     (≤ _EMB_BUCKET_CAP members) verifies ITS OWN members: the only shuffle
     is bucket-membership × whole-array rows, O(N · bands · vec_bytes) —
-    ~2.4 GB at 1M×64-dim, independent of how many candidate pairs the
+    ~2 GB at 1M×64-dim, independent of how many candidate pairs the
     buckets imply.  Per bucket, all-pairs cosine is one ≤64×64 numpy Gram
     matrix; a pair colliding in several bands yields identical rounded
     cosines, collapsed by the final distinct (same rounding rule as the
     declarative twin: norms to 9, cosine to 6 — cross-engine float noise
     ≪ the grid per the _common.py rounding policy).
 
+    The verify stage streams Arrow batches over partitions sorted by
+    (band, bucket) — ``repartition + sortWithinPartitions + mapInArrow``
+    with a carry for the bucket straddling a batch boundary — instead of
+    ``groupBy().applyInPandas``: one pandas DataFrame per ≤64-row bucket
+    (~400k of them at 1M vectors) dominated the whole ladder's cost
+    (profiled: 1,976 s of executor time, 62 s of the 116 s wall, vs ~5 s
+    of actual Gram arithmetic).  Same shuffle bytes, same math, same
+    output, ~10× less Python overhead.
+
     Same output contract and SQL oracle as ``embedding_neardup_lsh``.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     _, buckets = _emb_band_buckets_arrow(spark, sf_dir)
-    buckets = buckets.localCheckpoint()
+    # buckets feed the size filter AND the membership join; the size filter
+    # must run BEFORE any array bytes move so a degenerate over-cap bucket
+    # never ships its members.  Deliberately NOT materialized: the two
+    # consumers recompute the bucketize pass (a ~2 s broadcast matmul over
+    # the corpus), which measures far cheaper than checkpointing the
+    # N·bands skinny rows (at 1M vectors: localCheckpoint cost 776 s of
+    # executor time and the stage graph serialized behind it — dropping it
+    # took the kernel 65 s -> 32 s wall at local[32])
     sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n_vec"))
     ok = sizes.filter((F.col("n_vec") >= 2) & (F.col("n_vec") <= _EMB_BUCKET_CAP))
     in_ok = buckets.join(ok.select("band", "bucket"), ["band", "bucket"])
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     members = in_ok.join(e, "vec_id")
+    stream = (
+        members.select("band", "bucket", "vec_id", "embedding")
+        .repartition("band", "bucket")
+        .sortWithinPartitions("band", "bucket")
+    )
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        # float32 products, float64 accumulation: Spark's declarative twin
-        # multiplies two FLOAT columns (single-precision product, ~6e-8
-        # quantization) before SUM casts to double — a systematic offset,
-        # not order noise, so the kernel must reproduce it or boundary
-        # pairs flip their 6th decimal (observed at sf0.001: pair 116/235,
-        # true cosine 1.1e-9 below the .3633755 grid line)
-        X32 = np.array(list(pdf["embedding"]), dtype=np.float32)
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        n = np.round((X32 * X32).astype(np.float64).sum(axis=1), 9)
-        G = (X32[:, None, :] * X32[None, :, :]).astype(np.float64).sum(axis=2)
-        C = np.round(G / np.sqrt(n[:, None] * n[None, :]), 6)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        lo = np.minimum(ids[iu], ids[ju])
-        hi = np.maximum(ids[iu], ids[ju])
-        cos = C[iu, ju]
-        keep = cos >= 0.35
-        return pd.DataFrame({"id1": lo[keep], "id2": hi[keep], "cosine": cos[keep]})
+    def verify_stream(batches):
+        cb = cu = ci = cx = None  # carry: the bucket straddling the boundary
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            band = rb.column(0).to_numpy().astype(np.int64, copy=False)
+            bucket = rb.column(1).to_numpy().astype(np.int64, copy=False)
+            ids = rb.column(2).to_numpy().astype(np.int64, copy=False)
+            flat = rb.column(3).flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(rb.num_rows, 64)
+            if cb is not None:
+                band = np.concatenate([cb, band])
+                bucket = np.concatenate([cu, bucket])
+                ids = np.concatenate([ci, ids])
+                X = np.concatenate([cx, X])
+            change = np.flatnonzero((band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1]))
+            starts = np.concatenate([[0], change + 1])
+            # the last group may continue in the next batch — carry it
+            out: list = []
+            for s, e_ in zip(starts[:-1], starts[1:]):
+                _gram_pairs(ids[s:e_], X[s:e_], out)
+            tail = starts[-1]
+            cb, cu, ci, cx = band[tail:], bucket[tail:], ids[tail:], X[tail:]
+            if out:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "id1": pa.array(np.concatenate([o[0] for o in out])),
+                        "id2": pa.array(np.concatenate([o[1] for o in out])),
+                        "cosine": pa.array(np.concatenate([o[2] for o in out])),
+                    }
+                )
+        if cb is not None and len(cb):
+            out = []
+            _gram_pairs(ci, np.ascontiguousarray(cx), out)
+            if out:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "id1": pa.array(out[0][0]),
+                        "id2": pa.array(out[0][1]),
+                        "cosine": pa.array(out[0][2]),
+                    }
+                )
 
-    pairs = members.groupBy("band", "bucket").applyInPandas(
-        verify, schema="id1 long, id2 long, cosine double"
+    pairs = stream.mapInArrow(
+        verify_stream, schema="id1 long, id2 long, cosine double"
     )
     return pairs.distinct()
 
