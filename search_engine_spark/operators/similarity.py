@@ -409,6 +409,32 @@ def _cent_matrix(cent_pdf, dim: int = 64):
     return cells, cmat
 
 
+def _assign_chunked(X, cmat, c2, chunk: int | None = None):
+    """Nearest-centroid assignment indices: round(||x−c||², 6) argmin with
+    ascending-cell tiebreak (argmin's first-minimum over the cell-ascending
+    column order IS that rule).
+
+    Chunked so the (rows × ncells) float64 distance matrix stays ~2 MB —
+    CACHE-resident — at any ncells.  This is a memory-bandwidth problem,
+    not a flops problem: a 100k-row Arrow batch × 1000 cells materializes
+    ~800 MB of distance temporaries per worker, and with 32 concurrent
+    workers the host's DRAM bandwidth collapses (measured on the 1M-vector
+    corpus: 25 s per 31k-row task at a 64 MB chunk vs 0.69 s at a 2 MB
+    chunk — same machine, same math, 32-way concurrency; one Lloyd pass
+    cost 3,365 s of executor time before this fix + the session-level
+    BLAS thread cap)."""
+    ncells = len(c2)
+    if chunk is None:
+        chunk = max(64, (2 << 20) // (8 * max(ncells, 1)))
+    out = np.empty(len(X), dtype=np.int64)
+    for s in range(0, len(X), chunk):
+        Xc = X[s : s + chunk]
+        x2 = (Xc * Xc).sum(axis=1)
+        D = np.round(x2[:, None] + c2[None, :] - 2.0 * (Xc @ cmat.T), 6)
+        out[s : s + chunk] = np.argmin(D, axis=1)
+    return out
+
+
 def _cell_partials_arrow(e, assigner, ncells: int, dim: int = 64):
     """One corpus pass -> per-partition partial (cell, pos, psum, pcnt).
 
@@ -432,7 +458,11 @@ def _cell_partials_arrow(e, assigner, ncells: int, dim: int = 64):
         for ids, X32 in iter_id_matrix(batches, dim=dim):
             X = X32.astype(np.float64)
             idx = assigner(ids, X)
-            np.add.at(sums, idx, X)
+            # per-dim weighted bincount beats np.add.at's unbuffered
+            # scatter ~10x; summation-order noise between the two is
+            # absorbed by the shared round(avg, 6) rule
+            for d in range(dim):
+                sums[:, d] += np.bincount(idx, weights=X[:, d], minlength=ncells)
             cnts += np.bincount(idx, minlength=ncells)
         nz = np.flatnonzero(cnts)
         if len(nz) == 0:
@@ -479,9 +509,7 @@ def ivf_train_arrow(spark, sf_dir, ncells: int | None = None):
         c2 = (cmat * cmat).sum(axis=1)
 
         def lloyd_assign(ids, X, cmat=cmat, c2=c2):
-            x2 = (X * X).sum(axis=1)
-            D = np.round(x2[:, None] + c2[None, :] - 2.0 * (X @ cmat.T), 6)
-            return np.argmin(D, axis=1)
+            return _assign_chunked(X, cmat, c2)
 
         # argmin index == cell id: cells is the sorted unique cell array and
         # seed cells are 0..ncells-1 dense, but map through `cells` anyway
@@ -539,40 +567,39 @@ def ivf_topk_arrow(
     # nprobe nearest cells per query, computed on the driver from cmat with
     # the shared rounding rule: round(||q-c||^2, 6), ties broken by
     # ascending cell (cells is sorted, lexsort is stable on it)
-    qcells: dict[int, set] = {}
+    # per-query probe set as a boolean mask over CELL INDEX (not id), so
+    # batch-side membership is one O(rows) gather instead of np.isin's
+    # sort-based search per query per batch
+    qmask = np.zeros((len(qids), len(cells)), dtype=bool)
     for qi, qid in enumerate(qids):
         diff = qmat[qi] - cmat
         d = np.round((diff * diff).sum(axis=1), 6)
-        order = np.lexsort((cells, d))[:nprobe]
-        qcells[int(qid)] = {int(c) for c in cells[order]}
-    bc = spark.sparkContext.broadcast((cells, cmat, c2, qids, q32, qnrm, qcells))
+        qmask[qi, np.lexsort((cells, d))[:nprobe]] = True
+    bc = spark.sparkContext.broadcast((cells, cmat, c2, qids, q32, qnrm, qmask))
 
     import pyarrow as pa
 
     from ._common import iter_id_matrix
 
     def probe_part(batches):
-        cells_, cmat_, c2_, qids_, q32_, qnrm_, qcells_ = bc.value
+        cells_, cmat_, c2_, qids_, q32_, qnrm_, qmask_ = bc.value
         for cids, X32 in iter_id_matrix(batches):
             X = X32.astype(np.float64)
             # nearest-centroid assignment, mirroring the declarative rule:
-            # round(||x-c||^2, 6) argmin with ascending-cell tiebreak (the
-            # first-minimum of a cell-ascending column order IS that rule).
-            # One vectorized ||x||² + ||c||² − 2·X@C.T — the per-cell Python
-            # loop this replaces cost ncells=√N iterations per Arrow batch
-            # (31k at 10^9 vectors); the matmul is one BLAS call.
+            # round(||x-c||^2, 6) argmin with ascending-cell tiebreak —
+            # vectorized ||x||² + ||c||² − 2·X@C.T in bounded chunks (the
+            # per-cell Python loop this replaces cost ncells=√N iterations
+            # per Arrow batch; the unchunked matmul materialized ~800 MB of
+            # distance temporaries per 100k-row batch).
             # (x promotes to double against double centroids — FLOAT*DOUBLE
             # is double in the declarative plan too.)
-            x2 = (X * X).sum(axis=1)
-            D = np.round(x2[:, None] + c2_[None, :] - 2.0 * (X @ cmat_.T), 6)
-            assigned = cells_[np.argmin(D, axis=1)]
+            assigned_ix = _assign_chunked(X, cmat_, c2_)
             # cosine against the query is FLOAT*FLOAT in the declarative
             # plan: float32 products, double accumulation (_common.py policy)
             cnrm = np.round((X32 * X32).astype(np.float64).sum(axis=1), 9)
             out_qid, out_cid, out_cos = [], [], []
             for qi, qid in enumerate(qids_):
-                probed = qcells_.get(int(qid), set())
-                mask = np.isin(assigned, list(probed)) & (cids != qid)
+                mask = qmask_[qi][assigned_ix] & (cids != qid)
                 if not mask.any():
                     continue
                 dots = (X32[mask] * q32_[qi][None, :]).astype(np.float64).sum(axis=1)

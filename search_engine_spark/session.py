@@ -23,6 +23,19 @@ def get_spark(
     ``cpus`` controls local parallelism (``local[cpus]``); on a real cluster the
     master is taken from the environment and this arg is ignored by Spark.
     """
+    # numpy's BLAS must not self-parallelize inside python workers: N
+    # concurrent workers x M BLAS threads oversubscribes the box (measured:
+    # the 1M-vector IVF Lloyd pass burned 3,365 s of executor time on a
+    # ~128-GFlop matmul).  The workers ARE the parallelism; one BLAS thread
+    # each.  setdefault so an explicit user setting wins, and set before the
+    # JVM launches so workers inherit it (numpy reads these at load time).
+    for var in (
+        "OPENBLAS_NUM_THREADS",
+        "OMP_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
