@@ -267,6 +267,69 @@ def engine_bm25_topk(spark, sf_dir):
 
 ENGINE_BM25_TOPK_SQL = BM25_TOPK_SQL
 
+
+# --------------------------------------------------------------------------
+# streaming incremental ingest (C2 as Structured Streaming): the documents
+# table arrives as three micro-batch generations (streaming/ingest.py), the
+# engine queries the merged generations, and the SAME batch BM25 SQL oracle
+# must hash-match — incremental ingest is invisible to query results.
+# --------------------------------------------------------------------------
+
+_STREAM_INDEX_CACHE: dict[str, str] = {}
+
+
+def _stream_index_for(spark, sf_dir: str) -> str:
+    """Ingest documents (once per sf_dir per process) as 3 generations."""
+    if sf_dir in _STREAM_INDEX_CACHE:
+        return _STREAM_INDEX_CACHE[sf_dir]
+    from ..index.builder import BuildConfig
+    from ..streaming.ingest import ingest_batch
+
+    index_dir = os.path.join(
+        tempfile.gettempdir(), "ses_sidx_" + sf_dir.strip("/").replace("/", "_")
+    )
+    marker = os.path.join(index_dir, "gen_stats", "gen=2", "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = t(spark, sf_dir, "documents")
+        hi = docs.agg(F.max("doc_id")).collect()[0][0]
+        cut1, cut2 = hi // 3, 2 * hi // 3
+        cfg = BuildConfig(block_docs=256, target_ranges=64, min_range_docs=256,
+                          n_partitions=16)
+        n_docs = docs.count()
+        for e, cond in enumerate(
+            [
+                F.col("doc_id") <= cut1,
+                (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+                F.col("doc_id") > cut2,
+            ]
+        ):
+            ingest_batch(
+                spark, docs.filter(cond), index_dir, e,
+                cfg=cfg, id_col="doc_id", expected_docs=n_docs,
+            )
+    _STREAM_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def stream_ingest_topk(spark, sf_dir):
+    """Engine top-k over the 3-generation incremental index vs the batch oracle."""
+    from ..query.engine import SearchEngine
+
+    index_dir = _stream_index_for(spark, sf_dir)
+    eng = SearchEngine(spark, index_dir)
+    res = eng.search(" ".join(_Q_TERMS), k=60, mode="wand")
+    pdf = res.page.copy()
+    pdf["score"] = pdf["score"].round(6)
+    pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    pdf = pdf.head(20)
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(
+        pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
+    )
+
+
+STREAM_INGEST_TOPK_SQL = BM25_TOPK_SQL
+
 # --------------------------------------------------------------------------
 # grouped search rollup (reference /v2/search and /retail/v1/search,
 # app.py:488-520, pipelines.py:484-661: score -> group by g_id -> $first
@@ -388,6 +451,7 @@ QUERIES = {
     "ft_must_should": must_should,
     "ft_bm25_topk": bm25_topk,
     "ft_engine_bm25_topk": engine_bm25_topk,
+    "ft_stream_ingest_topk": stream_ingest_topk,
     "ft_grouped_topk": grouped_topk,
     "ft_engine_grouped_topk": engine_grouped_topk,
     "ft_query_log_replay": query_log_replay,
@@ -400,6 +464,7 @@ ORACLES = {
     "ft_must_should": MUST_SHOULD_SQL,
     "ft_bm25_topk": BM25_TOPK_SQL,
     "ft_engine_bm25_topk": ENGINE_BM25_TOPK_SQL,
+    "ft_stream_ingest_topk": STREAM_INGEST_TOPK_SQL,
     "ft_grouped_topk": GROUPED_TOPK_SQL,
     "ft_engine_grouped_topk": GROUPED_TOPK_SQL,
     "ft_query_log_replay": QUERY_LOG_REPLAY_SQL,

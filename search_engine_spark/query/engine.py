@@ -90,16 +90,29 @@ class SearchEngine:
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.cuts = list(self.stats["term_cuts"])
+        # incremental indexes (streaming/ingest.py) bake each generation's
+        # max_tf_norm with the avgdl known AT that generation; if avgdl has
+        # since grown, old block bounds under-estimate and WAND pruning would
+        # be unsound.  bound_scale = max_g(avgdl_now / avgdl_build_g, 1) is a
+        # sound uniform correction (tf_norm(avgdl1) <= tf_norm(avgdl0) *
+        # avgdl1/avgdl0 for avgdl1 > avgdl0); batch indexes carry 1.0 and
+        # x * 1.0 == x leaves their plans bit-identical.
+        self.bound_scale = float(self.stats.get("wand_bound_scale", 1.0))
         self._segments_df = spark.read.parquet(self.cat.segments)
         # small term dicts: one-time sorted load, then O(log V) lookups with
         # zero Spark jobs per query (the reference's Atlas term dictionary is
-        # equally memory-resident inside Lucene)
+        # equally memory-resident inside Lucene).  Incremental indexes store
+        # term stats as per-generation df DELTAS — every read aggregates by
+        # term (identity for a batch index, whose terms are unique).
         self._terms_arr: np.ndarray | None = None
         self._dfs_arr: np.ndarray | None = None
         tdf = spark.read.parquet(self.cat.term_stats)
         n_terms = tdf.count()
         if n_terms <= _TERM_DICT_CACHE_MAX:
-            pdf = tdf.select("term", "df").toPandas().sort_values("term")
+            pdf = (
+                tdf.groupBy("term").agg(F.sum("df").alias("df"))
+                .toPandas().sort_values("term")
+            )
             self._terms_arr = pdf["term"].to_numpy(dtype=object)
             self._dfs_arr = pdf["df"].to_numpy(dtype=np.int64)
 
@@ -117,7 +130,7 @@ class SearchEngine:
         rows = (
             self.spark.read.parquet(self.cat.term_stats)
             .filter(F.col("term").isin(list(terms)))
-            .select("term", "df")
+            .groupBy("term").agg(F.sum("df").alias("df"))
             .collect()
         )
         return {r["term"]: r["df"] for r in rows}
@@ -134,6 +147,7 @@ class SearchEngine:
             self.spark.read.parquet(self.cat.term_stats)
             .filter(F.col("term").startswith(prefix))
             .select("term")
+            .distinct()
             .orderBy("term")
         )
         if max_expansions:
@@ -170,6 +184,7 @@ class SearchEngine:
         docs whose score is split across terms).
         """
         avgdl = self.avgdl
+        bscale = self.bound_scale
         idf_b = self.spark.sparkContext.broadcast(dict(idf))
         rb_b = self.spark.sparkContext.broadcast(rest_bounds or {})
         th = theta
@@ -191,7 +206,7 @@ class SearchEngine:
                     # with the other terms' range bounds added
                     if th is not None:
                         rest = rbs.get((t, int(sseg_col[i])), 0.0)
-                        if w * mtn[i] + rest + boost_ceiling < th:
+                        if w * (mtn[i] * bscale) + rest + boost_ceiling < th:
                             continue
                     doc_ids, tfs, dls = decode_postings(buf)
                     tf = tfs.astype(np.float64)
@@ -565,7 +580,7 @@ class SearchEngine:
         )
         if meta.empty:
             return self._scored_docs(terms, idf)
-        meta["ub"] = meta["term"].map(idf).fillna(0.0) * meta["mtn"]
+        meta["ub"] = meta["term"].map(idf).fillna(0.0) * (meta["mtn"] * self.bound_scale)
         by_range = meta.groupby("sseg").agg(
             ub=("ub", "sum"), dc=("dc", "sum"), nterms=("term", "nunique")
         )

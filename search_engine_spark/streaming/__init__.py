@@ -6,6 +6,11 @@ operators use (operators/events.py) run unchanged behind ``readStream`` —
 that equivalence is the test contract (tests/test_streaming.py).
 """
 
+from .ingest import (  # noqa: F401
+    incremental_index_stream,
+    ingest_batch,
+    stream_documents,
+)
 from .windowed import (  # noqa: F401
     run_to_memory,
     session_window_counts,

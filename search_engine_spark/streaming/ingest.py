@@ -1,0 +1,383 @@
+"""Streaming incremental index ingestion — Structured Streaming micro-batches
+appended to a growing BM25 index as immutable *generations*.
+
+The reference's ingest story is a batch reload plus Atlas's own incremental
+sync (reference lamda/etl scripts + settings.py Atlas delegation); Lucene —
+the engine Atlas delegates to — grows an index as immutable segment
+generations merged at read time.  This module is that design on Spark:
+
+- ``readStream`` over a document directory; every micro-batch becomes one
+  **generation**: ``segments/gen=E/pid=P/``, ``doc_stats/gen=E/``,
+  ``term_stats/gen=E/`` (per-term df DELTAS), ``gen_stats/gen=E/`` (one row
+  of batch-level stats).  The query engine reads the union: partition
+  discovery merges segment generations, term stats aggregate by term, and
+  ``corpus_stats.json`` carries cumulative N/avgdl.
+- **Exactly-once on at-least-once replays**: every per-generation artifact
+  is written with ``mode("overwrite")`` under a deterministic epoch-named
+  path, and the LAST artifact written (``gen_stats/gen=E``) doubles as the
+  commit marker — a replayed ``foreachBatch`` epoch that finds it returns
+  immediately; a replay after a partial crash deterministically rewrites
+  the same bytes.  (The same write-then-rename discipline as the batch
+  builder's manifest, reference-free.)
+- **Global grid + partition map are frozen at generation 0** (``range_docs``,
+  ``block_docs``, ``term_cuts``, ``n_partitions``): every generation buckets
+  postings on the SAME doc-id grid and the same term->pid rule
+  (count of cuts < term == the engine's ``searchsorted(cuts, t, "left")``),
+  so cross-generation WAND range bounds stay summable and term->pid pruning
+  stays exact.  At cluster scale set ``expected_docs`` so the grid is sized
+  for the corpus the stream will become, not the first batch.
+- **BM25 exactness under growth**: scores decode tf+dl from postings and
+  apply the CURRENT cumulative avgdl/N/df at query time, so every exact
+  path (driver, sort, grouped) returns precisely what a full rebuild over
+  the union corpus returns.  The one stats-sensitive *metadata* field —
+  per-block ``max_tf_norm``, baked with the avgdl known at encode time — is
+  corrected by ``wand_bound_scale = max_g(avgdl_now / avgdl_build_g, 1)``:
+  for avgdl1 > avgdl0, ``tf_norm(avgdl1) = tf/(tf+c0+x*avgdl0/avgdl1)
+  <= tf_norm(avgdl0) * avgdl1/avgdl0``, so scaled bounds stay sound upper
+  bounds and WAND results stay bit-identical to the sort baseline (pinned
+  by test).  The scale only loosens pruning as avgdl drifts; a periodic
+  re-encode (Lucene's merge) resets it.
+
+Doc-id contract: with ``id_col`` the corpus brings its own unique long ids
+(rebuild-identical by construction).  Without it, ids are
+``(docs ingested so far) + lexicographic url rank within the batch`` —
+assignment-order-stable like Lucene's internal doc ids.  A full REBUILD
+ranks urls globally, so incremental doc_ids equal rebuild doc_ids iff
+batches arrive in url-lex order; under arbitrary arrival the (url, score)
+result sets still match the rebuild exactly and only same-score tiebreak
+order can differ (both pinned by tests).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import IndexCatalog
+from ..index.builder import (
+    BuildConfig,
+    assign_doc_ids,
+    build_vocab,
+    make_arrow_encoder,
+    sampled_nfc_ok,
+    tokens_from_docs,
+    tokens_from_docs_pandas,
+    with_extracted_text,
+    SEGMENT_SCHEMA,
+)
+
+
+def _gen_dir(root: str, epoch: int) -> str:
+    return os.path.join(root, f"gen={int(epoch)}")
+
+
+def _gen_stats_root(index_dir: str) -> str:
+    return os.path.join(index_dir, "gen_stats")
+
+
+def _committed_gens(spark: SparkSession, index_dir: str, before: int | None = None):
+    """Rows of gen_stats for committed generations (optionally gen < before)."""
+    root = _gen_stats_root(index_dir)
+    if not os.path.isdir(root) or not any(
+        e.startswith("gen=") for e in os.listdir(root)
+    ):
+        return []
+    df = spark.read.parquet(root)
+    if before is not None:
+        df = df.filter(F.col("gen") < int(before))
+    return sorted(df.collect(), key=lambda r: int(r["gen"]))
+
+
+def _tokenize_like_builder(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
+    if cfg.tokenizer == "jvm":
+        return tokens_from_docs(docs)
+    if cfg.tokenizer == "pandas":
+        return tokens_from_docs_pandas(docs)
+    fn = tokens_from_docs if sampled_nfc_ok(docs) else tokens_from_docs_pandas
+    return fn(docs)
+
+
+@dataclass
+class IngestResult:
+    epoch: int
+    skipped: bool
+    n_docs: int = 0
+    postings: int = 0
+    avgdl_build: float = 0.0
+    wall_sec: float = 0.0
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_dir: str,
+    epoch: int,
+    cfg: BuildConfig | None = None,
+    id_col: str | None = None,
+    expected_docs: int | None = None,
+) -> IngestResult:
+    """Index one micro-batch of documents as generation ``epoch``.
+
+    Idempotent: an epoch whose ``gen_stats`` marker exists is skipped, and a
+    partially-crashed epoch rewrites every artifact deterministically —
+    together the exactly-once contract ``foreachBatch`` needs on top of its
+    at-least-once replay semantics.
+    """
+    t0 = time.time()
+    cfg = cfg or BuildConfig()
+    cat = IndexCatalog(index_dir)
+    gstats_dir = _gen_dir(_gen_stats_root(index_dir), epoch)
+    if os.path.exists(os.path.join(gstats_dir, "_SUCCESS")):
+        return IngestResult(epoch=epoch, skipped=True)
+    if batch_df.isEmpty():
+        # an empty trigger must not become a generation — at gen 0 it would
+        # freeze empty term cuts for the index's whole life
+        return IngestResult(epoch=epoch, skipped=True)
+
+    prior = _committed_gens(spark, index_dir, before=epoch)
+    prior_n = sum(int(r["n_docs"]) for r in prior)
+    prior_dl = sum(int(r["sum_dl"]) for r in prior)
+
+    docs = with_extracted_text(batch_df)
+    if id_col is not None:
+        ranked = None
+        with_ids = docs.withColumn("doc_id", F.col(id_col).cast("long"))
+        if "url" not in with_ids.columns:
+            with_ids = with_ids.withColumn("url", F.col("doc_id").cast("string"))
+        with_ids = with_ids.select("doc_id", "url", "text")
+    else:
+        ids, ranked, _ = assign_doc_ids(docs, n_parts=cfg.n_partitions)
+        ids = ids.select("url", (F.col("doc_id") + F.lit(prior_n)).alias("doc_id"))
+        with_ids = docs.join(F.broadcast(ids), "url").select("doc_id", "url", "text")
+
+    tokens = _tokenize_like_builder(with_ids, cfg).persist()
+
+    # per-generation doc stats (hydration + dl); docs with zero tokens keep dl=0
+    dl_df = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    doc_stats = with_ids.select("doc_id", "url").join(dl_df, "doc_id", "left").select(
+        "doc_id", "url", F.coalesce("dl", F.lit(0)).alias("dl")
+    )
+    doc_stats.write.mode("overwrite").parquet(_gen_dir(cat.doc_stats, epoch))
+    agg = spark.read.parquet(_gen_dir(cat.doc_stats, epoch)).agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("s"),
+        F.max("dl").alias("m"),
+        F.max("doc_id").alias("mx"),
+    ).collect()[0]
+    batch_n, batch_dl = int(agg["n"]), int(agg["s"] or 0)
+    batch_max_dl, batch_max_id = int(agg["m"] or 0), int(agg["mx"] or 0)
+    if ranked is not None:
+        ranked.unpersist()
+
+    # per-generation term-df deltas; the engine and later stats reads
+    # aggregate SUM(df) by term across generations
+    tokens.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    ).write.mode("overwrite").parquet(_gen_dir(cat.term_stats, epoch))
+
+    # frozen corpus geometry: generation 0 computes it, every later
+    # generation reuses it verbatim (replays recompute identical values)
+    if cat.has_corpus_stats():
+        frozen = cat.read_corpus_stats()
+        cuts = list(frozen["term_cuts"])
+        range_docs = int(frozen["range_docs"])
+        block_docs = int(frozen["block_docs"])
+        n_partitions = int(frozen["n_partitions"])
+    else:
+        n_partitions = cfg.n_partitions
+        cuts, _, _, ranked_t, _ = build_vocab(
+            spark, _gen_dir(cat.term_stats, epoch), n_partitions
+        )
+        ranked_t.unpersist()
+        size_basis = expected_docs or batch_n
+        range_docs = max(cfg.min_range_docs, -(-size_basis // cfg.target_ranges))
+        block_docs = cfg.block_docs
+
+    # cumulative avgdl at encode time — recorded so the engine can rescale
+    # this generation's max_tf_norm bounds if avgdl later drifts
+    avgdl_build = (prior_dl + batch_dl) / max(1, prior_n + batch_n)
+
+    # batch vocabulary -> (term, term_id, pid) with the FROZEN cuts; the
+    # term->pid rule is count(cuts < term), identical to the engine's
+    # searchsorted(cuts, term, side="left") pruning rule
+    cuts_arr = np.array(cuts, dtype=object)
+    vocab = tokens.select("term").distinct().toPandas().sort_values("term")
+    terms_arr = vocab["term"].to_numpy(dtype=object)
+    pids_arr = np.searchsorted(cuts_arr, terms_arr, side="left").astype(np.int32)
+    vocab = vocab.reset_index(drop=True)
+    vocab["term_id"] = np.arange(len(vocab), dtype=np.int32)
+    pid_map = spark.createDataFrame(vocab[["term", "term_id"]])
+    dict_b = spark.sparkContext.broadcast((terms_arr, pids_arr))
+
+    packed = 0 < batch_max_dl < 4096
+    doc32 = batch_max_id < (1 << 31)
+    doc_col = F.col("doc_id").cast("int").alias("doc_id") if doc32 else F.col("doc_id")
+    val_cols = (
+        [(F.col("tf") * 4096 + F.col("dl")).cast("int").alias("tfdl")]
+        if packed
+        else [F.col("tf"), F.col("dl")]
+    )
+    keyed = tokens.join(F.broadcast(pid_map), "term").select(
+        F.col("term_id"), doc_col, *val_cols
+    )
+    encoder = make_arrow_encoder(
+        avgdl=avgdl_build, block_docs=block_docs, range_docs=range_docs,
+        term_dict=dict_b, packed=packed,
+    )
+    shuffle_n = cfg.shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    sseg_key = F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)")
+    (
+        keyed.repartition(shuffle_n, F.col("term_id"), sseg_key)
+        .sortWithinPartitions("term_id", "doc_id")
+        .mapInArrow(encoder, schema=SEGMENT_SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("pid")
+        .parquet(_gen_dir(cat.segments, epoch))
+    )
+    tokens.unpersist()
+
+    # lineage (observability; a replay after this append but before the
+    # gen_stats commit can duplicate rows — harmless, documented)
+    landed = (
+        spark.read.parquet(_gen_dir(cat.segments, epoch))
+        .groupBy("pid")
+        .agg(
+            F.min("term").alias("term_lo"),
+            F.max("term").alias("term_hi"),
+            F.sum("doc_count").alias("postings_count"),
+            F.sum("nbytes").alias("bytes"),
+        )
+        .collect()
+    )
+    postings = sum(int(r["postings_count"]) for r in landed)
+    cat.append_manifest(
+        [
+            {
+                "run_id": f"stream-epoch{epoch}",
+                "partition_id": int(r["pid"]),
+                "segment_id": f"gen{epoch}-p{int(r['pid'])}",
+                "input_split": f"stream-epoch{epoch}",
+                "term_lo": r["term_lo"],
+                "term_hi": r["term_hi"],
+                "postings_count": int(r["postings_count"]),
+                "bytes": int(r["bytes"]),
+                "status": "done",
+            }
+            for r in landed
+        ]
+    )
+
+    # THE commit point: gen_stats lands last, so its presence implies every
+    # other artifact of this generation is complete
+    # the gen value rides the partition directory name (gen=E), not a data
+    # column — partition discovery on the root supplies it at read time
+    spark.createDataFrame(
+        [
+            (
+                batch_n,
+                batch_dl,
+                batch_max_dl,
+                batch_max_id,
+                float(avgdl_build),
+                len(terms_arr),
+            )
+        ],
+        "n_docs long, sum_dl long, max_dl int, max_doc_id long, "
+        "avgdl_build double, n_terms long",
+    ).coalesce(1).write.mode("overwrite").parquet(gstats_dir)
+
+    _refresh_corpus_stats(
+        spark, cat,
+        cuts=cuts, range_docs=range_docs, block_docs=block_docs,
+        n_partitions=n_partitions,
+    )
+    return IngestResult(
+        epoch=epoch, skipped=False, n_docs=batch_n, postings=postings,
+        avgdl_build=avgdl_build, wall_sec=round(time.time() - t0, 2),
+    )
+
+
+def _refresh_corpus_stats(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    cuts: list[str],
+    range_docs: int,
+    block_docs: int,
+    n_partitions: int,
+) -> dict:
+    """Derive corpus_stats.json purely from committed gen_stats (replay-safe)."""
+    gens = _committed_gens(spark, cat.root)
+    n_docs = sum(int(r["n_docs"]) for r in gens)
+    total_dl = sum(int(r["sum_dl"]) for r in gens)
+    avgdl = total_dl / max(1, n_docs)
+    scale = max(
+        [1.0] + [avgdl / float(r["avgdl_build"]) for r in gens if r["avgdl_build"] > 0]
+    )
+    stats = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "range_docs": range_docs,
+        "block_docs": block_docs,
+        "term_cuts": cuts,
+        "n_partitions": n_partitions,
+        # per-gen vocab sizes overlap across generations; the sum is only
+        # compared against the engine's cache threshold, where an
+        # overcount errs toward the distributed path — safe
+        "n_terms": sum(int(r["n_terms"]) for r in gens),
+        "max_dl": max([0] + [int(r["max_dl"]) for r in gens]),
+        "corpus_path": "incremental",
+        "wand_bound_scale": float(scale),
+        "generations": [int(r["gen"]) for r in gens],
+    }
+    cat.write_corpus_stats(stats)
+    return stats
+
+
+def stream_documents(spark: SparkSession, docs_dir: str, schema: str) -> DataFrame:
+    """File-source stream of documents (new parquet files = new docs)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(docs_dir)
+    )
+
+
+def incremental_index_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    cfg: BuildConfig | None = None,
+    id_col: str | None = None,
+    expected_docs: int | None = None,
+    available_now: bool = True,
+):
+    """Wire a document stream into the incremental index sink.
+
+    ``availableNow`` drains everything currently in the source then stops —
+    the batch-friendly trigger for tests and catch-up runs; pass
+    ``available_now=False`` for a continuously-running micro-batch ingest.
+    The checkpoint gives ordered, replayable epochs; ``ingest_batch``'s
+    commit marker upgrades the replays to exactly-once.
+    """
+    spark = docs_stream.sparkSession
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        ingest_batch(
+            spark, batch_df, index_dir, epoch,
+            cfg=cfg, id_col=id_col, expected_docs=expected_docs,
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

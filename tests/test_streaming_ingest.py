@@ -1,0 +1,188 @@
+"""Streaming incremental index ingestion (streaming/ingest.py).
+
+Contract under test: an index grown generation-by-generation from
+micro-batches answers every query EXACTLY like a batch rebuild over the
+union corpus — same doc_ids, same float scores, same totals, on all three
+physical paths — and the ingest sink is exactly-once under foreachBatch's
+at-least-once replay semantics (replay skip + partial-crash rewrite).
+"""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_spark.index.builder import BuildConfig, build_index
+from search_engine_spark.query.engine import SearchEngine
+from search_engine_spark.streaming.ingest import (
+    incremental_index_stream,
+    ingest_batch,
+    stream_documents,
+)
+
+_CFG = dict(
+    block_docs=64, target_ranges=16, min_range_docs=64, n_partitions=8,
+    shuffle_partitions=8,
+)
+_KWS = ["rice", "cadbury dairy milk", "belt", "oil", "milk", "the", "zzzzqqqq"]
+_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _write_waves(tbl, base, slices):
+    paths = []
+    for i, (off, n) in enumerate(slices):
+        d = os.path.join(base, f"wave{i}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl.slice(off, n), os.path.join(d, "part-0.parquet"))
+        paths.append(d)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def corpora(webtext_tiny, tmp_path_factory):
+    """(sorted table, full-rebuild index dir, waves base dir)."""
+    base = str(tmp_path_factory.mktemp("ingest"))
+    tbl = pq.read_table(webtext_tiny).sort_by("url")
+    return tbl, base
+
+
+@pytest.fixture(scope="module")
+def rebuild_engine(spark, webtext_tiny, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx") / "full")
+    build_index(spark, webtext_tiny, idx, BuildConfig(**_CFG, waves=1))
+    return SearchEngine(spark, idx)
+
+
+@pytest.fixture(scope="module")
+def inc_engine(spark, corpora):
+    """Index ingested as 3 url-lex-ordered generations of the same corpus."""
+    tbl, base = corpora
+    idx = os.path.join(base, "inc_idx")
+    waves = _write_waves(tbl, base, [(0, 400), (400, 350), (750, 250)])
+    for e, w in enumerate(waves):
+        r = ingest_batch(spark, spark.read.parquet(w), idx, e, cfg=BuildConfig(**_CFG))
+        assert not r.skipped and r.n_docs > 0
+    return SearchEngine(spark, idx)
+
+
+def test_cumulative_stats_match_rebuild(rebuild_engine, inc_engine):
+    assert inc_engine.n_docs == rebuild_engine.n_docs == 1000
+    assert inc_engine.avgdl == rebuild_engine.avgdl
+    # avgdl grew across generations on this corpus slice order, so the
+    # WAND bound correction must be active (>1) while the batch index
+    # carries exactly 1.0
+    assert rebuild_engine.bound_scale == 1.0
+    assert inc_engine.bound_scale >= 1.0
+
+
+@pytest.mark.parametrize("mode", ["sort", "wand"])
+def test_rank_identity_vs_rebuild_distributed(rebuild_engine, inc_engine, mode):
+    for kw in _KWS:
+        a = rebuild_engine.search(kw, k=10, mode=mode, force_distributed=True)
+        b = inc_engine.search(kw, k=10, mode=mode, force_distributed=True)
+        assert a.total == b.total, kw
+        assert list(a.page["doc_id"]) == list(b.page["doc_id"]), kw
+        assert list(a.page["score"]) == list(b.page["score"]), kw
+
+
+def test_rank_identity_vs_rebuild_driver_and_grouped(rebuild_engine, inc_engine):
+    for kw in _KWS:
+        a = rebuild_engine.search(kw, k=10)
+        b = inc_engine.search(kw, k=10)
+        assert list(a.page["doc_id"]) == list(b.page["doc_id"]), kw
+        assert list(a.page["score"]) == list(b.page["score"]), kw
+    ag = rebuild_engine.search("milk", k=10, group_by=True)
+    bg = inc_engine.search("milk", k=10, group_by=True)
+    assert ag.total == bg.total
+    assert ag.page.to_dict("list") == bg.page.to_dict("list")
+
+
+def test_wand_equals_sort_on_incremental_index(inc_engine):
+    """Bound-scale soundness: scaled block bounds never prune a winner."""
+    for kw in ["the", "milk", "cadbury dairy milk"]:
+        s = inc_engine.search(kw, k=15, mode="sort", force_distributed=True)
+        w = inc_engine.search(kw, k=15, mode="wand", force_distributed=True)
+        assert list(s.page["doc_id"]) == list(w.page["doc_id"]), kw
+        assert list(s.page["score"]) == list(w.page["score"]), kw
+
+
+def test_replay_skips_and_partial_crash_rewrites(spark, corpora, rebuild_engine):
+    tbl, base = corpora
+    idx = os.path.join(base, "replay_idx")
+    waves = _write_waves(tbl, os.path.join(base, "replay"), [(0, 600), (600, 400)])
+    cfg = BuildConfig(**_CFG)
+    for e, w in enumerate(waves):
+        ingest_batch(spark, spark.read.parquet(w), idx, e, cfg=cfg)
+    # full replay of a committed epoch: skipped, nothing changes
+    r = ingest_batch(spark, spark.read.parquet(waves[1]), idx, 1, cfg=cfg)
+    assert r.skipped
+    # partial crash: the commit marker of gen 1 is lost AFTER its other
+    # artifacts landed; the replay must rewrite deterministically
+    shutil.rmtree(os.path.join(idx, "gen_stats", "gen=1"))
+    r = ingest_batch(spark, spark.read.parquet(waves[1]), idx, 1, cfg=cfg)
+    assert not r.skipped
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == 1000
+    for kw in ["milk", "the"]:
+        a = rebuild_engine.search(kw, k=10, mode="wand", force_distributed=True)
+        b = eng.search(kw, k=10, mode="wand", force_distributed=True)
+        assert list(a.page["doc_id"]) == list(b.page["doc_id"])
+        assert list(a.page["score"]) == list(b.page["score"])
+
+
+def test_out_of_lex_order_arrival_matches_rebuild_by_url(spark, corpora, rebuild_engine):
+    """Arbitrary arrival order: doc_ids differ from a rebuild (documented
+    contract) but the (url, score) result sets are identical."""
+    tbl, base = corpora
+    idx = os.path.join(base, "ooo_idx")
+    waves = _write_waves(tbl, os.path.join(base, "ooo"), [(500, 500), (0, 500)])
+    for e, w in enumerate(waves):
+        ingest_batch(spark, spark.read.parquet(w), idx, e, cfg=BuildConfig(**_CFG))
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == 1000 and eng.avgdl == rebuild_engine.avgdl
+    for kw in ["milk", "rice", "the"]:
+        a = rebuild_engine.search(kw, k=1000, with_url=True, force_distributed=True)
+        b = eng.search(kw, k=1000, with_url=True, force_distributed=True)
+        assert a.total == b.total
+        sa = sorted(zip(a.page["url"], [round(s, 9) for s in a.page["score"]]))
+        sb = sorted(zip(b.page["url"], [round(s, 9) for s in b.page["score"]]))
+        assert sa == sb, kw
+
+
+def test_streaming_surface_end_to_end(spark, corpora, rebuild_engine, tmp_path):
+    """readStream -> foreachBatch sink across two arrivals + checkpoint
+    restart: drains only new files, restart ingests nothing twice."""
+    tbl, base = corpora
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    cfg = BuildConfig(**_CFG)
+
+    pq.write_table(tbl.slice(0, 700), os.path.join(src, "w0.parquet"))
+    q = incremental_index_stream(
+        stream_documents(spark, src, _SCHEMA), idx, ckpt, cfg=cfg
+    )
+    q.awaitTermination(180)
+    assert SearchEngine(spark, idx).n_docs == 700
+
+    pq.write_table(tbl.slice(700, 300), os.path.join(src, "w1.parquet"))
+    q = incremental_index_stream(
+        stream_documents(spark, src, _SCHEMA), idx, ckpt, cfg=cfg
+    )
+    q.awaitTermination(180)
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == 1000
+
+    # restart with the same checkpoint: no new files -> no new generations
+    q = incremental_index_stream(
+        stream_documents(spark, src, _SCHEMA), idx, ckpt, cfg=cfg
+    )
+    q.awaitTermination(180)
+    assert SearchEngine(spark, idx).n_docs == 1000
+
+    for kw in ["milk", "the"]:
+        a = rebuild_engine.search(kw, k=10, mode="wand", force_distributed=True)
+        b = eng.search(kw, k=10, mode="wand", force_distributed=True)
+        assert list(a.page["doc_id"]) == list(b.page["doc_id"])
+        assert list(a.page["score"]) == list(b.page["score"])
