@@ -101,6 +101,31 @@ def main():
     extras["index_docs"] = n_docs
     extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
+    # ---- streaming incremental ingest: same corpus as 3 generations ------
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.streaming.ingest import ingest_batch
+
+    inc_dir = os.path.join(tempfile.gettempdir(), "bench_inc_index")
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    docs_df = spark.read.parquet(corpus)
+    hi = docs_df.agg(F.max("doc_id")).collect()[0][0]
+    gen_conds = [
+        F.col("doc_id") <= hi // 3,
+        (F.col("doc_id") > hi // 3) & (F.col("doc_id") <= 2 * hi // 3),
+        F.col("doc_id") > 2 * hi // 3,
+    ]
+
+    def _ingest_all():
+        for e, cond in enumerate(gen_conds):
+            ingest_batch(spark, docs_df.filter(cond), inc_dir, e, cfg=cfg,
+                         id_col="doc_id", expected_docs=n_docs)
+
+    timed("incremental_ingest_3gen", _ingest_all)
+    extras["incremental_docs_per_sec"] = round(
+        n_docs / timings["incremental_ingest_3gen"], 1
+    )
+
     # ---- webtext headline: build over a 100k-page Common-Crawl-style corpus
     wt_docs = int(os.environ.get("SPARK_GRAFT_BENCH_WEBTEXT_DOCS", "300000"))
     wt_corpus = os.path.join(tempfile.gettempdir(), f"bench_webtext_{wt_docs}")
@@ -122,7 +147,11 @@ def main():
 
     wt_eng = SearchEngine(spark, wt_index)
     eng = SearchEngine(spark, index_dir)
+    inc_eng = SearchEngine(spark, inc_dir)
     suite: dict = {
+        # same query against the generation-merged incremental index — the
+        # cost of querying a grown index vs the batch-built one
+        "search_topk_incremental": lambda: inc_eng.search("scan window merge", k=10),
         "webtext_search_multiterm": lambda: wt_eng.search("cadbury dairy milk", k=10),
         # head-term serving config: WAND-pruned page + Σdf-bounded approx
         # total (the exact disjunctive total decodes every matched term's

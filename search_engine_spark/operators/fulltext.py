@@ -330,6 +330,36 @@ def stream_ingest_topk(spark, sf_dir):
 
 STREAM_INGEST_TOPK_SQL = BM25_TOPK_SQL
 
+
+def compacted_topk(spark, sf_dir):
+    """Compact the 3-generation incremental index (Lucene merge analog,
+    index/compact.py: decode blocks -> re-key -> re-encode with current
+    avgdl, no corpus text touched) and query it — the SAME batch BM25 SQL
+    oracle must still hash-match, and the bound scale is back to 1."""
+    from ..index.compact import compact_index
+    from ..query.engine import SearchEngine
+
+    src = _stream_index_for(spark, sf_dir)
+    index_dir = os.path.join(
+        tempfile.gettempdir(), "ses_cidx_" + sf_dir.strip("/").replace("/", "_")
+    )
+    if not os.path.exists(os.path.join(index_dir, "corpus_stats.json")):
+        compact_index(spark, src, index_dir)
+    eng = SearchEngine(spark, index_dir)
+    assert eng.bound_scale == 1.0
+    res = eng.search(" ".join(_Q_TERMS), k=60, mode="wand")
+    pdf = res.page.copy()
+    pdf["score"] = pdf["score"].round(6)
+    pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    pdf = pdf.head(20)
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(
+        pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
+    )
+
+
+COMPACTED_TOPK_SQL = BM25_TOPK_SQL
+
 # --------------------------------------------------------------------------
 # grouped search rollup (reference /v2/search and /retail/v1/search,
 # app.py:488-520, pipelines.py:484-661: score -> group by g_id -> $first
@@ -452,6 +482,7 @@ QUERIES = {
     "ft_bm25_topk": bm25_topk,
     "ft_engine_bm25_topk": engine_bm25_topk,
     "ft_stream_ingest_topk": stream_ingest_topk,
+    "ft_compacted_topk": compacted_topk,
     "ft_grouped_topk": grouped_topk,
     "ft_engine_grouped_topk": engine_grouped_topk,
     "ft_query_log_replay": query_log_replay,
@@ -465,6 +496,7 @@ ORACLES = {
     "ft_bm25_topk": BM25_TOPK_SQL,
     "ft_engine_bm25_topk": ENGINE_BM25_TOPK_SQL,
     "ft_stream_ingest_topk": STREAM_INGEST_TOPK_SQL,
+    "ft_compacted_topk": COMPACTED_TOPK_SQL,
     "ft_grouped_topk": GROUPED_TOPK_SQL,
     "ft_engine_grouped_topk": GROUPED_TOPK_SQL,
     "ft_query_log_replay": QUERY_LOG_REPLAY_SQL,

@@ -150,6 +150,50 @@ def test_out_of_lex_order_arrival_matches_rebuild_by_url(spark, corpora, rebuild
         assert sa == sb, kw
 
 
+def test_compaction_merges_generations_exactly(spark, corpora, inc_engine, tmp_path):
+    """index/compact.py: decode->re-encode with current avgdl collapses the
+    generations into one batch-layout index with identical query results,
+    bound scale exactly 1, and fewer segment files."""
+    from search_engine_spark.index.compact import compact_index
+
+    _, base = corpora
+    out = str(tmp_path / "compacted")
+    m = compact_index(spark, os.path.join(base, "inc_idx"), out)
+    assert m["generations_in"] == 3 and m["n_docs"] == 1000
+    eng = SearchEngine(spark, out)
+    assert eng.bound_scale == 1.0
+    assert eng.n_docs == inc_engine.n_docs and eng.avgdl == inc_engine.avgdl
+    for kw in _KWS:
+        for mode in ["sort", "wand"]:
+            a = inc_engine.search(kw, k=10, mode=mode, force_distributed=True)
+            b = eng.search(kw, k=10, mode=mode, force_distributed=True)
+            assert a.total == b.total, (kw, mode)
+            assert list(a.page["doc_id"]) == list(b.page["doc_id"]), (kw, mode)
+            assert list(a.page["score"]) == list(b.page["score"]), (kw, mode)
+
+    def nfiles(d):
+        return sum(len(fs) for _, _, fs in os.walk(d))
+
+    assert nfiles(os.path.join(out, "segments")) < nfiles(
+        os.path.join(base, "inc_idx", "segments")
+    )
+
+
+def test_compaction_is_identity_on_batch_index(spark, webtext_tiny, rebuild_engine, tmp_path):
+    """Compacting a batch-built index is a lossless rewrite (decode ->
+    re-encode round-trip over the real segment format)."""
+    from search_engine_spark.index.compact import compact_index
+
+    out = str(tmp_path / "recompacted")
+    compact_index(spark, rebuild_engine.cat.root, out)
+    eng = SearchEngine(spark, out)
+    for kw in ["milk", "the"]:
+        a = rebuild_engine.search(kw, k=10, mode="wand", force_distributed=True)
+        b = eng.search(kw, k=10, mode="wand", force_distributed=True)
+        assert list(a.page["doc_id"]) == list(b.page["doc_id"])
+        assert list(a.page["score"]) == list(b.page["score"])
+
+
 def test_streaming_surface_end_to_end(spark, corpora, rebuild_engine, tmp_path):
     """readStream -> foreachBatch sink across two arrivals + checkpoint
     restart: drains only new files, restart ingests nothing twice."""
