@@ -64,3 +64,38 @@ def test_component_tier_and_observability_recorded(evidence):
     assert "dropped_buckets" in emb and "nplanes_per_band" in emb
     # plane count scaled with the corpus: ceil(log2 1e6) - 4 = 16
     assert emb["nplanes_per_band"] == 16
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest + compaction at 1M docs (BENCH/scale_r4_ingest_1m.json,
+# produced by scripts/ingest_scale_bench.py)
+# ---------------------------------------------------------------------------
+
+ING_ART = os.path.join(os.path.dirname(ART), "scale_r4_ingest_1m.json")
+
+
+@pytest.fixture(scope="module")
+def ingest_evidence():
+    if not os.path.exists(ING_ART):
+        pytest.skip("no committed ingest-scale artifact; run scripts/ingest_scale_bench.py")
+    with open(ING_ART) as f:
+        return json.load(f)
+
+
+def test_generation_cost_is_o_batch_not_o_corpus(ingest_evidence):
+    """The load-bearing incremental claim: appending generation g to a
+    (g-1)/G-full index costs the same as generation 1's append to an empty
+    one.  A rebuild-per-batch design would show the last generation ~G x
+    the first."""
+    walls = ingest_evidence["gen_walls_s"]
+    assert ingest_evidence["n_docs"] >= 1_000_000 and len(walls) >= 4
+    assert ingest_evidence["last_gen_vs_first_ratio"] < 1.5
+
+
+def test_rank_identity_and_compaction_at_1m(ingest_evidence):
+    assert ingest_evidence["rank_identity_mismatches"] == 0
+    assert ingest_evidence["bound_scale_compacted"] == 1.0
+    files = ingest_evidence["segment_files"]
+    assert files["compacted"] * 2 <= files["grown"]
+    # compaction (no tokenize) costs well under the full rebuild
+    assert ingest_evidence["compact_s"] < ingest_evidence["batch_build_s"]
