@@ -32,7 +32,12 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import IndexCatalog
-from .builder import SEGMENT_SCHEMA, make_arrow_encoder
+from .builder import (
+    SEGMENT_SCHEMA,
+    SEGMENT_SCHEMA_IDS,
+    build_vocab,
+    make_arrow_encoder,
+)
 
 
 def _decode_blocks(it):
@@ -59,7 +64,12 @@ def _decode_blocks(it):
         )
 
 
-def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    dict_budget: int = 2_000_000,
+) -> dict:
     """Rewrite ``index_dir`` (any generation count) as a one-generation
     batch-layout index at ``out_dir``; returns compaction metrics."""
     cat = IndexCatalog(index_dir)
@@ -67,14 +77,17 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     stats = cat.read_corpus_stats()
     cuts = list(stats["term_cuts"])
     range_docs, block_docs = int(stats["range_docs"]), int(stats["block_docs"])
+    n_partitions = int(stats["n_partitions"])
 
     # doc stats: the union of generations IS the batch table
     doc_stats = spark.read.parquet(cat.doc_stats).select("doc_id", "url", "dl")
     doc_stats.write.mode("overwrite").parquet(out.doc_stats)
     agg = spark.read.parquet(out.doc_stats).agg(
-        F.count("*").alias("n"), F.sum("dl").alias("s"), F.max("dl").alias("m")
+        F.count("*").alias("n"), F.sum("dl").alias("s"), F.max("dl").alias("m"),
+        F.max("doc_id").alias("mx"),
     ).collect()[0]
     n_docs, total_dl, max_dl = int(agg["n"]), int(agg["s"] or 0), int(agg["m"] or 0)
+    max_doc_id = int(agg["mx"] or 0)
     avgdl = total_dl / max(1, n_docs)
 
     # term stats: per-generation df/cf deltas collapse to the batch form
@@ -83,23 +96,37 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
         .groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     )
-    ts.repartitionByRange(4, "term").sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).parquet(out.term_stats)
+    ts.repartitionByRange(max(4, n_partitions // 4), "term").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(out.term_stats)
     n_terms = spark.read.parquet(out.term_stats).count()
 
     # postings: decode every generation's blocks, re-key on the SAME frozen
-    # cuts, re-encode with the CURRENT avgdl (scale returns to exactly 1)
-    vocab = (
-        spark.read.parquet(out.term_stats).select("term").toPandas()
-        .sort_values("term").reset_index(drop=True)
-    )
-    terms_arr = vocab["term"].to_numpy(dtype=object)
-    cuts_arr = np.array(cuts, dtype=object)
-    pids_arr = np.searchsorted(cuts_arr, terms_arr, side="left").astype(np.int32)
-    vocab["term_id"] = np.arange(len(vocab), dtype=np.int32)
-    pid_map = spark.createDataFrame(vocab[["term", "term_id"]])
-    dict_b = spark.sparkContext.broadcast((terms_arr, pids_arr))
+    # cuts, re-encode with the CURRENT avgdl (scale returns to exactly 1).
+    # Vocabularies within dict_budget ride a broadcast dictionary; above it
+    # NOTHING materializes the vocabulary in one place — the same two-path
+    # policy as build_index (builder.py id_mode).
+    id_mode = n_terms > dict_budget
+    if id_mode:
+        _, _, dim, ranked_t, _ = build_vocab(
+            spark, out.term_stats, n_partitions, cuts=cuts
+        )
+        term_dim_df = dim.persist()
+        term_dim_df.count()
+        ranked_t.unpersist()
+        pid_map = term_dim_df.select("term", "term_id")
+        dict_b = None
+    else:
+        vocab = (
+            spark.read.parquet(out.term_stats).select("term").toPandas()
+            .sort_values("term").reset_index(drop=True)
+        )
+        terms_arr = vocab["term"].to_numpy(dtype=object)
+        cuts_arr = np.array(cuts, dtype=object)
+        pids_arr = np.searchsorted(cuts_arr, terms_arr, side="left").astype(np.int32)
+        vocab["term_id"] = np.arange(len(vocab), dtype=np.int32)
+        pid_map = F.broadcast(spark.createDataFrame(vocab[["term", "term_id"]]))
+        dict_b = spark.sparkContext.broadcast((terms_arr, pids_arr))
 
     rows = (
         spark.read.parquet(cat.segments)
@@ -107,30 +134,33 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
         .mapInPandas(_decode_blocks, schema="term string, doc_id long, tf int, dl int")
     )
     packed = 0 < max_dl < 4096
-    doc32 = n_docs < (1 << 31)
+    doc32 = max_doc_id < (1 << 31)
     doc_col = F.col("doc_id").cast("int").alias("doc_id") if doc32 else F.col("doc_id")
     val_cols = (
         [(F.col("tf") * 4096 + F.col("dl")).cast("int").alias("tfdl")]
         if packed
         else [F.col("tf"), F.col("dl")]
     )
-    keyed = rows.join(F.broadcast(pid_map), "term").select(
-        F.col("term_id"), doc_col, *val_cols
-    )
+    keyed = rows.join(pid_map, "term").select(F.col("term_id"), doc_col, *val_cols)
     encoder = make_arrow_encoder(
         avgdl=avgdl, block_docs=block_docs, range_docs=range_docs,
         term_dict=dict_b, packed=packed,
     )
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sseg_key = F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)")
-    (
+    encoded = (
         keyed.repartition(shuffle_n, F.col("term_id"), sseg_key)
         .sortWithinPartitions("term_id", "doc_id")
-        .mapInArrow(encoder, schema=SEGMENT_SCHEMA)
-        .write.mode("overwrite")
-        .partitionBy("pid")
-        .parquet(out.segments)
+        .mapInArrow(encoder, schema=SEGMENT_SCHEMA_IDS if id_mode else SEGMENT_SCHEMA)
     )
+    if id_mode:
+        encoded = encoded.join(term_dim_df, "term_id").select(
+            "pid", "term", "sseg", "block_id", "first_doc", "last_doc",
+            "doc_count", "max_tf_norm", "nbytes", "postings",
+        )
+    encoded.write.mode("overwrite").partitionBy("pid").parquet(out.segments)
+    if id_mode:
+        term_dim_df.unpersist()
 
     landed = (
         spark.read.parquet(out.segments)

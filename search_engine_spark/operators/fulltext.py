@@ -248,21 +248,25 @@ def _index_for(spark, sf_dir: str) -> str:
     return index_dir
 
 
-def engine_bm25_topk(spark, sf_dir):
-    """Distributed engine result, re-ranked on rounded score like the oracle."""
-    from ..query.engine import SearchEngine
-
-    index_dir = _index_for(spark, sf_dir)
-    eng = SearchEngine(spark, index_dir)
+def _engine_topk_frame(spark, eng, k: int = 20):
+    """Shared gate post-processing: query the engine, re-rank on the rounded
+    score with the doc_id tiebreak (the oracle's rule), emit the top page."""
     res = eng.search(" ".join(_Q_TERMS), k=60, mode="wand")
     pdf = res.page.copy()
     pdf["score"] = pdf["score"].round(6)
     pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
-    pdf = pdf.head(20)
+    pdf = pdf.head(k)
     pdf["rk"] = range(1, len(pdf) + 1)
     return spark.createDataFrame(
         pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
     )
+
+
+def engine_bm25_topk(spark, sf_dir):
+    """Distributed engine result, re-ranked on rounded score like the oracle."""
+    from ..query.engine import SearchEngine
+
+    return _engine_topk_frame(spark, SearchEngine(spark, _index_for(spark, sf_dir)))
 
 
 ENGINE_BM25_TOPK_SQL = BM25_TOPK_SQL
@@ -315,16 +319,8 @@ def stream_ingest_topk(spark, sf_dir):
     """Engine top-k over the 3-generation incremental index vs the batch oracle."""
     from ..query.engine import SearchEngine
 
-    index_dir = _stream_index_for(spark, sf_dir)
-    eng = SearchEngine(spark, index_dir)
-    res = eng.search(" ".join(_Q_TERMS), k=60, mode="wand")
-    pdf = res.page.copy()
-    pdf["score"] = pdf["score"].round(6)
-    pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
-    pdf = pdf.head(20)
-    pdf["rk"] = range(1, len(pdf) + 1)
-    return spark.createDataFrame(
-        pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
+    return _engine_topk_frame(
+        spark, SearchEngine(spark, _stream_index_for(spark, sf_dir))
     )
 
 
@@ -347,15 +343,7 @@ def compacted_topk(spark, sf_dir):
         compact_index(spark, src, index_dir)
     eng = SearchEngine(spark, index_dir)
     assert eng.bound_scale == 1.0
-    res = eng.search(" ".join(_Q_TERMS), k=60, mode="wand")
-    pdf = res.page.copy()
-    pdf["score"] = pdf["score"].round(6)
-    pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
-    pdf = pdf.head(20)
-    pdf["rk"] = range(1, len(pdf) + 1)
-    return spark.createDataFrame(
-        pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
-    )
+    return _engine_topk_frame(spark, eng)
 
 
 COMPACTED_TOPK_SQL = BM25_TOPK_SQL

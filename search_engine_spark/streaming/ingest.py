@@ -80,6 +80,41 @@ def _gen_stats_root(index_dir: str) -> str:
     return os.path.join(index_dir, "gen_stats")
 
 
+def _frozen_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "frozen.json")
+
+
+def _write_frozen(index_dir: str, frozen: dict) -> None:
+    """Atomic (temp+rename) write of the frozen corpus geometry.
+
+    Lands BEFORE any generation's commit marker, so a crash anywhere after
+    generation 0's artifacts can always rebuild corpus_stats.json — the
+    geometry is never recoverable only from a file a crash can lose."""
+    import json
+    import uuid
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = _frozen_path(index_dir) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(frozen, f)
+    os.rename(tmp, _frozen_path(index_dir))
+
+
+def _read_frozen(index_dir: str) -> dict | None:
+    import json
+
+    p = _frozen_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+# same broadcast budget as build_index's url->doc_id join: above it the map
+# itself is too big to ship to every executor and the join must shuffle
+_BCAST_DOCS_MAX = 20_000_000
+
+
 def _committed_gens(spark: SparkSession, index_dir: str, before: int | None = None):
     """Rows of gen_stats for committed generations (optionally gen < before)."""
     root = _gen_stats_root(index_dir)
@@ -133,10 +168,15 @@ def ingest_batch(
     cat = IndexCatalog(index_dir)
     gstats_dir = _gen_dir(_gen_stats_root(index_dir), epoch)
     if os.path.exists(os.path.join(gstats_dir, "_SUCCESS")):
+        # replayed epoch: nothing to ingest, but a crash may have landed
+        # between the commit marker and the stats refresh — heal it here so
+        # corpus_stats.json always reflects every committed generation
+        _ensure_stats_fresh(spark, cat)
         return IngestResult(epoch=epoch, skipped=True)
     if batch_df.isEmpty():
         # an empty trigger must not become a generation — at gen 0 it would
         # freeze empty term cuts for the index's whole life
+        _ensure_stats_fresh(spark, cat)
         return IngestResult(epoch=epoch, skipped=True)
 
     prior = _committed_gens(spark, index_dir, before=epoch)
@@ -151,9 +191,12 @@ def ingest_batch(
             with_ids = with_ids.withColumn("url", F.col("doc_id").cast("string"))
         with_ids = with_ids.select("doc_id", "url", "text")
     else:
-        ids, ranked, _ = assign_doc_ids(docs, n_parts=cfg.n_partitions)
+        ids, ranked, n_pre = assign_doc_ids(docs, n_parts=cfg.n_partitions)
         ids = ids.select("url", (F.col("doc_id") + F.lit(prior_n)).alias("doc_id"))
-        with_ids = docs.join(F.broadcast(ids), "url").select("doc_id", "url", "text")
+        # broadcast budget mirrors build_index: a catch-up batch draining a
+        # huge backlog must fall back to the shuffled join
+        ids = F.broadcast(ids) if n_pre <= _BCAST_DOCS_MAX else ids
+        with_ids = docs.join(ids, "url").select("doc_id", "url", "text")
 
     tokens = _tokenize_like_builder(with_ids, cfg).persist()
 
@@ -180,23 +223,34 @@ def ingest_batch(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     ).write.mode("overwrite").parquet(_gen_dir(cat.term_stats, epoch))
 
-    # frozen corpus geometry: generation 0 computes it, every later
-    # generation reuses it verbatim (replays recompute identical values)
-    if cat.has_corpus_stats():
-        frozen = cat.read_corpus_stats()
-        cuts = list(frozen["term_cuts"])
-        range_docs = int(frozen["range_docs"])
-        block_docs = int(frozen["block_docs"])
-        n_partitions = int(frozen["n_partitions"])
-    else:
+    # frozen corpus geometry: generation 0 computes it and commits it to
+    # frozen.json BEFORE encoding anything (atomic rename), every later
+    # generation — and every corpus_stats refresh — reads it from there.
+    # Keeping it out of corpus_stats.json means a crash between a
+    # generation's commit marker and the stats refresh can never lose the
+    # geometry (replays recompute identical values from this gen's term
+    # stats, but only ever run if the marker is absent).
+    frozen = _read_frozen(index_dir)
+    if frozen is None:
         n_partitions = cfg.n_partitions
         cuts, _, _, ranked_t, _ = build_vocab(
             spark, _gen_dir(cat.term_stats, epoch), n_partitions
         )
         ranked_t.unpersist()
         size_basis = expected_docs or batch_n
-        range_docs = max(cfg.min_range_docs, -(-size_basis // cfg.target_ranges))
-        block_docs = cfg.block_docs
+        frozen = {
+            "term_cuts": cuts,
+            "range_docs": max(
+                cfg.min_range_docs, -(-size_basis // cfg.target_ranges)
+            ),
+            "block_docs": cfg.block_docs,
+            "n_partitions": n_partitions,
+        }
+        _write_frozen(index_dir, frozen)
+    cuts = list(frozen["term_cuts"])
+    range_docs = int(frozen["range_docs"])
+    block_docs = int(frozen["block_docs"])
+    n_partitions = int(frozen["n_partitions"])
 
     # cumulative avgdl at encode time — recorded so the engine can rescale
     # this generation's max_tf_norm bounds if avgdl later drifts
@@ -293,26 +347,40 @@ def ingest_batch(
         "avgdl_build double, n_terms long",
     ).coalesce(1).write.mode("overwrite").parquet(gstats_dir)
 
-    _refresh_corpus_stats(
-        spark, cat,
-        cuts=cuts, range_docs=range_docs, block_docs=block_docs,
-        n_partitions=n_partitions,
-    )
+    _refresh_corpus_stats(spark, cat)
     return IngestResult(
         epoch=epoch, skipped=False, n_docs=batch_n, postings=postings,
         avgdl_build=avgdl_build, wall_sec=round(time.time() - t0, 2),
     )
 
 
-def _refresh_corpus_stats(
-    spark: SparkSession,
-    cat: IndexCatalog,
-    cuts: list[str],
-    range_docs: int,
-    block_docs: int,
-    n_partitions: int,
-) -> dict:
-    """Derive corpus_stats.json purely from committed gen_stats (replay-safe)."""
+def _ensure_stats_fresh(spark: SparkSession, cat: IndexCatalog) -> None:
+    """Heal corpus_stats.json if a crash separated a generation's commit
+    marker from its stats refresh (replay then skips the generation, so
+    this is the only place the refresh can catch up)."""
+    gens = _committed_gens(spark, cat.root)
+    if not gens:
+        return
+    committed = [int(r["gen"]) for r in gens]
+    if cat.has_corpus_stats():
+        if cat.read_corpus_stats().get("generations") == committed:
+            return
+    _refresh_corpus_stats(spark, cat)
+
+
+def _refresh_corpus_stats(spark: SparkSession, cat: IndexCatalog) -> dict:
+    """Derive corpus_stats.json purely from committed gen_stats + the
+    frozen geometry file (both replay-safe inputs)."""
+    frozen = _read_frozen(cat.root)
+    if frozen is None:
+        raise FileNotFoundError(
+            f"{_frozen_path(cat.root)} missing — not an incremental index, "
+            "or generation 0 never committed"
+        )
+    cuts = list(frozen["term_cuts"])
+    range_docs = int(frozen["range_docs"])
+    block_docs = int(frozen["block_docs"])
+    n_partitions = int(frozen["n_partitions"])
     gens = _committed_gens(spark, cat.root)
     n_docs = sum(int(r["n_docs"]) for r in gens)
     total_dl = sum(int(r["sum_dl"]) for r in gens)
@@ -365,8 +433,40 @@ def incremental_index_stream(
     ``available_now=False`` for a continuously-running micro-batch ingest.
     The checkpoint gives ordered, replayable epochs; ``ingest_batch``'s
     commit marker upgrades the replays to exactly-once.
+
+    The index and its checkpoint are PAIRED: epoch numbers are the
+    idempotence key, and a fresh checkpoint renumbers batches from 0 — so
+    pointing a new checkpoint at an already-ingested index would silently
+    skip every colliding batch.  A stream-id marker written into both
+    directories turns that operator error into a loud ``ValueError``
+    (recovering from a lost checkpoint means re-pairing deliberately:
+    delete ``stream_id`` from the index dir, accepting that already-indexed
+    files will re-ingest as new generations, or compact first).
     """
     spark = docs_stream.sparkSession
+
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    ckpt_marker = os.path.join(checkpoint_dir, "_ses_stream_id")
+    idx_marker = os.path.join(index_dir, "stream_id")
+    ckpt_id = open(ckpt_marker).read() if os.path.exists(ckpt_marker) else None
+    idx_id = open(idx_marker).read() if os.path.exists(idx_marker) else None
+    if idx_id is not None and idx_id != ckpt_id:
+        raise ValueError(
+            f"index {index_dir} was ingested under a different checkpoint "
+            f"(stream_id {idx_id!r} != {ckpt_id!r}); a fresh checkpoint "
+            "renumbers epochs from 0 and its batches would be silently "
+            "skipped — re-pair deliberately (see docstring)"
+        )
+    if ckpt_id is None:
+        ckpt_id = uuid.uuid4().hex
+        with open(ckpt_marker, "w") as f:
+            f.write(ckpt_id)
+    if idx_id is None:
+        os.makedirs(index_dir, exist_ok=True)
+        with open(idx_marker, "w") as f:
+            f.write(ckpt_id)
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
         ingest_batch(

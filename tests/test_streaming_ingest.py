@@ -70,10 +70,10 @@ def test_cumulative_stats_match_rebuild(rebuild_engine, inc_engine):
     assert inc_engine.n_docs == rebuild_engine.n_docs == 1000
     assert inc_engine.avgdl == rebuild_engine.avgdl
     # avgdl grew across generations on this corpus slice order, so the
-    # WAND bound correction must be active (>1) while the batch index
-    # carries exactly 1.0
+    # WAND bound correction must be ACTIVE (strictly > 1) while the batch
+    # index carries exactly 1.0
     assert rebuild_engine.bound_scale == 1.0
-    assert inc_engine.bound_scale >= 1.0
+    assert inc_engine.bound_scale > 1.0
 
 
 @pytest.mark.parametrize("mode", ["sort", "wand"])
@@ -129,6 +129,66 @@ def test_replay_skips_and_partial_crash_rewrites(spark, corpora, rebuild_engine)
         b = eng.search(kw, k=10, mode="wand", force_distributed=True)
         assert list(a.page["doc_id"]) == list(b.page["doc_id"])
         assert list(a.page["score"]) == list(b.page["score"])
+
+
+def test_crash_between_marker_and_stats_refresh_heals_on_replay(spark, corpora):
+    """The one crash window the commit marker doesn't cover: gen_stats
+    landed but corpus_stats.json didn't refresh. The replayed (skipped)
+    epoch must heal the stats from frozen.json + gen_stats."""
+    import json
+
+    tbl, base = corpora
+    idx = os.path.join(base, "heal_idx")
+    waves = _write_waves(tbl, os.path.join(base, "heal"), [(0, 600), (600, 400)])
+    cfg = BuildConfig(**_CFG)
+    for e, w in enumerate(waves):
+        ingest_batch(spark, spark.read.parquet(w), idx, e, cfg=cfg)
+    good = json.load(open(os.path.join(idx, "corpus_stats.json")))
+    # simulate the crash: stats file lost entirely after gen 1 committed
+    os.remove(os.path.join(idx, "corpus_stats.json"))
+    r = ingest_batch(spark, spark.read.parquet(waves[1]), idx, 1, cfg=cfg)
+    assert r.skipped
+    healed = json.load(open(os.path.join(idx, "corpus_stats.json")))
+    assert healed == good
+    assert SearchEngine(spark, idx).n_docs == 1000
+
+
+def test_fresh_checkpoint_against_existing_index_raises(spark, corpora, tmp_path):
+    """Epoch numbers are the idempotence key; a NEW checkpoint renumbers
+    from 0, so pairing it with an already-ingested index must fail loudly
+    instead of silently skipping every colliding batch."""
+    tbl, base = corpora
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(tbl.slice(0, 100), os.path.join(src, "w.parquet"))
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(**_CFG)
+    q = incremental_index_stream(
+        stream_documents(spark, src, _SCHEMA), idx, str(tmp_path / "ckpt1"), cfg=cfg
+    )
+    q.awaitTermination(120)
+    assert SearchEngine(spark, idx).n_docs == 100
+    with pytest.raises(ValueError, match="different checkpoint"):
+        incremental_index_stream(
+            stream_documents(spark, src, _SCHEMA), idx, str(tmp_path / "ckpt2"), cfg=cfg
+        )
+
+
+def test_compaction_id_mode_above_dict_budget(spark, corpora, inc_engine, tmp_path):
+    """Vocabularies above dict_budget must compact through the distributed
+    dictionary path (no driver vocab materialization) with identical output."""
+    from search_engine_spark.index.compact import compact_index
+
+    _, base = corpora
+    out = str(tmp_path / "cmp_idmode")
+    compact_index(spark, os.path.join(base, "inc_idx"), out, dict_budget=10)
+    eng = SearchEngine(spark, out)
+    assert eng.bound_scale == 1.0
+    for kw in ["milk", "the"]:
+        a = inc_engine.search(kw, k=10, mode="wand", force_distributed=True)
+        b = eng.search(kw, k=10, mode="wand", force_distributed=True)
+        assert list(a.page["doc_id"]) == list(b.page["doc_id"]), kw
+        assert list(a.page["score"]) == list(b.page["score"]), kw
 
 
 def test_out_of_lex_order_arrival_matches_rebuild_by_url(spark, corpora, rebuild_engine):
