@@ -16,22 +16,22 @@ Float discipline (the driver hashes values):
 - genuinely order-sensitive float reductions (dot products summed by a
   group-by) are rounded to 6 decimals before compare/rank.
 
-Rounding-mode policy (documented boundary risk, deliberate): the engines
-disagree on EXACT half-way ties at the 6th decimal — Spark ``F.round`` and
-python ``round``-on-strings are HALF_UP, numpy ``np.round`` and pandas
-``.round`` are half-to-even, DuckDB ``round`` is half-away-from-zero.  We do
-NOT unify them; instead every ``round(x, 6)`` site in a twin pair rounds the
-same mathematical quantity computed by the same expression shape, whose
-cross-engine float noise is ≤ a few ulps (~1e-16 relative) — flipping a mode
-therefore requires the true value to sit within ~1e-10 of an exact multiple
-of 5e-7, which no fixture value does and which has measure zero under any
-continuous data distribution.  The compensating rules that make this safe:
-(1) rank/tie-break on the ROUNDED value with an id tiebreak everywhere, so
-a boundary flip would change one printed digit, never an ordering silently;
-(2) keep direct summation forms (not algebraically expanded ones) in twin
-paths so the noise stays ≪ the grid; (3) prefer exactly-representable
-arithmetic (integer thresholds, DECIMAL sums, sums-of-ints / powers of two)
-wherever the semantics allow, which removes rounding entirely.
+Rounding-mode policy (unified, one rule): the engines natively disagree on
+EXACT half-way ties at the 6th decimal — Spark ``F.round`` is HALF_UP (=
+half-away-from-zero on BigDecimal), DuckDB ``round`` is half-away-from-zero,
+but numpy ``np.round`` and pandas ``.round`` are half-to-even.  Every
+numpy/pandas site that feeds a gated comparison, a rank tiebreak, a bucket
+id, or a logged value therefore uses :func:`search_engine_spark.numerics.
+round_half_away` — half-away-from-zero, the mode Spark and DuckDB already
+share — so all three stacks round a tie identically.  (Codec-internal
+rounding, e.g. the JPEG quantizer, is exempt: encoder and decoder live in
+the same numpy module and only have to agree with each other.)  Defense in
+depth on top of the unified mode: (1) rank/tie-break on the ROUNDED value
+with an id tiebreak everywhere; (2) keep direct summation forms (not
+algebraically expanded ones) in twin paths so the cross-engine float noise
+stays ≪ the 5e-7 grid; (3) prefer exactly-representable arithmetic (integer
+thresholds, DECIMAL sums, sums-of-ints / powers of two) wherever the
+semantics allow, which removes rounding entirely.
 
 Portable string hash: both engines lack a shared native 64-bit hash
 (Spark ``hash``/``xxhash64`` != DuckDB ``hash``), so hashed operators use the

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..numerics import round_half_away
+
 from ._common import MD5_LONG_SQL, TOKENS_SQL, md5_long, t, tokens_col
 
 _P = 2147483647  # modulus for minhash/simhash integer math
@@ -689,7 +691,7 @@ def _emb_band_buckets_arrow(spark, sf_dir):
             # x promotes to double against the double hyperplanes, exactly
             # like the declarative FLOAT*DOUBLE projection
             X = X32.astype(np.float64)
-            P = np.round(X @ V_.T, 6)  # (batch, bands*planes)
+            P = round_half_away(X @ V_.T, 6)  # (batch, bands*planes)
             bits = (P > 0).reshape(len(X), _EMB_BANDS, len(powers_))
             buckets = (bits * powers_).sum(axis=2)  # (batch, bands)
             yield pa.RecordBatch.from_pydict(
@@ -793,9 +795,9 @@ def _gram_pairs(ids, X32, out):
     m = len(ids)
     if m < 2 or m > _EMB_BUCKET_CAP:
         return
-    n = np.round((X32 * X32).astype(np.float64).sum(axis=1), 9)
+    n = round_half_away((X32 * X32).astype(np.float64).sum(axis=1), 9)
     G = (X32[:, None, :] * X32[None, :, :]).astype(np.float64).sum(axis=2)
-    C = np.round(G / np.sqrt(n[:, None] * n[None, :]), 6)
+    C = round_half_away(G / np.sqrt(n[:, None] * n[None, :]), 6)
     iu, ju = np.triu_indices(m, k=1)
     cos = C[iu, ju]
     keep = cos >= 0.35

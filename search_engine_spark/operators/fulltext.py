@@ -20,6 +20,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from ..numerics import round_half_away
 from ._common import TOKENS_SQL, ranked_topk, t, tokens_col
 
 K1 = 1.2
@@ -253,7 +254,7 @@ def _engine_topk_frame(spark, eng, k: int = 20):
     score with the doc_id tiebreak (the oracle's rule), emit the top page."""
     res = eng.search(" ".join(_Q_TERMS), k=60, mode="wand")
     pdf = res.page.copy()
-    pdf["score"] = pdf["score"].round(6)
+    pdf["score"] = round_half_away(pdf["score"], 6)
     pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
     pdf = pdf.head(k)
     pdf["rk"] = range(1, len(pdf) + 1)
@@ -384,7 +385,7 @@ def engine_grouped_topk(spark, sf_dir, k=10):
     eng = SearchEngine(spark, index_dir)
     res = eng.search(" ".join(_Q_TERMS), k=k, group_by=True)
     pdf = res.page.copy()
-    pdf["score"] = pdf["score"].round(6)
+    pdf["score"] = round_half_away(pdf["score"], 6)
     pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
     pdf = pdf.head(k)
     pdf["rk"] = range(1, len(pdf) + 1)
@@ -438,7 +439,7 @@ def query_log_replay(spark, sf_dir):
     for kw in _QLOG_QUERIES:
         eng.search(kw, k=10)
     log = cat.read_query_log().to_pandas()
-    log["top_score"] = log["top_score"].round(6)
+    log["top_score"] = round_half_away(log["top_score"], 6)
     return spark.createDataFrame(
         log[["qid", "keyword", "total", "top_doc_id", "top_score"]],
         "qid int, keyword string, total long, top_doc_id long, top_score double",

@@ -22,6 +22,8 @@ verify the math.
 from __future__ import annotations
 
 import numpy as np
+
+from ..numerics import round_half_away
 import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -343,7 +345,7 @@ def brute_topk_arrow(spark, sf_dir, query_ids=_QUERY_IDS, k: int = 5):
     qrows = e.filter(F.col("vec_id").isin(*list(query_ids))).select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float32)
-    qn = np.round((qmat * qmat).astype(np.float64).sum(axis=1), 9)
+    qn = round_half_away((qmat * qmat).astype(np.float64).sum(axis=1), 9)
     qb = spark.sparkContext.broadcast((qids, qmat, qn))
 
     import pyarrow as pa
@@ -353,9 +355,9 @@ def brute_topk_arrow(spark, sf_dir, query_ids=_QUERY_IDS, k: int = 5):
     def topk_part(batches):
         qids_, qmat_, qn_ = qb.value
         for cids, cmat in iter_id_matrix(batches):
-            cn = np.round((cmat * cmat).astype(np.float64).sum(axis=1), 9)
+            cn = round_half_away((cmat * cmat).astype(np.float64).sum(axis=1), 9)
             dots = (cmat[:, None, :] * qmat_[None, :, :]).astype(np.float64).sum(axis=2)
-            sims = np.round(dots / np.sqrt(cn[:, None] * qn_[None, :]), 6)
+            sims = round_half_away(dots / np.sqrt(cn[:, None] * qn_[None, :]), 6)
             out_qid, out_cid, out_cos = [], [], []
             for qi, qid in enumerate(qids_):
                 s = sims[:, qi]
@@ -430,7 +432,7 @@ def _assign_chunked(X, cmat, c2, chunk: int | None = None):
     for s in range(0, len(X), chunk):
         Xc = X[s : s + chunk]
         x2 = (Xc * Xc).sum(axis=1)
-        D = np.round(x2[:, None] + c2[None, :] - 2.0 * (Xc @ cmat.T), 6)
+        D = round_half_away(x2[:, None] + c2[None, :] - 2.0 * (Xc @ cmat.T), 6)
         out[s : s + chunk] = np.argmin(D, axis=1)
     return out
 
@@ -562,7 +564,7 @@ def ivf_topk_arrow(
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q32 = np.array([r["embedding"] for r in qrows], dtype=np.float32)
     qmat = q32.astype(np.float64)
-    qnrm = np.round((q32 * q32).astype(np.float64).sum(axis=1), 9)
+    qnrm = round_half_away((q32 * q32).astype(np.float64).sum(axis=1), 9)
 
     # nprobe nearest cells per query, computed on the driver from cmat with
     # the shared rounding rule: round(||q-c||^2, 6), ties broken by
@@ -573,7 +575,7 @@ def ivf_topk_arrow(
     qmask = np.zeros((len(qids), len(cells)), dtype=bool)
     for qi, qid in enumerate(qids):
         diff = qmat[qi] - cmat
-        d = np.round((diff * diff).sum(axis=1), 6)
+        d = round_half_away((diff * diff).sum(axis=1), 6)
         qmask[qi, np.lexsort((cells, d))[:nprobe]] = True
     bc = spark.sparkContext.broadcast((cells, cmat, c2, qids, q32, qnrm, qmask))
 
@@ -596,14 +598,14 @@ def ivf_topk_arrow(
             assigned_ix = _assign_chunked(X, cmat_, c2_)
             # cosine against the query is FLOAT*FLOAT in the declarative
             # plan: float32 products, double accumulation (_common.py policy)
-            cnrm = np.round((X32 * X32).astype(np.float64).sum(axis=1), 9)
+            cnrm = round_half_away((X32 * X32).astype(np.float64).sum(axis=1), 9)
             out_qid, out_cid, out_cos = [], [], []
             for qi, qid in enumerate(qids_):
                 mask = qmask_[qi][assigned_ix] & (cids != qid)
                 if not mask.any():
                     continue
                 dots = (X32[mask] * q32_[qi][None, :]).astype(np.float64).sum(axis=1)
-                cos = np.round(dots / np.sqrt(qnrm_[qi] * cnrm[mask]), 6)
+                cos = round_half_away(dots / np.sqrt(qnrm_[qi] * cnrm[mask]), 6)
                 sel_ids = cids[mask]
                 order = np.lexsort((sel_ids, -cos))[:k]
                 out_qid.append(np.full(len(order), qid, dtype=np.int64))

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from ..analysis.text import preprocess_query
 from ..catalog import IndexCatalog
 from ..index.codec import decode_postings
+from ..numerics import round_half_away
 
 K1 = 1.2
 B = 0.75
@@ -327,12 +328,12 @@ class SearchEngine:
             # uses — so a last-ulp float difference can't flip a winner
             # between implementations; reported scores stay raw.
             gid = (dls % GROUP_MOD).astype(np.int64)
-            accr = np.round(acc, 6)
+            accr = round_half_away(acc, 6)
             order = np.lexsort((uniq, -accr))
             gs, us, sc = gid[order], uniq[order], acc[order]
             uniq_g, first_pos, counts = np.unique(gs, return_index=True, return_counts=True)
             top_doc, top_score = us[first_pos], sc[first_pos]
-            sel = np.lexsort((top_doc, -np.round(top_score, 6)))[skip : skip + k]
+            sel = np.lexsort((top_doc, -round_half_away(top_score, 6)))[skip : skip + k]
             page = pd.DataFrame(
                 {
                     "doc_id": top_doc[sel],
@@ -357,7 +358,7 @@ class SearchEngine:
                 # logged scores are rounded to 6; pick the top on the rounded
                 # value with the doc_id tiebreak so the logged row is
                 # reproducible across float-noise (same rule as the oracles)
-                pg = res.page.assign(_rs=res.page["score"].round(6))
+                pg = res.page.assign(_rs=round_half_away(res.page["score"], 6))
                 pg = pg.sort_values(["_rs", "doc_id"], ascending=[False, True])
                 top = pg.iloc[0]
             self.cat.append_query_log([
@@ -475,7 +476,7 @@ class SearchEngine:
             page_df = page_df.join(urls, "doc_id", "left")
         page_cols = (["g_id", "n_docs"] if group_by else []) + (["url"] if with_url else [])
         page = page_df.select("doc_id", "score", *page_cols).toPandas()
-        sort_col = page["score"].round(6) if group_by else page["score"]
+        sort_col = round_half_away(page["score"], 6) if group_by else page["score"]
         page = (
             page.assign(_sk=sort_col)
             .sort_values(["_sk", "doc_id"], ascending=[False, True])
