@@ -100,3 +100,56 @@ def decode_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray, np
     tfs = decode_varints(b[p + gap_len : p + gap_len + tf_len]).astype(np.int64)
     dls = decode_varints(b[p + gap_len + tf_len :]).astype(np.int64)
     return np.cumsum(gaps), tfs, dls
+
+
+# ---------------------------------------------------------------------------
+# Positions (the Lucene .pos analog). A positional index stores, per posting
+# block, the token offsets of every occurrence — kept in a SEPARATE segment
+# column from the postings blob so queries that never touch positions never
+# read the bytes (parquet column pruning; Lucene splits .doc/.pos the same
+# way). Layout: one varint stream of position deltas, the delta sequence
+# restarting (absolute value) at each doc boundary; the per-doc occurrence
+# counts are the tfs already in the postings blob, so no extra framing.
+# ---------------------------------------------------------------------------
+
+def encode_position_lists(positions: np.ndarray, counts: np.ndarray) -> bytes:
+    """Flat ascending-within-doc ``positions`` + per-doc ``counts`` -> bytes.
+
+    ``positions`` concatenates each doc's sorted occurrence offsets;
+    ``counts[i]`` is doc i's occurrence count (== its tf). Vectorized:
+    one subtract for deltas, one scatter for the per-doc restarts.
+    """
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    cnt = np.ascontiguousarray(counts, dtype=np.int64)
+    if pos.size == 0:
+        return b""
+    starts = np.zeros(cnt.size, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=starts[1:])
+    starts = starts[cnt > 0]
+    deltas = np.empty_like(pos)
+    deltas[1:] = pos[1:] - pos[:-1]
+    deltas[starts] = pos[starts]
+    return encode_varints(deltas)
+
+
+def decode_position_lists(buf: bytes | memoryview, counts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_position_lists` -> flat absolute positions.
+
+    ``counts`` must be the same per-doc occurrence counts used at encode
+    (the block's tfs). Segmented inverse-cumsum: one global cumsum, then
+    subtract each run's preceding total.
+    """
+    cnt = np.ascontiguousarray(counts, dtype=np.int64)
+    deltas = decode_varints(buf).astype(np.int64)
+    if deltas.size != int(cnt.sum()):
+        raise ValueError(
+            f"positions stream has {deltas.size} values, tfs sum to {int(cnt.sum())}"
+        )
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    c = np.cumsum(deltas)
+    nz = cnt > 0
+    starts = np.zeros(cnt.size, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=starts[1:])
+    base = np.where(starts == 0, 0, c[starts - 1])
+    return c - np.repeat(base[nz], cnt[nz])

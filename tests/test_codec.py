@@ -69,3 +69,51 @@ def test_decode_rejects_garbage_gracefully():
     with pytest.raises(Exception):
         # truncated stream: continuation bit set on final byte
         decode_varints(b"\x80")
+
+
+# --------------------------------------------------------------- positions
+
+from search_engine_spark.index.codec import (  # noqa: E402
+    decode_position_lists,
+    encode_position_lists,
+)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 100_000), min_size=1, max_size=40, unique=True),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_position_lists_roundtrip(doc_lists):
+    doc_lists = [sorted(d) for d in doc_lists]
+    counts = np.array([len(d) for d in doc_lists], dtype=np.int64)
+    flat = (
+        np.array([p for d in doc_lists for p in d], dtype=np.int64)
+        if doc_lists
+        else np.empty(0, dtype=np.int64)
+    )
+    buf = encode_position_lists(flat, counts)
+    out = decode_position_lists(buf, counts)
+    assert out.tolist() == flat.tolist()
+
+
+def test_position_lists_empty_and_mismatch():
+    assert encode_position_lists(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)) == b""
+    assert decode_position_lists(b"", np.empty(0, dtype=np.int64)).size == 0
+    buf = encode_position_lists(np.array([3, 5]), np.array([2]))
+    with pytest.raises(ValueError):
+        decode_position_lists(buf, np.array([3]))
+
+
+def test_position_lists_deltas_restart_per_doc():
+    # two docs with identical small positions: the second doc's first
+    # position must encode absolute (1 varint byte), not relative to the
+    # previous doc's last position (which would go negative)
+    flat = np.array([2, 7, 2, 7], dtype=np.int64)
+    counts = np.array([2, 2], dtype=np.int64)
+    buf = encode_position_lists(flat, counts)
+    assert buf == bytes([2, 5, 2, 5])
+    assert decode_position_lists(buf, counts).tolist() == [2, 7, 2, 7]
