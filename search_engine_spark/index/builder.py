@@ -64,6 +64,10 @@ K1 = 1.2
 B = 0.75
 
 TOKENS_SCHEMA = "term string, doc_id long, tf int, dl int"
+# positional builds carry each (doc, term)'s sorted occurrence offsets
+# through the token stream; the encoder folds them into a per-block varint
+# blob (codec.encode_position_lists) stored as a SEPARATE segment column
+TOKENS_SCHEMA_POS = TOKENS_SCHEMA + ", positions array<int>"
 SEGMENT_SCHEMA = (
     "pid int, term string, sseg int, block_id int, first_doc long, last_doc long, "
     "doc_count int, max_tf_norm double, nbytes long, postings binary"
@@ -75,6 +79,8 @@ SEGMENT_SCHEMA_IDS = (
     "term_id long, sseg int, block_id int, first_doc long, last_doc long, "
     "doc_count int, max_tf_norm double, nbytes long, postings binary"
 )
+SEGMENT_SCHEMA_POS = SEGMENT_SCHEMA + ", positions binary"
+SEGMENT_SCHEMA_IDS_POS = SEGMENT_SCHEMA_IDS + ", positions binary"
 
 
 @dataclass
@@ -96,6 +102,11 @@ class BuildConfig:
     # "pandas" pin the path (pandas applies NFC — choose it for corpora
     # known to mix normalization forms beyond what sampling can see)
     tokenizer: str = "auto"
+    # store per-occurrence token offsets (Lucene DOCS_AND_FREQS_AND_POSITIONS)
+    # so the engine can answer phrase queries; costs ~1 varint byte per token
+    # occurrence in a separate segment column that non-phrase queries never
+    # read.  Off by default: the docs+freqs index is the north-rule build.
+    positions: bool = False
 
     def __post_init__(self):
         # a typo like "panda" would otherwise silently fall through to the
@@ -263,7 +274,7 @@ def build_vocab(
 _TOKEN_SPLIT_RE = "[^0-9A-Za-zÀ-￿]+"
 
 
-def tokens_from_docs(docs_with_ids: DataFrame) -> DataFrame:
+def tokens_from_docs(docs_with_ids: DataFrame, positions: bool = False) -> DataFrame:
     """(doc_id, text) -> (term, doc_id, tf, dl) — pure JVM, whole-stage codegen.
 
     explode + hash-aggregate: every operator codegens (higher-order-function
@@ -272,9 +283,29 @@ def tokens_from_docs(docs_with_ids: DataFrame) -> DataFrame:
     Map-side partial aggregation collapses the exploded stream to one row per
     (doc, term) before the shuffle because a doc's tokens never span
     partitions.
+
+    ``positions=True`` adds each (doc, term)'s sorted occurrence offsets
+    (0-based index in the token sequence, == what ``posexplode`` yields over
+    the filtered array) as an ``array<int>`` column — still JVM-side
+    (``collect_list`` object-hash aggregate).
     """
     arr = F.array_remove(F.split(F.lower(F.col("text")), _TOKEN_SPLIT_RE), "")
     d1 = docs_with_ids.select("doc_id", arr.alias("arr")).filter(F.size("arr") > 0)
+    if positions:
+        d2 = d1.select(
+            "doc_id",
+            F.size("arr").cast("int").alias("dl"),
+            F.posexplode("arr").alias("pos", "term"),
+        )
+        return (
+            d2.groupBy("doc_id", "term")
+            .agg(
+                F.count("*").cast("int").alias("tf"),
+                F.max("dl").alias("dl"),
+                F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
+            )
+            .select("term", "doc_id", "tf", "dl", "positions")
+        )
     d2 = d1.select(
         "doc_id",
         F.size("arr").cast("int").alias("dl"),
@@ -318,11 +349,13 @@ def sampled_nfc_ok(docs: DataFrame, rows_per_split: int = 4) -> bool:
     return all(unicodedata.is_normalized("NFC", r["text"]) for r in heads)
 
 
-def tokens_from_docs_pandas(docs_with_ids: DataFrame) -> DataFrame:
+def tokens_from_docs_pandas(docs_with_ids: DataFrame, positions: bool = False) -> DataFrame:
     """(doc_id, text) -> exploded (term, doc_id, tf, dl); Arrow/pandas path.
 
     Spec-exact fallback (applies NFC) for corpora that are not NFC at ingest;
-    the JVM path above is the default build path.
+    the JVM path above is the default build path.  ``positions=True`` adds
+    the per-(doc, term) sorted occurrence offsets, grouped with one stable
+    lexsort + ``np.split`` (no per-group pandas apply).
     """
 
     def tok(it):
@@ -337,17 +370,41 @@ def tokens_from_docs_pandas(docs_with_ids: DataFrame) -> DataFrame:
             flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists[nz]])
             doc_rep = np.repeat(pdf["doc_id"].to_numpy()[nz], lens[nz])
             dl_rep = np.repeat(lens[nz], lens[nz])
-            tdf = pd.DataFrame({"term": flat, "doc_id": doc_rep, "dl": dl_rep})
-            out = (
-                tdf.groupby(["doc_id", "term"], sort=False)
-                .agg(tf=("term", "size"), dl=("dl", "first"))
-                .reset_index()
+            if not positions:
+                tdf = pd.DataFrame({"term": flat, "doc_id": doc_rep, "dl": dl_rep})
+                out = (
+                    tdf.groupby(["doc_id", "term"], sort=False)
+                    .agg(tf=("term", "size"), dl=("dl", "first"))
+                    .reset_index()
+                )
+                yield out[["term", "doc_id", "tf", "dl"]].astype(
+                    {"tf": np.int32, "dl": np.int32}
+                )
+                continue
+            # occurrence offset within each doc = local arange per doc
+            pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens[nz]])
+            # stable sort by (doc, term); pos stays ascending within groups
+            order = np.lexsort((pos, flat, doc_rep))
+            doc_s, term_s, dl_s, pos_s = (
+                doc_rep[order], flat[order], dl_rep[order], pos[order]
             )
-            yield out[["term", "doc_id", "tf", "dl"]].astype(
-                {"tf": np.int32, "dl": np.int32}
+            change = np.empty(len(doc_s), dtype=bool)
+            change[0] = True
+            change[1:] = (doc_s[1:] != doc_s[:-1]) | (term_s[1:] != term_s[:-1])
+            starts = np.flatnonzero(change)
+            counts = np.diff(np.append(starts, len(doc_s)))
+            yield pd.DataFrame(
+                {
+                    "term": term_s[starts],
+                    "doc_id": doc_s[starts],
+                    "tf": counts.astype(np.int32),
+                    "dl": dl_s[starts].astype(np.int32),
+                    "positions": np.split(pos_s.astype(np.int32), starts[1:]),
+                }
             )
 
-    return docs_with_ids.select("doc_id", "text").mapInPandas(tok, schema=TOKENS_SCHEMA)
+    schema = TOKENS_SCHEMA_POS if positions else TOKENS_SCHEMA
+    return docs_with_ids.select("doc_id", "text").mapInPandas(tok, schema=schema)
 
 
 def with_extracted_text(docs: DataFrame) -> DataFrame:
@@ -392,6 +449,8 @@ def encode_sorted_arrays(
     pid: np.ndarray | None,
     avgdl: float,
     block_docs: int,
+    pos_flat: np.ndarray | None = None,
+    pos_offsets: np.ndarray | None = None,
 ) -> dict:
     """Encode a (term, sseg, doc_id)-sorted slab into block columns.
 
@@ -401,6 +460,12 @@ def encode_sorted_arrays(
     per-group Python loop — this is the hot path of the whole build.
     Term strings enter as (codes, uniques) so the 10^8-row slab never
     materializes python string objects (only the ~10^4 uniques do).
+
+    Positional builds pass ``pos_flat`` (every row's occurrence offsets,
+    concatenated in row order) + ``pos_offsets`` (n+1 prefix offsets into
+    it); the kernel emits one extra ``positions`` varint blob per block
+    (codec layout: deltas restarting absolute at each doc/row), sliced from
+    the same one-pass varint encode discipline as the postings sections.
     """
     n = doc.size
     if n == 0:
@@ -455,6 +520,23 @@ def encode_sorted_arrays(
         )
     ]
 
+    pos_out = {}
+    if pos_flat is not None:
+        # per-row delta restart: deltas[row_start] is absolute, the rest are
+        # gaps — exactly codec.encode_position_lists, computed slab-wide
+        row_starts_flat = pos_offsets[:-1][np.diff(pos_offsets) > 0]
+        pdeltas = np.empty_like(pos_flat)
+        if pos_flat.size:
+            pdeltas[1:] = pos_flat[1:] - pos_flat[:-1]
+            pdeltas[row_starts_flat] = pos_flat[row_starts_flat]
+        pnb = _varint_nbytes(pdeltas)
+        pcum = np.concatenate(([0], np.cumsum(pnb)))
+        p_lo = pcum[pos_offsets[blk_starts]]
+        p_hi = pcum[pos_offsets[blk_ends]]
+        pos_bytes = np.frombuffer(encode_varints(pdeltas), dtype=np.uint8)
+        pos_out = {
+            "positions": [pos_bytes[lo:hi].tobytes() for lo, hi in zip(p_lo, p_hi)]
+        }
     term_out = (
         {"term": term_uniques.take(term_codes[blk_starts])}
         if term_uniques is not None
@@ -472,11 +554,13 @@ def encode_sorted_arrays(
         "max_tf_norm": max_tf_norm,
         "nbytes": np.array([len(p) for p in postings], dtype=np.int64),
         "postings": postings,
+        **pos_out,
     }
 
 
 def make_arrow_encoder(
-    avgdl: float, block_docs: int, range_docs: int, term_dict=None, packed=False
+    avgdl: float, block_docs: int, range_docs: int, term_dict=None, packed=False,
+    with_positions: bool = False,
 ):
     """mapInArrow kernel: Arrow batches in, encoded block batches out.
 
@@ -520,6 +604,8 @@ def make_arrow_encoder(
         pa.field("nbytes", pa.int64()),
         pa.field("postings", pa.binary()),
     ]
+    if with_positions:
+        fields.append(pa.field("positions", pa.binary()))
     out_schema = pa.schema(fields)
     term_key = "term_id" if id_mode else "term"
 
@@ -542,6 +628,15 @@ def make_arrow_encoder(
             tf_arr = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
             dl_arr = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
         doc_arr = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_flat = pos_offsets = None
+        if with_positions:
+            la = tbl.column("positions").chunk(0)
+            off = la.offsets.to_numpy().astype(np.int64)
+            vals = la.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            # normalize away any leading slice offset so row i's positions
+            # are pos_flat[pos_offsets[i]:pos_offsets[i+1]]
+            pos_flat = np.ascontiguousarray(vals[off[0] : off[-1]])
+            pos_offsets = off - off[0]
         cols = encode_sorted_arrays(
             term_codes=codes,
             term_uniques=terms_arr,
@@ -552,6 +647,8 @@ def make_arrow_encoder(
             pid=pid_arr,
             avgdl=avgdl,
             block_docs=block_docs,
+            pos_flat=pos_flat,
+            pos_offsets=pos_offsets,
         )
         arrs = [] if id_mode else [pa.array(cols["pid"], pa.int32())]
         arrs += [
@@ -565,6 +662,8 @@ def make_arrow_encoder(
             pa.array(cols["nbytes"], pa.int64()),
             pa.array(cols["postings"], pa.binary()),
         ]
+        if with_positions:
+            arrs.append(pa.array(cols["positions"], pa.binary()))
         yield pa.record_batch(arrs, schema=out_schema)
 
     return encode_part
@@ -608,6 +707,11 @@ def build_index(
 
     done = cat.completed_partitions()
     phase1_done = -1 in done and cat.has_corpus_stats()
+    # positional layout is a committed index property: a resume honors what
+    # phase 1 recorded, not the (possibly different) cfg of the resuming run
+    use_pos = bool(cfg.positions)
+    if phase1_done:
+        use_pos = bool(cat.read_corpus_stats().get("with_positions", False))
 
     shuffle_n = cfg.shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # Broadcasting the (url -> doc_id) map keeps the TEXT payload out of any
@@ -626,13 +730,13 @@ def build_index(
 
     def _tokenize(df):
         if cfg.tokenizer == "jvm":
-            return tokens_from_docs(df)
+            return tokens_from_docs(df, positions=use_pos)
         if cfg.tokenizer == "pandas":
-            return tokens_from_docs_pandas(df)
+            return tokens_from_docs_pandas(df, positions=use_pos)
         if not _nfc_memo:
             _nfc_memo.append(sampled_nfc_ok(docs))
         fn = tokens_from_docs if _nfc_memo[0] else tokens_from_docs_pandas
-        return fn(df)
+        return fn(df, positions=use_pos)
 
     if not phase1_done:
         if id_col is not None:
@@ -701,6 +805,7 @@ def build_index(
                 "n_terms": int(n_terms),
                 "max_dl": max_dl,
                 "corpus_path": corpus_path,
+                "with_positions": bool(use_pos),
             }
         )
         cat.append_manifest(
@@ -754,9 +859,14 @@ def build_index(
         # else rebuild it deterministically, joining the COMMITTED doc_id
         # assignment from doc_stats so segment contents are bit-identical to
         # the interrupted run.
+        tokens = None
         if os.path.exists(os.path.join(cat.tokens_tmp, "_SUCCESS")):
-            tokens = spark.read.parquet(cat.tokens_tmp)
-        else:
+            cand = spark.read.parquet(cat.tokens_tmp)
+            # a surviving stream from before the positional layout cannot
+            # serve a positional resume; fall through to the rebuild
+            if not use_pos or "positions" in cand.columns:
+                tokens = cand
+        if tokens is None:
             committed = spark.read.parquet(cat.doc_stats).select("url", "doc_id")
             small = stats["n_docs"] <= _BCAST_DOCS_MAX
             docs_with_ids = docs.join(
@@ -802,6 +912,8 @@ def build_index(
         if packed
         else [F.col("tf"), F.col("dl")]
     )
+    if use_pos:
+        val_cols = val_cols + [F.col("positions")]
     base_cols = [F.col("term_id"), F.col("pid"), doc_col]
     if not id_mode:
         pdf = term_dim_df.toPandas().sort_values("term_id").reset_index(drop=True)
@@ -813,13 +925,13 @@ def build_index(
         dict_b = spark.sparkContext.broadcast((terms_arr, pids_arr))
         encoder = make_arrow_encoder(
             avgdl=avgdl, block_docs=block_docs, range_docs=int(range_docs),
-            term_dict=dict_b, packed=packed,
+            term_dict=dict_b, packed=packed, with_positions=use_pos,
         )
     else:
         keyed = tokens.join(term_dim_df, "term").select(*base_cols, *val_cols)
         encoder = make_arrow_encoder(
             avgdl=avgdl, block_docs=block_docs, range_docs=int(range_docs),
-            term_dict=None, packed=packed,
+            term_dict=None, packed=packed, with_positions=use_pos,
         )
     sseg_key = F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)")
 
@@ -835,7 +947,14 @@ def build_index(
             .drop("pid")  # derivable at/after encode; keep the shuffle lean
             .repartition(shuffle_n, F.col("term_id"), sseg_key)
             .sortWithinPartitions("term_id", "doc_id")  # sseg monotone in doc_id
-            .mapInArrow(encoder, schema=SEGMENT_SCHEMA_IDS if id_mode else SEGMENT_SCHEMA)
+            .mapInArrow(
+                encoder,
+                schema=(
+                    (SEGMENT_SCHEMA_IDS_POS if id_mode else SEGMENT_SCHEMA_POS)
+                    if use_pos
+                    else (SEGMENT_SCHEMA_IDS if id_mode else SEGMENT_SCHEMA)
+                ),
+            )
         )
         if id_mode:
             # restore term string + pid: one join of BLOCK rows (≈ postings
@@ -844,6 +963,7 @@ def build_index(
             wave = wave.join(term_dim_df, "term_id").select(
                 "pid", "term", "sseg", "block_id", "first_doc", "last_doc",
                 "doc_count", "max_tf_norm", "nbytes", "postings",
+                *(["positions"] if use_pos else []),
             )
         wave.write.mode("overwrite").partitionBy("pid").parquet(cat.segments)
         _mark(f"wave{w}_segments")
