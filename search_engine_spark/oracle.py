@@ -61,13 +61,18 @@ class OracleIndex:
         self.n_docs = n
         self.doc_len = [0] * n
         self.postings: dict[str, dict[int, int]] = {}
+        # positional postings (Lucene .pos analog): term -> doc -> sorted
+        # occurrence offsets in the analyzed token stream; phrase matching
+        # intersects these with per-slot shifts
+        self.positions: dict[str, dict[int, list[int]]] = {}
         for url, text in rows:
             d = self.url_to_doc[url]
             toks = tokenize(text)
             self.doc_len[d] = len(toks)
-            for t in toks:
+            for p, t in enumerate(toks):
                 pl = self.postings.setdefault(t, {})
                 pl[d] = pl.get(d, 0) + 1
+                self.positions.setdefault(t, {}).setdefault(d, []).append(p)
         self.avgdl = sum(self.doc_len) / n if n else 0.0
         self.terms_sorted = sorted(self.postings)
 
@@ -170,3 +175,50 @@ class OracleIndex:
             key=lambda r: (-round(r[2], 6), r[1]),
         )
         return len(rows), rows[skip : skip + k]
+
+    def search_phrase(
+        self,
+        keyword: str,
+        k: int = 10,
+        skip: int = 0,
+        constant_boost: bool = False,
+        avail_boost: bool = False,
+    ) -> QueryResult:
+        """Exact-phrase match + BM25 (Atlas ``$search.phrase`` semantics).
+
+        The phrase is the INDEX analyzer's token sequence of ``keyword``
+        (order kept, stopwords kept — positions refer to the analyzed
+        stream, so query-side stopword removal would silently change
+        adjacency).  A doc matches when the terms appear consecutively in
+        order; tf = occurrence count of the whole phrase, df = matching-doc
+        count, and the phrase scores as one pseudo-term:
+        ``bm25(tf_phrase, df_phrase, dl)``.
+        """
+        terms = tokenize(keyword)
+        if not terms or any(t not in self.positions for t in terms):
+            return QueryResult(total=0)
+        docs = set(self.positions[terms[0]])
+        for t in terms[1:]:
+            docs &= set(self.positions[t])
+        tfs: dict[int, int] = {}
+        for d in docs:
+            starts = set(self.positions[terms[0]][d])
+            for i, t in enumerate(terms[1:], 1):
+                starts &= {p - i for p in self.positions[t][d]}
+                if not starts:
+                    break
+            if starts:
+                tfs[d] = len(starts)
+        df = len(tfs)
+        if df == 0:
+            return QueryResult(total=0)
+        scores = {
+            d: bm25(tf, df, self.doc_len[d], self.n_docs, self.avgdl)
+            for d, tf in tfs.items()
+        }
+        if constant_boost:
+            scores = {d: s + (CONSTANT_BOOST if self.boosted(d) else 0.0) for d, s in scores.items()}
+        if avail_boost:
+            scores = {d: s + (AVAIL_BOOST if self.avail(d) > 0 else 0.0) for d, s in scores.items()}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return QueryResult(total=df, hits=ranked[skip : skip + k])

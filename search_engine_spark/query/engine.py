@@ -37,9 +37,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis.text import preprocess_query
+from ..analysis.text import preprocess_query, tokenize
 from ..catalog import IndexCatalog
-from ..index.codec import decode_postings
+from ..index.codec import decode_position_lists, decode_postings
 from ..numerics import round_half_away
 
 K1 = 1.2
@@ -69,6 +69,51 @@ def _math_idf(n_docs: int, df: int) -> float:
 # term dictionaries up to this size are cached in driver memory; above it the
 # engine falls back to distributed parquet range scans (the cluster-scale path)
 _TERM_DICT_CACHE_MAX = 2_000_000
+
+
+def _phrase_match_arrays(
+    terms_seq: list[str], decoded: dict[str, tuple]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact-phrase matching over decoded positional postings, vectorized.
+
+    ``decoded[t] = (doc_ids, tfs, dls, pos_flat)`` concatenated over t's
+    blocks (``pos_flat`` groups by posting row, each run sorted ascending).
+    Occurrences become composite keys ``doc_id * stride + pos`` with
+    ``stride > max dl + len(terms)``, so "term_{i} at position p+1 in the
+    same doc" is exactly "key + 1" — the whole phrase chain is then m-1
+    sorted-set intersections with NO per-doc loop.  Works unchanged for
+    repeated phrase terms ("milk milk": K + 1 ∩ K).  Returns the matched
+    (doc_ids, phrase_tfs, dls); keys never leave this function, so callers
+    on different partitions may see different strides.
+    """
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    if any(t not in decoded or decoded[t][0].size == 0 for t in terms_seq):
+        return empty
+    max_dl = max(int(decoded[t][2].max()) for t in set(terms_seq))
+    stride = max_dl + len(terms_seq) + 2
+    keys: dict[str, np.ndarray] = {}
+    for t in set(terms_seq):
+        ids, tfs, _, pos = decoded[t]
+        keys[t] = np.sort(np.repeat(ids, tfs) * stride + pos)
+    s = keys[terms_seq[0]]
+    for t in terms_seq[1:]:
+        s = np.intersect1d(s + 1, keys[t], assume_unique=True)
+        if s.size == 0:
+            return empty
+    uniq, counts = np.unique(s // stride, return_counts=True)
+    # dl lookup from the first term's postings (matched docs ⊆ its docs;
+    # a (term, doc) posting lives in exactly one block, so ids are unique)
+    ids0, _, dls0, _ = decoded[terms_seq[0]]
+    order = np.argsort(ids0)
+    dl_out = dls0[order][np.searchsorted(ids0[order], uniq)]
+    return uniq, counts.astype(np.int64), dl_out.astype(np.int64)
+
+
+def _concat_decoded(parts: dict[str, list]) -> dict[str, tuple]:
+    return {
+        t: tuple(np.concatenate([p[j] for p in ps]) for j in range(4))
+        for t, ps in parts.items()
+    }
 
 
 class SearchEngine:
@@ -348,6 +393,154 @@ class SearchEngine:
         page = pd.DataFrame({"doc_id": uniq[order], "score": acc[order]})
         return SearchResult(total=total, page=page)
 
+    # --------------------------------------------------------- phrase search
+    def _phrase_decode_rows(self, rows) -> dict[str, tuple]:
+        parts: dict[str, list] = {}
+        for r in rows:
+            ids, tfs, dls = decode_postings(r["postings"])
+            pos = decode_position_lists(r["positions"], tfs)
+            parts.setdefault(r["term"], []).append((ids, tfs, dls, pos))
+        return _concat_decoded(parts)
+
+    def _phrase_matched_dist(self, terms_seq: list[str]) -> DataFrame:
+        """Distributed phrase match -> (doc_id, tf, dl) of matching docs.
+
+        Candidate blocks (the phrase terms' postings + positions only)
+        shuffle ONCE keyed by ``sseg`` — the shared doc-id grid guarantees
+        every term's blocks for a doc range land in the same task, so the
+        kernel intersects complete per-doc evidence with no further
+        exchange.  Work and shuffle are O(candidate blocks of the m query
+        terms), never corpus-sized; composite keys stay kernel-local, so
+        per-partition strides may differ.
+        """
+        segs = self._candidate_segments(sorted(set(terms_seq))).select(
+            "term", "sseg", "postings", "positions"
+        )
+        terms_b = self.spark.sparkContext.broadcast(list(terms_seq))
+
+        def match(it):
+            pdfs = [p for p in it if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            parts: dict[str, list] = {}
+            tcol = pdf["term"].to_numpy(dtype=object)
+            post, posc = pdf["postings"], pdf["positions"]
+            for i in range(len(pdf)):
+                ids, tfs, dls = decode_postings(post.iat[i])
+                pos = decode_position_lists(posc.iat[i], tfs)
+                parts.setdefault(tcol[i], []).append((ids, tfs, dls, pos))
+            uniq, tfs_, dls_ = _phrase_match_arrays(
+                terms_b.value, _concat_decoded(parts)
+            )
+            if uniq.size:
+                yield pd.DataFrame({"doc_id": uniq, "tf": tfs_, "dl": dls_})
+
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        return segs.repartition(n, "sseg").mapInPandas(
+            match, schema="doc_id long, tf long, dl long"
+        )
+
+    def _phrase_search(
+        self,
+        keyword: str,
+        k: int,
+        skip: int,
+        constant_boost: bool,
+        avail_boost: bool,
+        with_url: bool,
+        force_distributed: bool,
+    ) -> SearchResult:
+        """Exact-phrase BM25 top-k (Atlas ``$search.phrase``, the operator the
+        reference's platform exposes next to its text/autocomplete clauses).
+
+        The phrase is the INDEX analyzer's token sequence of ``keyword`` —
+        order kept, stopwords kept — because positions refer to the analyzed
+        stream and query-side stopword removal would silently change
+        adjacency.  A doc matches when the terms appear consecutively in
+        order; the phrase then scores as ONE pseudo-term:
+        ``idf(df_phrase) * tf_norm(tf_phrase, dl)`` with the engine's BM25
+        constants.  ``total`` is the exact phrase df at zero extra cost (the
+        match IS the count).
+        """
+        if "positions" not in self._segments_df.columns:
+            raise ValueError(
+                "phrase search requires a positional index "
+                "(build with BuildConfig(positions=True))"
+            )
+        terms_seq = tokenize(keyword)
+        empty = SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
+        if not terms_seq:
+            return empty
+        dfs = self.term_dfs(sorted(set(terms_seq)))
+        if len(dfs) < len(set(terms_seq)):
+            return empty  # a phrase term absent from the corpus
+        if not force_distributed and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS:
+            rows = (
+                self._candidate_segments(sorted(set(terms_seq)))
+                .select("term", "postings", "positions")
+                .collect()
+            )
+            uniq, tfs, dls = _phrase_match_arrays(
+                terms_seq, self._phrase_decode_rows(rows)
+            )
+            if uniq.size == 0:
+                return empty
+            w = _math_idf(self.n_docs, int(uniq.size))
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            acc = w * tf / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+            if constant_boost:
+                acc = acc + np.where(dls % 37 == 0, CONSTANT_BOOST, 0.0)
+            if avail_boost:
+                acc = acc + np.where(dls % 7 > 0, AVAIL_BOOST, 0.0)
+            order = np.lexsort((uniq, -acc))[skip : skip + k]
+            page = pd.DataFrame({"doc_id": uniq[order], "score": acc[order]})
+            res = SearchResult(total=int(uniq.size), page=page)
+        else:
+            matched = self._phrase_matched_dist(terms_seq).persist()
+            total = matched.count()  # == phrase df: exact total for free
+            if total == 0:
+                matched.unpersist()
+                return empty
+            w = _math_idf(self.n_docs, int(total))
+            tfd = F.col("tf").cast("double")
+            dld = F.col("dl").cast("double")
+            # operand-for-operand the driver path's numpy expression tree
+            score = F.lit(w) * tfd / (
+                tfd
+                + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * dld / F.lit(self.avgdl))
+            )
+            scored = self._apply_boosts(
+                matched.select(
+                    "doc_id", score.alias("score"), F.col("dl").cast("int").alias("dl")
+                ),
+                constant_boost,
+                avail_boost,
+            )
+            ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            page_df = ranked.offset(skip).limit(k) if skip else ranked.limit(k)
+            page = (
+                page_df.select("doc_id", "score")
+                .toPandas()
+                .sort_values(["score", "doc_id"], ascending=[False, True])
+                .reset_index(drop=True)
+            )
+            matched.unpersist()
+            res = SearchResult(total=int(total), page=page)
+        if with_url and len(res.page):
+            ids = [int(d) for d in res.page["doc_id"]]
+            urls = (
+                self.spark.read.parquet(self.cat.doc_stats)
+                .filter(F.col("doc_id").isin(ids))
+                .select("doc_id", "url")
+                .toPandas()
+            )
+            res = SearchResult(
+                total=res.total, page=res.page.merge(urls, on="doc_id", how="left")
+            )
+        return res
+
     # ---------------------------------------------------------------- search
     def search(self, keyword: str, **kwargs) -> SearchResult:
         res = self._search_impl(keyword, **kwargs)
@@ -365,7 +558,9 @@ class SearchEngine:
                 {
                     "qid": self._qid,
                     "keyword": keyword,
-                    "mode": kwargs.get("mode", "sort"),
+                    "mode": kwargs.get(
+                        "mode", "phrase" if kwargs.get("phrase") else "sort"
+                    ),
                     "n_terms": len(preprocess_query(keyword)),
                     "total": int(res.total),
                     "top_doc_id": int(top["doc_id"]) if top is not None else None,
@@ -388,6 +583,7 @@ class SearchEngine:
         force_distributed: bool = False,
         total_mode: str = "exact",
         group_by: bool = False,
+        phrase: bool = False,
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
 
@@ -403,6 +599,13 @@ class SearchEngine:
         paginate far enough to care get ``"exact"`` (the default, and
         always exact in sort mode).
         """
+        if phrase:
+            if group_by:
+                raise ValueError("group_by is not supported with phrase search")
+            return self._phrase_search(
+                keyword, k, skip, constant_boost, avail_boost, with_url,
+                force_distributed,
+            )
         terms = preprocess_query(keyword)
         if not terms:
             return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))

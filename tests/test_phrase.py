@@ -1,0 +1,193 @@
+"""Phrase search (positional index) — rank identity vs the pure-Python oracle.
+
+The engine's phrase operator is Atlas ``$search.phrase`` re-expressed over
+the positional index: exact adjacency via composite-key intersections, BM25
+over (tf_phrase, df_phrase). Both physical paths (driver fast path and the
+sseg-repartitioned distributed kernel) must match ``OracleIndex.
+search_phrase`` on doc_ids AND scores, including repeated-term phrases.
+"""
+
+import os
+
+import pytest
+
+PHRASES = [
+    "milk milk",            # repeated term, overlapping occurrences
+    "scan window",          # 2-term, several docs
+    "scan window merge",    # 3-term
+    "brown fox",            # single doc
+    "milk",                 # 1-term phrase == plain tf scoring
+    "fox brown",            # order matters: reversed bigram absent
+    "zzz qqq",              # absent terms
+]
+
+DOCS = [
+    "milk milk milk cow",                       # "milk milk" tf=2
+    "the quick brown fox jumps",                # "brown fox" tf=1
+    "scan window merge scan window",            # "scan window" tf=2, trigram tf=1
+    "window scan window merge",                 # trigram tf=1
+    "milk cow milk milk",                       # "milk milk" tf=1
+    "scan merge window scan",                   # bigram absent (not adjacent)
+    "plain filler text with no query words",
+    "merge scan window merge scan window merge",  # bigram tf=2, trigram tf=2
+]
+
+
+@pytest.fixture(scope="module")
+def phrase_corpus(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("phrase") / "corpus")
+    rows = [(f"https://p{i:03d}.example.com/", t) for i, t in enumerate(DOCS)]
+    spark.createDataFrame(rows, "url string, text string").write.parquet(path)
+    return path, rows
+
+
+@pytest.fixture(scope="module")
+def phrase_oracle(phrase_corpus):
+    from search_engine_spark.oracle import OracleIndex
+
+    return OracleIndex(phrase_corpus[1])
+
+
+@pytest.fixture(scope="module")
+def phrase_index(spark, phrase_corpus, tmp_path_factory):
+    from search_engine_spark.index.builder import BuildConfig, build_index
+
+    index_dir = str(tmp_path_factory.mktemp("phrase") / "idx")
+    cfg = BuildConfig(block_docs=4, target_ranges=4, min_range_docs=2,
+                      n_partitions=4, waves=2, positions=True)
+    build_index(spark, phrase_corpus[0], index_dir, cfg=cfg)
+    return index_dir
+
+
+@pytest.fixture(scope="module")
+def phrase_engine(spark, phrase_index):
+    from search_engine_spark.query.engine import SearchEngine
+
+    return SearchEngine(spark, phrase_index)
+
+
+def _hits(res):
+    return [
+        (int(d), round(float(s), 6))
+        for d, s in zip(res.page["doc_id"], res.page["score"])
+    ]
+
+
+@pytest.mark.parametrize("force_dist", [False, True])
+@pytest.mark.parametrize("kw", PHRASES)
+def test_phrase_rank_identity(phrase_engine, phrase_oracle, kw, force_dist):
+    want = phrase_oracle.search_phrase(kw, k=10)
+    res = phrase_engine.search(kw, k=10, phrase=True, force_distributed=force_dist)
+    assert _hits(res) == [(d, round(s, 6)) for d, s in want.hits]
+    assert res.total == want.total
+
+
+def test_repeated_term_tfs_are_exact(phrase_oracle):
+    # pin the oracle itself on the overlap semantics the engine must copy:
+    # "milk milk milk" contains "milk milk" at starts {0, 1} -> tf 2
+    res = phrase_oracle.search_phrase("milk milk", k=10)
+    tfs = {d: None for d, _ in res.hits}
+    assert res.total == 2
+    assert set(tfs) == {phrase_oracle.url_to_doc["https://p000.example.com/"],
+                        phrase_oracle.url_to_doc["https://p004.example.com/"]}
+
+
+@pytest.mark.parametrize("force_dist", [False, True])
+def test_phrase_boosts_and_pagination(phrase_engine, phrase_oracle, force_dist):
+    kw = "scan window"
+    want = phrase_oracle.search_phrase(kw, k=2, skip=1,
+                                       constant_boost=True, avail_boost=True)
+    res = phrase_engine.search(kw, k=2, skip=1, phrase=True,
+                               constant_boost=True, avail_boost=True,
+                               force_distributed=force_dist)
+    assert _hits(res) == [(d, round(s, 6)) for d, s in want.hits]
+    assert res.total == want.total
+
+
+def test_phrase_on_webtext_both_paths(spark, webtext_tiny, oracle_tiny, tmp_path_factory):
+    """Rank identity on the real fixture corpus, phrases drawn from doc text."""
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.analysis.text import tokenize
+    from search_engine_spark.index.builder import BuildConfig, build_index
+    from search_engine_spark.query.engine import SearchEngine
+
+    index_dir = str(tmp_path_factory.mktemp("phrase") / "wt_idx")
+    cfg = BuildConfig(block_docs=64, target_ranges=16, min_range_docs=64,
+                      n_partitions=8, waves=2, positions=True)
+    build_index(spark, webtext_tiny, index_dir, cfg=cfg)
+    eng = SearchEngine(spark, index_dir)
+
+    tbl = pq.read_table(os.path.join(webtext_tiny, "part-00000.parquet"))
+    texts = tbl.column("text").to_pylist()
+    phrases = [
+        " ".join(tokenize(texts[7])[3:5]),
+        " ".join(tokenize(texts[23])[10:13]),
+        " ".join(tokenize(texts[40])[0:2]),
+    ]
+    for kw in phrases:
+        want = oracle_tiny.search_phrase(kw, k=10)
+        assert want.total >= 1  # drawn from real text, must hit
+        for fd in (False, True):
+            res = eng.search(kw, k=10, phrase=True, force_distributed=fd)
+            assert _hits(res) == [(d, round(s, 6)) for d, s in want.hits], (kw, fd)
+            assert res.total == want.total
+
+
+def test_phrase_requires_positional_index(spark, index_tiny):
+    from search_engine_spark.query.engine import SearchEngine
+
+    with pytest.raises(ValueError, match="positional"):
+        SearchEngine(spark, index_tiny).search("scan window", phrase=True)
+
+
+def test_positional_build_paths_identical(spark, phrase_corpus, tmp_path_factory):
+    """JVM vs pandas tokenizer and broadcast vs distributed vocab: the
+    positional segment contents (incl. the positions blobs) are identical."""
+    from search_engine_spark.index.builder import BuildConfig, build_index
+
+    base = dict(block_docs=4, target_ranges=4, min_range_docs=2,
+                n_partitions=4, waves=2, positions=True)
+    outs = {}
+    for name, extra in {
+        "jvm": dict(tokenizer="jvm"),
+        "pandas": dict(tokenizer="pandas"),
+        "idmode": dict(tokenizer="jvm", dict_budget=1),
+    }.items():
+        d = str(tmp_path_factory.mktemp("phrase") / f"idx_{name}")
+        build_index(spark, phrase_corpus[0], d, cfg=BuildConfig(**base, **extra))
+        pdf = (
+            spark.read.parquet(os.path.join(d, "segments"))
+            .select("term", "sseg", "block_id", "postings", "positions")
+            .toPandas()
+            .sort_values(["term", "sseg", "block_id"])
+            .reset_index(drop=True)
+        )
+        outs[name] = pdf
+    for name in ("pandas", "idmode"):
+        assert outs["jvm"].equals(outs[name]), name
+
+
+def test_positional_resume_identical(spark, phrase_corpus, tmp_path_factory):
+    """Kill after wave 1, resume: the positional index is byte-identical."""
+    from search_engine_spark.index.builder import BuildConfig, build_index
+
+    cfg = BuildConfig(block_docs=4, target_ranges=4, min_range_docs=2,
+                      n_partitions=4, waves=2, positions=True)
+    whole = str(tmp_path_factory.mktemp("phrase") / "whole")
+    build_index(spark, phrase_corpus[0], whole, cfg=cfg)
+    resumed = str(tmp_path_factory.mktemp("phrase") / "resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, phrase_corpus[0], resumed, cfg=cfg, fail_after_wave=1)
+    build_index(spark, phrase_corpus[0], resumed, cfg=cfg)
+
+    def seg(d):
+        return (
+            spark.read.parquet(os.path.join(d, "segments"))
+            .select("term", "sseg", "block_id", "postings", "positions")
+            .toPandas()
+            .sort_values(["term", "sseg", "block_id"])
+            .reset_index(drop=True)
+        )
+
+    assert seg(whole).equals(seg(resumed))
