@@ -101,6 +101,19 @@ def main():
     extras["index_docs"] = n_docs
     extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
+    # ---- positional build (DOCS_AND_FREQS_AND_POSITIONS): same corpus, so
+    # the delta vs index_build IS the measured cost of storing positions ----
+    pos_dir = os.path.join(tempfile.gettempdir(), "bench_index_pos")
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    pos_cfg = BuildConfig(block_docs=1024, target_ranges=max(32, n_docs // 4096),
+                          min_range_docs=1024, n_partitions=32, waves=1,
+                          positions=True)
+    timed("index_build_positional",
+          lambda: build_index(spark, corpus, pos_dir, cfg=pos_cfg, id_col="doc_id"))
+    extras["positional_build_overhead"] = round(
+        timings["index_build_positional"] / timings["index_build"], 3
+    )
+
     # ---- streaming incremental ingest: same corpus as 3 generations ------
     from pyspark.sql import functions as F
 
@@ -148,6 +161,7 @@ def main():
     wt_eng = SearchEngine(spark, wt_index)
     eng = SearchEngine(spark, index_dir)
     inc_eng = SearchEngine(spark, inc_dir)
+    pos_eng = SearchEngine(spark, pos_dir)
     suite: dict = {
         # same query against the generation-merged incremental index — the
         # cost of querying a grown index vs the batch-built one
@@ -168,6 +182,10 @@ def main():
             "scan window merge", k=10, mode="wand", force_distributed=True),
         "search_autocomplete": lambda: eng.search("wi", k=10),
         "search_conjunctive": lambda: eng.search("scan window", k=10, conjunctive=True),
+        # exact-phrase BM25 over the positional index, both physical paths
+        "search_phrase": lambda: pos_eng.search("table hash", k=10, phrase=True),
+        "search_phrase_dist": lambda: pos_eng.search(
+            "table hash", k=10, phrase=True, force_distributed=True),
     }
     heads = {
         "rel_pricing_summary": relational.pricing_summary,

@@ -35,6 +35,8 @@ from ..catalog import IndexCatalog
 from .builder import (
     SEGMENT_SCHEMA,
     SEGMENT_SCHEMA_IDS,
+    SEGMENT_SCHEMA_IDS_POS,
+    SEGMENT_SCHEMA_POS,
     build_vocab,
     make_arrow_encoder,
 )
@@ -60,6 +62,37 @@ def _decode_blocks(it):
                 "doc_id": np.concatenate(ids),
                 "tf": np.concatenate(tfs).astype(np.int32),
                 "dl": np.concatenate(dls).astype(np.int32),
+            }
+        )
+
+
+def _decode_blocks_pos(it):
+    """Positional twin of :func:`_decode_blocks`: also splits each block's
+    position blob back into per-(term, doc) ``array<int>`` lists so the
+    encoder can re-slice them for the merged blocks."""
+    from .codec import decode_position_lists, decode_postings
+
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        terms, ids, tfs, dls, poss = [], [], [], [], []
+        tcol = pdf["term"].to_numpy(dtype=object)
+        pcol = pdf["positions"]
+        for i, buf in enumerate(pdf["postings"]):
+            d, tf, dl = decode_postings(buf)
+            flat = decode_position_lists(pcol.iat[i], tf)
+            terms.append(np.full(len(d), tcol[i], dtype=object))
+            ids.append(d)
+            tfs.append(tf)
+            dls.append(dl)
+            poss.extend(np.split(flat.astype(np.int32), np.cumsum(tf)[:-1]))
+        yield pd.DataFrame(
+            {
+                "term": np.concatenate(terms),
+                "doc_id": np.concatenate(ids),
+                "tf": np.concatenate(tfs).astype(np.int32),
+                "dl": np.concatenate(dls).astype(np.int32),
+                "positions": poss,
             }
         )
 
@@ -128,11 +161,17 @@ def compact_index(
         pid_map = F.broadcast(spark.createDataFrame(vocab[["term", "term_id"]]))
         dict_b = spark.sparkContext.broadcast((terms_arr, pids_arr))
 
-    rows = (
-        spark.read.parquet(cat.segments)
-        .select("term", "postings")
-        .mapInPandas(_decode_blocks, schema="term string, doc_id long, tf int, dl int")
-    )
+    seg_in = spark.read.parquet(cat.segments)
+    use_pos = "positions" in seg_in.columns
+    if use_pos:
+        rows = seg_in.select("term", "postings", "positions").mapInPandas(
+            _decode_blocks_pos,
+            schema="term string, doc_id long, tf int, dl int, positions array<int>",
+        )
+    else:
+        rows = seg_in.select("term", "postings").mapInPandas(
+            _decode_blocks, schema="term string, doc_id long, tf int, dl int"
+        )
     packed = 0 < max_dl < 4096
     doc32 = max_doc_id < (1 << 31)
     doc_col = F.col("doc_id").cast("int").alias("doc_id") if doc32 else F.col("doc_id")
@@ -141,22 +180,32 @@ def compact_index(
         if packed
         else [F.col("tf"), F.col("dl")]
     )
+    if use_pos:
+        val_cols = val_cols + [F.col("positions")]
     keyed = rows.join(pid_map, "term").select(F.col("term_id"), doc_col, *val_cols)
     encoder = make_arrow_encoder(
         avgdl=avgdl, block_docs=block_docs, range_docs=range_docs,
-        term_dict=dict_b, packed=packed,
+        term_dict=dict_b, packed=packed, with_positions=use_pos,
     )
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sseg_key = F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)")
     encoded = (
         keyed.repartition(shuffle_n, F.col("term_id"), sseg_key)
         .sortWithinPartitions("term_id", "doc_id")
-        .mapInArrow(encoder, schema=SEGMENT_SCHEMA_IDS if id_mode else SEGMENT_SCHEMA)
+        .mapInArrow(
+            encoder,
+            schema=(
+                (SEGMENT_SCHEMA_IDS_POS if id_mode else SEGMENT_SCHEMA_POS)
+                if use_pos
+                else (SEGMENT_SCHEMA_IDS if id_mode else SEGMENT_SCHEMA)
+            ),
+        )
     )
     if id_mode:
         encoded = encoded.join(term_dim_df, "term_id").select(
             "pid", "term", "sseg", "block_id", "first_doc", "last_doc",
             "doc_count", "max_tf_norm", "nbytes", "postings",
+            *(["positions"] if use_pos else []),
         )
     encoded.write.mode("overwrite").partitionBy("pid").parquet(out.segments)
     if id_mode:
@@ -181,6 +230,7 @@ def compact_index(
             "max_dl": max_dl,
             "corpus_path": f"compacted:{index_dir}",
             "wand_bound_scale": 1.0,
+            "with_positions": bool(use_pos),
         }
     )
     out.append_manifest(

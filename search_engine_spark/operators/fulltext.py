@@ -226,18 +226,24 @@ _ENGINE_CACHE: dict[str, str] = {}
 
 
 def _index_for(spark, sf_dir: str) -> str:
-    """Build (once per sf_dir per process) an index over documents."""
+    """Build (once per sf_dir per process) an index over documents.
+
+    Positional (``positions=True``) so the one shared index serves the
+    phrase gate too; the non-phrase engine gates never read the column
+    (pruned at the parquet scan).  The dir prefix changed with the layout
+    so stale non-positional caches from earlier runs can't be picked up.
+    """
     if sf_dir in _ENGINE_CACHE:
         return _ENGINE_CACHE[sf_dir]
     from ..index.builder import BuildConfig, build_index
 
     index_dir = os.path.join(
-        tempfile.gettempdir(), "ses_idx_" + sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(), "ses_idxp_" + sf_dir.strip("/").replace("/", "_")
     )
     marker = os.path.join(index_dir, "corpus_stats.json")  # == IndexCatalog.stats_file
     if not os.path.exists(marker):
         cfg = BuildConfig(block_docs=256, target_ranges=64, min_range_docs=256,
-                          n_partitions=16, waves=2)
+                          n_partitions=16, waves=2, positions=True)
         build_index(
             spark,
             f"{sf_dir}/documents.parquet",
@@ -271,6 +277,112 @@ def engine_bm25_topk(spark, sf_dir):
 
 
 ENGINE_BM25_TOPK_SQL = BM25_TOPK_SQL
+
+
+# --------------------------------------------------------------------------
+# phrase top-k (Atlas $search.phrase): exact adjacency + BM25 over the
+# phrase as one pseudo-term (tf = occurrence count, df = matching docs).
+# Declarative form = posexplode self-join on (doc, pos+1); engine form =
+# the positional index + SearchEngine(phrase=True). One SQL oracle gates
+# both.
+# --------------------------------------------------------------------------
+
+_P_TERMS = ("table", "hash")  # adjacent bigram, df=46 at sf0.01
+
+
+def phrase_topk(spark, sf_dir, k=20):
+    d = t(spark, sf_dir, "documents")
+    toks = tokens_col()
+    tok = d.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        F.posexplode(toks).alias("pos", "term"),
+    )
+    t0 = tok.filter(F.col("term") == _P_TERMS[0]).select("doc_id", "dl", "pos")
+    t1 = tok.filter(F.col("term") == _P_TERMS[1]).select(
+        F.col("doc_id").alias("doc_id1"), (F.col("pos") - 1).alias("pos0")
+    )
+    occ = t0.join(
+        t1, (F.col("doc_id") == F.col("doc_id1")) & (F.col("pos") == F.col("pos0"))
+    )
+    ph = occ.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl")
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.size(toks).cast("double")).alias("sum_dl"),
+    )
+    dfc = ph.agg(F.count("*").cast("double").alias("df"))
+    j = ph.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfc))
+    avgdl = F.col("sum_dl") / F.col("n")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    score = F.round(
+        idf * F.col("tf")
+        / (F.col("tf") + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl") / avgdl)),
+        6,
+    )
+    scored = j.select("doc_id", score.alias("score"))
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rk"
+    )
+
+
+PHRASE_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({TOKENS_SQL}) AS term,
+         generate_subscripts({TOKENS_SQL}, 1) AS pos,
+         CAST(len({TOKENS_SQL}) AS DOUBLE) AS dl
+  FROM documents
+), occ AS (
+  SELECT t0.doc_id, t0.dl
+  FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.term = '{_P_TERMS[0]}' AND t1.term = '{_P_TERMS[1]}'
+), ph AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS tf, ANY_VALUE(dl) AS dl
+  FROM occ GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT SUM(CAST(len({TOKENS_SQL}) AS DOUBLE)) FROM documents) AS sum_dl,
+         CAST(COUNT(*) AS DOUBLE) AS df
+  FROM ph
+), scored AS (
+  SELECT doc_id,
+         round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf
+               / (tf + {K1} * (1.0 - {B} + {B} * dl / (sum_dl / n))), 6) AS score
+  FROM ph CROSS JOIN stats
+)
+SELECT doc_id, score, rk
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 20
+"""
+
+
+def engine_phrase_topk(spark, sf_dir, k=20):
+    """The real engine's phrase path (positional index + SearchEngine),
+    re-ranked on the rounded score like every engine gate."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    res = eng.search(" ".join(_P_TERMS), k=60, phrase=True)
+    pdf = res.page.copy()
+    pdf["score"] = round_half_away(pdf["score"], 6)
+    pdf = (
+        pdf.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(
+        pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
+    )
+
+
+ENGINE_PHRASE_TOPK_SQL = PHRASE_TOPK_SQL
 
 
 # --------------------------------------------------------------------------
@@ -470,6 +582,8 @@ QUERIES = {
     "ft_must_should": must_should,
     "ft_bm25_topk": bm25_topk,
     "ft_engine_bm25_topk": engine_bm25_topk,
+    "ft_phrase_topk": phrase_topk,
+    "ft_engine_phrase_topk": engine_phrase_topk,
     "ft_stream_ingest_topk": stream_ingest_topk,
     "ft_compacted_topk": compacted_topk,
     "ft_grouped_topk": grouped_topk,
@@ -484,6 +598,8 @@ ORACLES = {
     "ft_must_should": MUST_SHOULD_SQL,
     "ft_bm25_topk": BM25_TOPK_SQL,
     "ft_engine_bm25_topk": ENGINE_BM25_TOPK_SQL,
+    "ft_phrase_topk": PHRASE_TOPK_SQL,
+    "ft_engine_phrase_topk": ENGINE_PHRASE_TOPK_SQL,
     "ft_stream_ingest_topk": STREAM_INGEST_TOPK_SQL,
     "ft_compacted_topk": COMPACTED_TOPK_SQL,
     "ft_grouped_topk": GROUPED_TOPK_SQL,

@@ -69,6 +69,7 @@ from ..index.builder import (
     tokens_from_docs_pandas,
     with_extracted_text,
     SEGMENT_SCHEMA,
+    SEGMENT_SCHEMA_POS,
 )
 
 
@@ -128,13 +129,15 @@ def _committed_gens(spark: SparkSession, index_dir: str, before: int | None = No
     return sorted(df.collect(), key=lambda r: int(r["gen"]))
 
 
-def _tokenize_like_builder(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
+def _tokenize_like_builder(
+    docs: DataFrame, cfg: BuildConfig, positions: bool = False
+) -> DataFrame:
     if cfg.tokenizer == "jvm":
-        return tokens_from_docs(docs)
+        return tokens_from_docs(docs, positions=positions)
     if cfg.tokenizer == "pandas":
-        return tokens_from_docs_pandas(docs)
+        return tokens_from_docs_pandas(docs, positions=positions)
     fn = tokens_from_docs if sampled_nfc_ok(docs) else tokens_from_docs_pandas
-    return fn(docs)
+    return fn(docs, positions=positions)
 
 
 @dataclass
@@ -183,6 +186,20 @@ def ingest_batch(
     prior_n = sum(int(r["n_docs"]) for r in prior)
     prior_dl = sum(int(r["sum_dl"]) for r in prior)
 
+    # positional layout is frozen index geometry: generation 0's cfg decides
+    # it; later generations must agree or the merged segment schema would
+    # mix positional and non-positional generations
+    frozen_pre = _read_frozen(index_dir)
+    use_pos = (
+        bool(cfg.positions) if frozen_pre is None
+        else bool(frozen_pre.get("with_positions", False))
+    )
+    if frozen_pre is not None and bool(cfg.positions) != use_pos:
+        raise ValueError(
+            f"index at {index_dir} was frozen with with_positions={use_pos}; "
+            f"ingest cfg.positions={cfg.positions} does not match"
+        )
+
     docs = with_extracted_text(batch_df)
     if id_col is not None:
         ranked = None
@@ -198,7 +215,7 @@ def ingest_batch(
         ids = F.broadcast(ids) if n_pre <= _BCAST_DOCS_MAX else ids
         with_ids = docs.join(ids, "url").select("doc_id", "url", "text")
 
-    tokens = _tokenize_like_builder(with_ids, cfg).persist()
+    tokens = _tokenize_like_builder(with_ids, cfg, positions=use_pos).persist()
 
     # per-generation doc stats (hydration + dl); docs with zero tokens keep dl=0
     dl_df = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
@@ -245,6 +262,7 @@ def ingest_batch(
             ),
             "block_docs": cfg.block_docs,
             "n_partitions": n_partitions,
+            "with_positions": bool(use_pos),
         }
         _write_frozen(index_dir, frozen)
     cuts = list(frozen["term_cuts"])
@@ -276,12 +294,14 @@ def ingest_batch(
         if packed
         else [F.col("tf"), F.col("dl")]
     )
+    if use_pos:
+        val_cols = val_cols + [F.col("positions")]
     keyed = tokens.join(F.broadcast(pid_map), "term").select(
         F.col("term_id"), doc_col, *val_cols
     )
     encoder = make_arrow_encoder(
         avgdl=avgdl_build, block_docs=block_docs, range_docs=range_docs,
-        term_dict=dict_b, packed=packed,
+        term_dict=dict_b, packed=packed, with_positions=use_pos,
     )
     shuffle_n = cfg.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -290,7 +310,7 @@ def ingest_batch(
     (
         keyed.repartition(shuffle_n, F.col("term_id"), sseg_key)
         .sortWithinPartitions("term_id", "doc_id")
-        .mapInArrow(encoder, schema=SEGMENT_SCHEMA)
+        .mapInArrow(encoder, schema=SEGMENT_SCHEMA_POS if use_pos else SEGMENT_SCHEMA)
         .write.mode("overwrite")
         .partitionBy("pid")
         .parquet(_gen_dir(cat.segments, epoch))
@@ -403,6 +423,7 @@ def _refresh_corpus_stats(spark: SparkSession, cat: IndexCatalog) -> dict:
         "corpus_path": "incremental",
         "wand_bound_scale": float(scale),
         "generations": [int(r["gen"]) for r in gens],
+        "with_positions": bool(frozen.get("with_positions", False)),
     }
     cat.write_corpus_stats(stats)
     return stats

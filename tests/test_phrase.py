@@ -191,3 +191,53 @@ def test_positional_resume_identical(spark, phrase_corpus, tmp_path_factory):
         )
 
     assert seg(whole).equals(seg(resumed))
+
+
+def test_phrase_through_ingest_and_compaction(spark, phrase_corpus, phrase_oracle,
+                                              tmp_path_factory):
+    """Positional layout survives the full index lifecycle: streaming ingest
+    (2 generations) answers phrase queries rank-identically to the oracle,
+    compaction preserves them, and a cfg that disagrees with the frozen
+    positional layout raises instead of mixing schemas."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.index.builder import BuildConfig
+    from search_engine_spark.index.compact import compact_index
+    from search_engine_spark.query.engine import SearchEngine
+    from search_engine_spark.streaming.ingest import ingest_batch
+
+    inc_dir = str(tmp_path_factory.mktemp("phrase") / "inc")
+    cfg = BuildConfig(block_docs=4, target_ranges=4, min_range_docs=2,
+                      n_partitions=4, waves=2, positions=True)
+    docs = spark.read.parquet(phrase_corpus[0])
+    n = docs.count()
+    # url-lex split so incremental doc_ids equal the oracle's global ranks
+    urls = sorted(r["url"] for r in docs.select("url").collect())
+    cut = urls[n // 2]
+    ingest_batch(spark, docs.filter(F.col("url") <= cut), inc_dir, 0,
+                 cfg=cfg, expected_docs=n)
+    ingest_batch(spark, docs.filter(F.col("url") > cut), inc_dir, 1, cfg=cfg)
+
+    phrases = ["milk milk", "scan window merge", "scan window"]
+    eng = SearchEngine(spark, inc_dir)
+    for kw in phrases:
+        want = phrase_oracle.search_phrase(kw, k=10)
+        for fd in (False, True):
+            res = eng.search(kw, k=10, phrase=True, force_distributed=fd)
+            assert _hits(res) == [(d, round(s, 6)) for d, s in want.hits], (kw, fd)
+            assert res.total == want.total
+
+    out_dir = str(tmp_path_factory.mktemp("phrase") / "compacted")
+    metrics = compact_index(spark, inc_dir, out_dir)
+    assert metrics["generations_in"] == 2
+    ceng = SearchEngine(spark, out_dir)
+    for kw in phrases:
+        want = phrase_oracle.search_phrase(kw, k=10)
+        res = ceng.search(kw, k=10, phrase=True)
+        assert _hits(res) == [(d, round(s, 6)) for d, s in want.hits], kw
+        assert res.total == want.total
+
+    with pytest.raises(ValueError, match="with_positions"):
+        ingest_batch(spark, docs.limit(1), inc_dir, 2,
+                     cfg=BuildConfig(block_docs=4, target_ranges=4,
+                                     min_range_docs=2, n_partitions=4, waves=2))
