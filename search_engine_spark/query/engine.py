@@ -394,6 +394,28 @@ class SearchEngine:
         return SearchResult(total=total, page=page)
 
     # --------------------------------------------------------- phrase search
+    def _phrase_candidate_blocks(self, uniq_terms: list[str]) -> DataFrame:
+        """Candidate blocks for a phrase, sseg-eligibility-pruned.
+
+        A doc range (sseg) can only contain the phrase if EVERY distinct
+        term has a block there; ssegs missing any term are dropped by a
+        semi-join on block METADATA before the postings/positions bytes are
+        read — for a head+rare phrase ("the <rare>") this skips decoding
+        almost all of the head term's candidate blocks.  The metadata
+        aggregation touches only the (term, sseg) columns (column-pruned
+        scan); its result (≤ #ssegs rows) broadcasts.
+        """
+        meta = self._candidate_segments(uniq_terms)
+        eligible = (
+            meta.groupBy("sseg")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(uniq_terms))
+            .select("sseg")
+        )
+        return meta.join(F.broadcast(eligible), "sseg").select(
+            "term", "sseg", "postings", "positions"
+        )
+
     def _phrase_decode_rows(self, rows) -> dict[str, tuple]:
         parts: dict[str, list] = {}
         for r in rows:
@@ -412,10 +434,16 @@ class SearchEngine:
         exchange.  Work and shuffle are O(candidate blocks of the m query
         terms), never corpus-sized; composite keys stay kernel-local, so
         per-partition strides may differ.
+
+        Eligibility pruning: a doc range (sseg) can only contain the phrase
+        if EVERY distinct term has a block there, so ssegs missing any term
+        are dropped by a self-semi-join on block METADATA before the
+        postings/positions bytes are ever read — for a head+rare phrase
+        ("the <rare>") this skips decoding almost all of the head term's
+        candidate blocks.  The metadata aggregation touches only (term,
+        sseg) columns; its result (≤ #ssegs rows) broadcasts.
         """
-        segs = self._candidate_segments(sorted(set(terms_seq))).select(
-            "term", "sseg", "postings", "positions"
-        )
+        segs = self._phrase_candidate_blocks(sorted(set(terms_seq)))
         terms_b = self.spark.sparkContext.broadcast(list(terms_seq))
 
         def match(it):
@@ -477,7 +505,7 @@ class SearchEngine:
             return empty  # a phrase term absent from the corpus
         if not force_distributed and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS:
             rows = (
-                self._candidate_segments(sorted(set(terms_seq)))
+                self._phrase_candidate_blocks(sorted(set(terms_seq)))
                 .select("term", "postings", "positions")
                 .collect()
             )
