@@ -386,6 +386,111 @@ ENGINE_PHRASE_TOPK_SQL = PHRASE_TOPK_SQL
 
 
 # --------------------------------------------------------------------------
+# highlighting (Atlas $search highlight): first-occurrence offsets for the
+# PAGE docs only — ranking first, then k docs' blocks decode positions.
+# The deterministic "term@pos ..." string (terms ascending, absent terms
+# omitted) is reproducible byte-for-byte by the SQL oracle.
+# --------------------------------------------------------------------------
+
+
+def engine_highlight_topk(spark, sf_dir, k=20):
+    """BM25 top-k through the real engine with highlight=True: each page
+    row carries the matched terms' first token offsets."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    res = eng.search(" ".join(_Q_TERMS), k=60, mode="wand", highlight=True)
+    pdf = res.page.copy()
+    pdf["score"] = round_half_away(pdf["score"], 6)
+    pdf = (
+        pdf.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(
+        pdf[["doc_id", "score", "rk", "highlights"]],
+        "doc_id long, score double, rk int, highlights string",
+    )
+
+
+ENGINE_HIGHLIGHT_TOPK_SQL = (
+    "\nWITH " + _BM25_CTES_TMPL + f""", hl AS (
+  SELECT doc_id,
+         concat_ws(' ',
+           CASE WHEN p1 > 0 THEN '{{t1}}@' || CAST(p1 - 1 AS VARCHAR) END,
+           CASE WHEN p2 > 0 THEN '{{t2}}@' || CAST(p2 - 1 AS VARCHAR) END
+         ) AS highlights
+  FROM (SELECT doc_id,
+               list_position({TOKENS_SQL}, '{{t1}}') AS p1,
+               list_position({TOKENS_SQL}, '{{t2}}') AS p2
+        FROM documents)
+)
+SELECT r.doc_id, r.score, r.rk, hl.highlights
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored) r JOIN hl USING (doc_id)
+WHERE r.rk <= 20
+"""
+).format(t1=_Q_TERMS[0], t2=_Q_TERMS[1])
+
+
+def engine_phrase_first_pos(spark, sf_dir, k=20):
+    """Phrase top-k with first_pos: each hit's first phrase-start offset."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    res = eng.search(" ".join(_P_TERMS), k=60, phrase=True, highlight=True)
+    pdf = res.page.copy()
+    pdf["score"] = round_half_away(pdf["score"], 6)
+    pdf = (
+        pdf.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(
+        pdf[["doc_id", "score", "rk", "first_pos"]],
+        "doc_id long, score double, rk int, first_pos long",
+    )
+
+
+ENGINE_PHRASE_FIRST_POS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({TOKENS_SQL}) AS term,
+         generate_subscripts({TOKENS_SQL}, 1) AS pos,
+         CAST(len({TOKENS_SQL}) AS DOUBLE) AS dl
+  FROM documents
+), occ AS (
+  SELECT t0.doc_id, t0.dl, t0.pos
+  FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.term = '{_P_TERMS[0]}' AND t1.term = '{_P_TERMS[1]}'
+), ph AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS tf, ANY_VALUE(dl) AS dl,
+         MIN(pos) - 1 AS first_pos
+  FROM occ GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT SUM(CAST(len({TOKENS_SQL}) AS DOUBLE)) FROM documents) AS sum_dl,
+         CAST(COUNT(*) AS DOUBLE) AS df
+  FROM ph
+), scored AS (
+  SELECT doc_id,
+         round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf
+               / (tf + {K1} * (1.0 - {B} + {B} * dl / (sum_dl / n))), 6) AS score,
+         CAST(first_pos AS BIGINT) AS first_pos
+  FROM ph CROSS JOIN stats
+)
+SELECT doc_id, score, rk, first_pos
+FROM (SELECT doc_id, score, first_pos,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 # streaming incremental ingest (C2 as Structured Streaming): the documents
 # table arrives as three micro-batch generations (streaming/ingest.py), the
 # engine queries the merged generations, and the SAME batch BM25 SQL oracle
@@ -584,6 +689,8 @@ QUERIES = {
     "ft_engine_bm25_topk": engine_bm25_topk,
     "ft_phrase_topk": phrase_topk,
     "ft_engine_phrase_topk": engine_phrase_topk,
+    "ft_engine_highlight_topk": engine_highlight_topk,
+    "ft_engine_phrase_first_pos": engine_phrase_first_pos,
     "ft_stream_ingest_topk": stream_ingest_topk,
     "ft_compacted_topk": compacted_topk,
     "ft_grouped_topk": grouped_topk,
@@ -600,6 +707,8 @@ ORACLES = {
     "ft_engine_bm25_topk": ENGINE_BM25_TOPK_SQL,
     "ft_phrase_topk": PHRASE_TOPK_SQL,
     "ft_engine_phrase_topk": ENGINE_PHRASE_TOPK_SQL,
+    "ft_engine_highlight_topk": ENGINE_HIGHLIGHT_TOPK_SQL,
+    "ft_engine_phrase_first_pos": ENGINE_PHRASE_FIRST_POS_SQL,
     "ft_stream_ingest_topk": STREAM_INGEST_TOPK_SQL,
     "ft_compacted_topk": COMPACTED_TOPK_SQL,
     "ft_grouped_topk": GROUPED_TOPK_SQL,

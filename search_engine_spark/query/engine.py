@@ -73,7 +73,7 @@ _TERM_DICT_CACHE_MAX = 2_000_000
 
 def _phrase_match_arrays(
     terms_seq: list[str], decoded: dict[str, tuple]
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Exact-phrase matching over decoded positional postings, vectorized.
 
     ``decoded[t] = (doc_ids, tfs, dls, pos_flat)`` concatenated over t's
@@ -83,10 +83,11 @@ def _phrase_match_arrays(
     same doc" is exactly "key + 1" — the whole phrase chain is then m-1
     sorted-set intersections with NO per-doc loop.  Works unchanged for
     repeated phrase terms ("milk milk": K + 1 ∩ K).  Returns the matched
-    (doc_ids, phrase_tfs, dls); keys never leave this function, so callers
-    on different partitions may see different strides.
+    (doc_ids, phrase_tfs, dls, first_starts) where ``first_starts`` is each
+    doc's first phrase START offset (highlighting); keys never leave this
+    function, so callers on different partitions may see different strides.
     """
-    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    empty = (np.empty(0, np.int64),) * 4
     if any(t not in decoded or decoded[t][0].size == 0 for t in terms_seq):
         return empty
     max_dl = max(int(decoded[t][2].max()) for t in set(terms_seq))
@@ -100,13 +101,17 @@ def _phrase_match_arrays(
         s = np.intersect1d(s + 1, keys[t], assume_unique=True)
         if s.size == 0:
             return empty
-    uniq, counts = np.unique(s // stride, return_counts=True)
+    # s is sorted, holds the LAST term's keys -> per doc, the first key is
+    # the first occurrence; phrase START = end position - (m-1)
+    uniq, first_ix, counts = np.unique(s // stride, return_index=True,
+                                       return_counts=True)
+    firsts = s[first_ix] % stride - (len(terms_seq) - 1)
     # dl lookup from the first term's postings (matched docs ⊆ its docs;
     # a (term, doc) posting lives in exactly one block, so ids are unique)
     ids0, _, dls0, _ = decoded[terms_seq[0]]
     order = np.argsort(ids0)
     dl_out = dls0[order][np.searchsorted(ids0[order], uniq)]
-    return uniq, counts.astype(np.int64), dl_out.astype(np.int64)
+    return uniq, counts.astype(np.int64), dl_out.astype(np.int64), firsts.astype(np.int64)
 
 
 def _concat_decoded(parts: dict[str, list]) -> dict[str, tuple]:
@@ -393,6 +398,57 @@ class SearchEngine:
         page = pd.DataFrame({"doc_id": uniq[order], "score": acc[order]})
         return SearchResult(total=total, page=page)
 
+    # ------------------------------------------------------------ highlight
+    def _highlight_page(self, terms: list[str], doc_ids: list[int]) -> pd.DataFrame:
+        """First-occurrence offsets of the matched terms for PAGE docs only.
+
+        The Atlas ``$search`` highlight option re-derived for the positional
+        index: highlighting runs AFTER ranking, on the k returned docs — so
+        the cost is k docs' blocks, never the candidate set.  Block pruning
+        is metadata-only: the page docs' ssegs plus a [first_doc, last_doc]
+        range check; at web scale that is a handful of blocks per query.
+
+        Returns a frame (doc_id, highlights) where ``highlights`` is the
+        deterministic string ``"term@pos ..."`` over the doc's matched terms
+        in ascending term order (absent terms omitted) — a shape every
+        engine and SQL oracle can reproduce byte-for-byte.
+        """
+        if "positions" not in self._segments_df.columns:
+            raise ValueError(
+                "highlight requires a positional index "
+                "(build with BuildConfig(positions=True))"
+            )
+        ids = np.array(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+        range_docs = int(self.stats["range_docs"])
+        ssegs = sorted({int(d) // range_docs for d in ids})
+        rows = (
+            self._candidate_segments(sorted(terms), ssegs=ssegs)
+            .filter(
+                (F.col("first_doc") <= int(ids.max()))
+                & (F.col("last_doc") >= int(ids.min()))
+            )
+            .select("term", "postings", "positions")
+            .collect()
+        )
+        firsts: dict[int, list[str]] = {int(d): [] for d in ids}
+        for r in rows:  # ≤ m terms × page ssegs blocks
+            d_arr, tfs, _ = decode_postings(r["postings"])
+            hit_ix = np.flatnonzero(np.isin(d_arr, ids))
+            if hit_ix.size == 0:
+                continue
+            pos = decode_position_lists(r["positions"], tfs)
+            off = np.zeros(len(d_arr) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=off[1:])
+            for i in hit_ix:
+                # positions are sorted per doc -> first occurrence = run head
+                firsts[int(d_arr[i])].append(f"{r['term']}@{int(pos[off[i]])}")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "highlights": [" ".join(sorted(firsts[int(d)])) for d in ids],
+            }
+        )
+
     # --------------------------------------------------------- phrase search
     def _phrase_candidate_blocks(self, uniq_terms: list[str]) -> DataFrame:
         """Candidate blocks for a phrase, sseg-eligibility-pruned.
@@ -458,15 +514,17 @@ class SearchEngine:
                 ids, tfs, dls = decode_postings(post.iat[i])
                 pos = decode_position_lists(posc.iat[i], tfs)
                 parts.setdefault(tcol[i], []).append((ids, tfs, dls, pos))
-            uniq, tfs_, dls_ = _phrase_match_arrays(
+            uniq, tfs_, dls_, firsts_ = _phrase_match_arrays(
                 terms_b.value, _concat_decoded(parts)
             )
             if uniq.size:
-                yield pd.DataFrame({"doc_id": uniq, "tf": tfs_, "dl": dls_})
+                yield pd.DataFrame(
+                    {"doc_id": uniq, "tf": tfs_, "dl": dls_, "first_pos": firsts_}
+                )
 
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         return segs.repartition(n, "sseg").mapInPandas(
-            match, schema="doc_id long, tf long, dl long"
+            match, schema="doc_id long, tf long, dl long, first_pos long"
         )
 
     def _phrase_search(
@@ -478,6 +536,7 @@ class SearchEngine:
         avail_boost: bool,
         with_url: bool,
         force_distributed: bool,
+        highlight: bool = False,
     ) -> SearchResult:
         """Exact-phrase BM25 top-k (Atlas ``$search.phrase``, the operator the
         reference's platform exposes next to its text/autocomplete clauses).
@@ -509,7 +568,7 @@ class SearchEngine:
                 .select("term", "postings", "positions")
                 .collect()
             )
-            uniq, tfs, dls = _phrase_match_arrays(
+            uniq, tfs, dls, firsts = _phrase_match_arrays(
                 terms_seq, self._phrase_decode_rows(rows)
             )
             if uniq.size == 0:
@@ -524,6 +583,8 @@ class SearchEngine:
                 acc = acc + np.where(dls % 7 > 0, AVAIL_BOOST, 0.0)
             order = np.lexsort((uniq, -acc))[skip : skip + k]
             page = pd.DataFrame({"doc_id": uniq[order], "score": acc[order]})
+            if highlight:
+                page["first_pos"] = firsts[order]
             res = SearchResult(total=int(uniq.size), page=page)
         else:
             matched = self._phrase_matched_dist(terms_seq).persist()
@@ -541,15 +602,17 @@ class SearchEngine:
             )
             scored = self._apply_boosts(
                 matched.select(
-                    "doc_id", score.alias("score"), F.col("dl").cast("int").alias("dl")
+                    "doc_id", score.alias("score"),
+                    F.col("dl").cast("int").alias("dl"), "first_pos",
                 ),
                 constant_boost,
                 avail_boost,
             )
+            hl_cols = ["first_pos"] if highlight else []
             ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
             page_df = ranked.offset(skip).limit(k) if skip else ranked.limit(k)
             page = (
-                page_df.select("doc_id", "score")
+                page_df.select("doc_id", "score", *hl_cols)
                 .toPandas()
                 .sort_values(["score", "doc_id"], ascending=[False, True])
                 .reset_index(drop=True)
@@ -612,6 +675,7 @@ class SearchEngine:
         total_mode: str = "exact",
         group_by: bool = False,
         phrase: bool = False,
+        highlight: bool = False,
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
 
@@ -627,12 +691,19 @@ class SearchEngine:
         paginate far enough to care get ``"exact"`` (the default, and
         always exact in sort mode).
         """
+        if highlight and group_by:
+            raise ValueError("group_by is not supported with highlight")
+        if highlight and "positions" not in self._segments_df.columns:
+            raise ValueError(
+                "highlight requires a positional index "
+                "(build with BuildConfig(positions=True))"
+            )
         if phrase:
             if group_by:
                 raise ValueError("group_by is not supported with phrase search")
             return self._phrase_search(
                 keyword, k, skip, constant_boost, avail_boost, with_url,
-                force_distributed,
+                force_distributed, highlight=highlight,
             )
         terms = preprocess_query(keyword)
         if not terms:
@@ -661,6 +732,11 @@ class SearchEngine:
                 present, idf, conj, constant_boost, avail_boost, k, skip,
                 group_by=group_by,
             )
+            if highlight and len(res.page):
+                hl = self._highlight_page(present, [int(d) for d in res.page["doc_id"]])
+                res = SearchResult(
+                    total=res.total, page=res.page.merge(hl, on="doc_id", how="left")
+                )
             if with_url and len(res.page):
                 ids = [int(d) for d in res.page["doc_id"]]
                 urls = (
@@ -714,6 +790,9 @@ class SearchEngine:
             .drop(columns="_sk")
             .reset_index(drop=True)
         )
+        if highlight and len(page):
+            hl = self._highlight_page(present, [int(d) for d in page["doc_id"]])
+            page = page.merge(hl, on="doc_id", how="left")
 
         if wand:
             # WAND pruned the scored set; the exact total (the reference's

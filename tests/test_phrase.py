@@ -241,3 +241,52 @@ def test_phrase_through_ingest_and_compaction(spark, phrase_corpus, phrase_oracl
         ingest_batch(spark, docs.limit(1), inc_dir, 2,
                      cfg=BuildConfig(block_docs=4, target_ranges=4,
                                      min_range_docs=2, n_partitions=4, waves=2))
+
+
+@pytest.mark.parametrize("force_dist", [False, True])
+def test_highlight_first_offsets(phrase_engine, phrase_oracle, force_dist):
+    """highlight=True: page rows carry each matched term's first token
+    offset as 'term@pos ...' (terms ascending), equal to the oracle's
+    positional postings."""
+    kw = "scan window"
+    res = phrase_engine.search(kw, k=10, highlight=True,
+                               force_distributed=force_dist)
+    assert len(res.page)
+    for _, row in res.page.iterrows():
+        d = int(row["doc_id"])
+        want = " ".join(sorted(
+            f"{t}@{phrase_oracle.positions[t][d][0]}"
+            for t in sorted(set(kw.split()))
+            if d in phrase_oracle.positions.get(t, {})
+        ))
+        assert row["highlights"] == want, (d, row["highlights"], want)
+
+
+@pytest.mark.parametrize("force_dist", [False, True])
+def test_phrase_highlight_first_start(phrase_engine, phrase_oracle, force_dist):
+    """phrase + highlight: first_pos is the first phrase-START offset."""
+    kw = "scan window merge"
+    res = phrase_engine.search(kw, k=10, phrase=True, highlight=True,
+                               force_distributed=force_dist)
+    assert len(res.page)
+    terms = kw.split()
+    for _, row in res.page.iterrows():
+        d = int(row["doc_id"])
+        starts = set(phrase_oracle.positions[terms[0]][d])
+        for i, t in enumerate(terms[1:], 1):
+            starts &= {p - i for p in phrase_oracle.positions[t][d]}
+        assert int(row["first_pos"]) == min(starts)
+
+
+def test_highlight_repeated_term_phrase(phrase_engine):
+    # "milk milk milk cow": phrase "milk milk" starts at 0 and 1 -> first 0
+    res = phrase_engine.search("milk milk", k=10, phrase=True, highlight=True)
+    by_doc = {int(d): int(p) for d, p in zip(res.page["doc_id"], res.page["first_pos"])}
+    assert 0 in by_doc.values()
+
+
+def test_highlight_requires_positional_index(spark, index_tiny):
+    from search_engine_spark.query.engine import SearchEngine
+
+    with pytest.raises(ValueError, match="positional"):
+        SearchEngine(spark, index_tiny).search("scan window", highlight=True)
