@@ -386,6 +386,116 @@ ENGINE_PHRASE_TOPK_SQL = PHRASE_TOPK_SQL
 
 
 # --------------------------------------------------------------------------
+# ordered proximity (Lucene Intervals "ordered NEAR with maxgaps"): like the
+# phrase, but adjacent terms may be up to _NEAR_GAP extra tokens apart, terms
+# strictly in order; tf = distinct last-term positions completing a chain.
+# --------------------------------------------------------------------------
+
+_NEAR_GAP = 2
+
+
+def phrase_near_topk(spark, sf_dir, k=20):
+    d = t(spark, sf_dir, "documents")
+    toks = tokens_col()
+    tok = d.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        F.posexplode(toks).alias("pos", "term"),
+    )
+    t0 = tok.filter(F.col("term") == _P_TERMS[0]).select("doc_id", "dl", "pos")
+    t1 = tok.filter(F.col("term") == _P_TERMS[1]).select(
+        F.col("doc_id").alias("doc_id1"), F.col("pos").alias("pos1")
+    )
+    gap = F.col("pos1") - F.col("pos")
+    occ = t0.join(
+        t1,
+        (F.col("doc_id") == F.col("doc_id1"))
+        & (gap >= 1)
+        & (gap <= _NEAR_GAP + 1),
+    )
+    ph = occ.groupBy("doc_id").agg(
+        F.count_distinct("pos1").cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.size(toks).cast("double")).alias("sum_dl"),
+    )
+    dfc = ph.agg(F.count("*").cast("double").alias("df"))
+    j = ph.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfc))
+    avgdl = F.col("sum_dl") / F.col("n")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    score = F.round(
+        idf * F.col("tf")
+        / (F.col("tf") + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl") / avgdl)),
+        6,
+    )
+    scored = j.select("doc_id", score.alias("score"))
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rk"
+    )
+
+
+PHRASE_NEAR_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({TOKENS_SQL}) AS term,
+         generate_subscripts({TOKENS_SQL}, 1) AS pos,
+         CAST(len({TOKENS_SQL}) AS DOUBLE) AS dl
+  FROM documents
+), occ AS (
+  SELECT t0.doc_id, t0.dl, t1.pos AS end_pos
+  FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id
+   AND t1.pos - t0.pos BETWEEN 1 AND {_NEAR_GAP + 1}
+  WHERE t0.term = '{_P_TERMS[0]}' AND t1.term = '{_P_TERMS[1]}'
+), ph AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT end_pos) AS DOUBLE) AS tf,
+         ANY_VALUE(dl) AS dl
+  FROM occ GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT SUM(CAST(len({TOKENS_SQL}) AS DOUBLE)) FROM documents) AS sum_dl,
+         CAST(COUNT(*) AS DOUBLE) AS df
+  FROM ph
+), scored AS (
+  SELECT doc_id,
+         round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf
+               / (tf + {K1} * (1.0 - {B} + {B} * dl / (sum_dl / n))), 6) AS score
+  FROM ph CROSS JOIN stats
+)
+SELECT doc_id, score, rk
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 20
+"""
+
+
+def engine_phrase_near_topk(spark, sf_dir, k=20):
+    """The engine's ordered-proximity path (phrase=True, max_gap>0)."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    res = eng.search(" ".join(_P_TERMS), k=60, phrase=True, max_gap=_NEAR_GAP)
+    pdf = res.page.copy()
+    pdf["score"] = round_half_away(pdf["score"], 6)
+    pdf = (
+        pdf.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(
+        pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
+    )
+
+
+ENGINE_PHRASE_NEAR_TOPK_SQL = PHRASE_NEAR_TOPK_SQL
+
+
+# --------------------------------------------------------------------------
 # highlighting (Atlas $search highlight): first-occurrence offsets for the
 # PAGE docs only — ranking first, then k docs' blocks decode positions.
 # The deterministic "term@pos ..." string (terms ascending, absent terms
@@ -689,6 +799,8 @@ QUERIES = {
     "ft_engine_bm25_topk": engine_bm25_topk,
     "ft_phrase_topk": phrase_topk,
     "ft_engine_phrase_topk": engine_phrase_topk,
+    "ft_phrase_near_topk": phrase_near_topk,
+    "ft_engine_phrase_near_topk": engine_phrase_near_topk,
     "ft_engine_highlight_topk": engine_highlight_topk,
     "ft_engine_phrase_first_pos": engine_phrase_first_pos,
     "ft_stream_ingest_topk": stream_ingest_topk,
@@ -707,6 +819,8 @@ ORACLES = {
     "ft_engine_bm25_topk": ENGINE_BM25_TOPK_SQL,
     "ft_phrase_topk": PHRASE_TOPK_SQL,
     "ft_engine_phrase_topk": ENGINE_PHRASE_TOPK_SQL,
+    "ft_phrase_near_topk": PHRASE_NEAR_TOPK_SQL,
+    "ft_engine_phrase_near_topk": ENGINE_PHRASE_NEAR_TOPK_SQL,
     "ft_engine_highlight_topk": ENGINE_HIGHLIGHT_TOPK_SQL,
     "ft_engine_phrase_first_pos": ENGINE_PHRASE_FIRST_POS_SQL,
     "ft_stream_ingest_topk": STREAM_INGEST_TOPK_SQL,

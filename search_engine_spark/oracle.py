@@ -183,6 +183,7 @@ class OracleIndex:
         skip: int = 0,
         constant_boost: bool = False,
         avail_boost: bool = False,
+        max_gap: int = 0,
     ) -> QueryResult:
         """Exact-phrase match + BM25 (Atlas ``$search.phrase`` semantics).
 
@@ -202,13 +203,19 @@ class OracleIndex:
             docs &= set(self.positions[t])
         tfs: dict[int, int] = {}
         for d in docs:
-            starts = set(self.positions[terms[0]][d])
-            for i, t in enumerate(terms[1:], 1):
-                starts &= {p - i for p in self.positions[t][d]}
-                if not starts:
+            # chain of END positions: term i's occurrences reachable from a
+            # term i-1 end with gap in [1, max_gap+1] (ordered proximity;
+            # max_gap=0 collapses to exact adjacency)
+            ends = set(self.positions[terms[0]][d])
+            for t in terms[1:]:
+                ends = {
+                    p for p in self.positions[t][d]
+                    if any(p - q >= 1 and p - q <= max_gap + 1 for q in ends)
+                }
+                if not ends:
                     break
-            if starts:
-                tfs[d] = len(starts)
+            if ends:
+                tfs[d] = len(ends)
         df = len(tfs)
         if df == 0:
             return QueryResult(total=0)

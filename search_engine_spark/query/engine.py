@@ -72,40 +72,64 @@ _TERM_DICT_CACHE_MAX = 2_000_000
 
 
 def _phrase_match_arrays(
-    terms_seq: list[str], decoded: dict[str, tuple]
+    terms_seq: list[str], decoded: dict[str, tuple], max_gap: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Exact-phrase matching over decoded positional postings, vectorized.
+    """Phrase / ordered-proximity matching over decoded positional postings.
 
     ``decoded[t] = (doc_ids, tfs, dls, pos_flat)`` concatenated over t's
     blocks (``pos_flat`` groups by posting row, each run sorted ascending).
     Occurrences become composite keys ``doc_id * stride + pos`` with
-    ``stride > max dl + len(terms)``, so "term_{i} at position p+1 in the
-    same doc" is exactly "key + 1" — the whole phrase chain is then m-1
-    sorted-set intersections with NO per-doc loop.  Works unchanged for
-    repeated phrase terms ("milk milk": K + 1 ∩ K).  Returns the matched
-    (doc_ids, phrase_tfs, dls, first_starts) where ``first_starts`` is each
-    doc's first phrase START offset (highlighting); keys never leave this
-    function, so callers on different partitions may see different strides.
+    ``stride`` exceeding the largest possible in-doc shift, so "term_{i}
+    at position p+d in the same doc" is exactly "key + d" — the whole
+    chain is sorted-set intersections with NO per-doc loop.  Works
+    unchanged for repeated phrase terms ("milk milk": K + 1 ∩ K).
+
+    ``max_gap=0`` is the exact phrase.  ``max_gap=g`` is ordered proximity
+    (the Lucene Intervals "ordered NEAR with maxgaps" semantics, NOT
+    SloppyPhraseQuery's transposition slop): every adjacent pair may be
+    separated by up to g extra tokens, terms strictly in order; tf counts
+    the distinct LAST-term positions that complete a chain.
+
+    Returns matched (doc_ids, tfs, dls, first_starts); ``first_starts`` is
+    each doc's first phrase START offset for the exact phrase, and -1 when
+    ``max_gap > 0`` (variable gaps make the start unrecoverable from the
+    end key alone — highlight refuses proximity queries for this reason).
+    Keys never leave this function, so callers on different partitions may
+    see different strides.
     """
     empty = (np.empty(0, np.int64),) * 4
     if any(t not in decoded or decoded[t][0].size == 0 for t in terms_seq):
         return empty
+    m = len(terms_seq)
     max_dl = max(int(decoded[t][2].max()) for t in set(terms_seq))
-    stride = max_dl + len(terms_seq) + 2
+    stride = max_dl + (m - 1) * (max_gap + 1) + 2
     keys: dict[str, np.ndarray] = {}
     for t in set(terms_seq):
         ids, tfs, _, pos = decoded[t]
         keys[t] = np.sort(np.repeat(ids, tfs) * stride + pos)
     s = keys[terms_seq[0]]
     for t in terms_seq[1:]:
-        s = np.intersect1d(s + 1, keys[t], assume_unique=True)
+        if max_gap == 0:
+            s = np.intersect1d(s + 1, keys[t], assume_unique=True)
+        else:
+            s = np.unique(
+                np.concatenate(
+                    [
+                        np.intersect1d(s + d, keys[t], assume_unique=True)
+                        for d in range(1, max_gap + 2)
+                    ]
+                )
+            )
         if s.size == 0:
             return empty
     # s is sorted, holds the LAST term's keys -> per doc, the first key is
-    # the first occurrence; phrase START = end position - (m-1)
+    # the first occurrence; exact-phrase START = end position - (m-1)
     uniq, first_ix, counts = np.unique(s // stride, return_index=True,
                                        return_counts=True)
-    firsts = s[first_ix] % stride - (len(terms_seq) - 1)
+    if max_gap == 0:
+        firsts = s[first_ix] % stride - (m - 1)
+    else:
+        firsts = np.full(uniq.size, -1, dtype=np.int64)
     # dl lookup from the first term's postings (matched docs ⊆ its docs;
     # a (term, doc) posting lives in exactly one block, so ids are unique)
     ids0, _, dls0, _ = decoded[terms_seq[0]]
@@ -480,7 +504,7 @@ class SearchEngine:
             parts.setdefault(r["term"], []).append((ids, tfs, dls, pos))
         return _concat_decoded(parts)
 
-    def _phrase_matched_dist(self, terms_seq: list[str]) -> DataFrame:
+    def _phrase_matched_dist(self, terms_seq: list[str], max_gap: int = 0) -> DataFrame:
         """Distributed phrase match -> (doc_id, tf, dl) of matching docs.
 
         Candidate blocks (the phrase terms' postings + positions only)
@@ -500,7 +524,7 @@ class SearchEngine:
         sseg) columns; its result (≤ #ssegs rows) broadcasts.
         """
         segs = self._phrase_candidate_blocks(sorted(set(terms_seq)))
-        terms_b = self.spark.sparkContext.broadcast(list(terms_seq))
+        terms_b = self.spark.sparkContext.broadcast((list(terms_seq), int(max_gap)))
 
         def match(it):
             pdfs = [p for p in it if len(p)]
@@ -514,8 +538,9 @@ class SearchEngine:
                 ids, tfs, dls = decode_postings(post.iat[i])
                 pos = decode_position_lists(posc.iat[i], tfs)
                 parts.setdefault(tcol[i], []).append((ids, tfs, dls, pos))
+            tseq, g = terms_b.value
             uniq, tfs_, dls_, firsts_ = _phrase_match_arrays(
-                terms_b.value, _concat_decoded(parts)
+                tseq, _concat_decoded(parts), max_gap=g
             )
             if uniq.size:
                 yield pd.DataFrame(
@@ -537,6 +562,7 @@ class SearchEngine:
         with_url: bool,
         force_distributed: bool,
         highlight: bool = False,
+        max_gap: int = 0,
     ) -> SearchResult:
         """Exact-phrase BM25 top-k (Atlas ``$search.phrase``, the operator the
         reference's platform exposes next to its text/autocomplete clauses).
@@ -555,6 +581,11 @@ class SearchEngine:
                 "phrase search requires a positional index "
                 "(build with BuildConfig(positions=True))"
             )
+        if max_gap and highlight:
+            raise ValueError(
+                "highlight is not supported with max_gap > 0 (variable gaps "
+                "make the phrase start unrecoverable from the match key)"
+            )
         terms_seq = tokenize(keyword)
         empty = SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
         if not terms_seq:
@@ -569,7 +600,7 @@ class SearchEngine:
                 .collect()
             )
             uniq, tfs, dls, firsts = _phrase_match_arrays(
-                terms_seq, self._phrase_decode_rows(rows)
+                terms_seq, self._phrase_decode_rows(rows), max_gap=max_gap
             )
             if uniq.size == 0:
                 return empty
@@ -587,7 +618,7 @@ class SearchEngine:
                 page["first_pos"] = firsts[order]
             res = SearchResult(total=int(uniq.size), page=page)
         else:
-            matched = self._phrase_matched_dist(terms_seq).persist()
+            matched = self._phrase_matched_dist(terms_seq, max_gap=max_gap).persist()
             total = matched.count()  # == phrase df: exact total for free
             if total == 0:
                 matched.unpersist()
@@ -676,6 +707,7 @@ class SearchEngine:
         group_by: bool = False,
         phrase: bool = False,
         highlight: bool = False,
+        max_gap: int = 0,
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
 
@@ -703,7 +735,7 @@ class SearchEngine:
                 raise ValueError("group_by is not supported with phrase search")
             return self._phrase_search(
                 keyword, k, skip, constant_boost, avail_boost, with_url,
-                force_distributed, highlight=highlight,
+                force_distributed, highlight=highlight, max_gap=max_gap,
             )
         terms = preprocess_query(keyword)
         if not terms:

@@ -290,3 +290,36 @@ def test_highlight_requires_positional_index(spark, index_tiny):
 
     with pytest.raises(ValueError, match="positional"):
         SearchEngine(spark, index_tiny).search("scan window", highlight=True)
+
+
+@pytest.mark.parametrize("force_dist", [False, True])
+@pytest.mark.parametrize("kw,gap", [
+    ("scan window", 1),    # matches "scan merge window" (gap 1) too
+    ("scan window", 2),
+    ("milk milk", 1),      # repeated term with a gap
+    ("scan window merge", 1),
+    ("milk cow", 3),
+])
+def test_ordered_proximity_rank_identity(phrase_engine, phrase_oracle, kw, gap,
+                                         force_dist):
+    """max_gap>0: ordered NEAR semantics — rank identity vs the oracle."""
+    want = phrase_oracle.search_phrase(kw, k=10, max_gap=gap)
+    res = phrase_engine.search(kw, k=10, phrase=True, max_gap=gap,
+                               force_distributed=force_dist)
+    assert _hits(res) == [(d, round(s, 6)) for d, s in want.hits]
+    assert res.total == want.total
+
+
+def test_ordered_proximity_widens_matches(phrase_engine, phrase_oracle):
+    # "scan merge window scan" has scan..window at gap 1, not adjacent
+    exact = phrase_oracle.search_phrase("scan window", k=10)
+    near = phrase_oracle.search_phrase("scan window", k=10, max_gap=1)
+    assert near.total > exact.total
+    res = phrase_engine.search("scan window", k=10, phrase=True, max_gap=1)
+    assert res.total == near.total
+
+
+def test_ordered_proximity_rejects_highlight(phrase_engine):
+    with pytest.raises(ValueError, match="max_gap"):
+        phrase_engine.search("scan window", k=5, phrase=True, max_gap=1,
+                             highlight=True)
