@@ -323,3 +323,31 @@ def test_ordered_proximity_rejects_highlight(phrase_engine):
     with pytest.raises(ValueError, match="max_gap"):
         phrase_engine.search("scan window", k=5, phrase=True, max_gap=1,
                              highlight=True)
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_positions_column_pruned_from_scoring_plans(phrase_engine):
+    """The .doc/.pos split must be real in the PHYSICAL plan: a non-phrase
+    scoring scan never reads the positions column; the phrase candidate
+    scan does; and the term filter is pushed to the parquet scan."""
+    score_plan = _formatted_plan(
+        phrase_engine._candidate_segments(["scan"]).select(
+            "term", "sseg", "max_tf_norm", "postings"
+        )
+    )
+    assert "positions" not in score_plan
+    assert "PushedFilters" in score_plan and "term" in score_plan
+
+    phrase_plan = _formatted_plan(
+        phrase_engine._phrase_candidate_blocks(["scan", "window"])
+    )
+    assert "positions" in phrase_plan
