@@ -76,3 +76,36 @@ def extract_text_series(html):  # pd.Series[bytes] -> pd.Series[str]
 def tokenize_series(text):  # pd.Series[str] -> pd.Series[list[str]]
     lowered = text.str.normalize("NFC").str.lower()
     return lowered.str.findall(_TOKEN_RE)
+
+
+def edit_distance_leq(a: str, b: str, k: int) -> bool:
+    """Classic Levenshtein (insert/delete/substitute, no transposition)
+    distance(a, b) <= k, banded DP with early exit.
+
+    The definition every twin must share: Spark's ``F.levenshtein`` and
+    DuckDB's ``levenshtein`` both implement plain Levenshtein, so the
+    engine's cached-dictionary fuzzy expansion (this function), its
+    distributed expansion (``F.levenshtein``), the pure-Python oracle, and
+    the SQL oracles all agree term-for-term.
+    """
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if k == 0:
+        return a == b
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+            if cur[j] < best:
+                best = cur[j]
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k

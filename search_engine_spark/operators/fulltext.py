@@ -496,6 +496,124 @@ ENGINE_PHRASE_NEAR_TOPK_SQL = PHRASE_NEAR_TOPK_SQL
 
 
 # --------------------------------------------------------------------------
+# fuzzy matching (Atlas/Lucene fuzzy): the query term expands to its
+# Levenshtein-<=1 dictionary neighborhood; the union scores as one
+# disjunction, each variant with its own idf, summed per doc in ASCENDING
+# TERM ORDER (the engine's deterministic float fold — the SQL oracle
+# reproduces it with list(s ORDER BY term) + list_reduce left fold).
+# --------------------------------------------------------------------------
+
+_FZ_Q = "sow"  # expands to {row, slow} at sf0.01 — a real multi-variant fold
+
+
+def fuzzy_topk(spark, sf_dir, k=20):
+    d = t(spark, sf_dir, "documents")
+    toks = tokens_col()
+    tok = d.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    vocab = (
+        tok.select("term").distinct()
+        .filter(F.levenshtein(F.col("term"), F.lit(_FZ_Q)) <= 1)
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfs = per.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.size(toks).cast("double")).alias("sum_dl"),
+    )
+    avgdl = F.col("sum_dl") / F.col("n")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    s = idf * F.col("tf") / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl") / avgdl)
+    )
+    scored_term = (
+        per.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", s.alias("s"))
+    )
+    parts = F.sort_array(F.collect_list(F.struct("term", "s")))
+    agg = scored_term.groupBy("doc_id").agg(parts.alias("parts"))
+    scored = agg.select(
+        "doc_id",
+        F.round(
+            F.aggregate("parts", F.lit(0.0), lambda a, x: a + x["s"]), 6
+        ).alias("score"),
+    )
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rk"
+    )
+
+
+FUZZY_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term,
+         CAST(len({TOKENS_SQL}) AS DOUBLE) AS dl
+  FROM documents
+), exp AS (
+  SELECT DISTINCT term FROM tok WHERE levenshtein(term, '{_FZ_Q}') <= 1
+), per AS (
+  SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf,
+         ANY_VALUE(t.dl) AS dl
+  FROM tok t JOIN exp USING (term) GROUP BY t.doc_id, t.term
+), dfs AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM per GROUP BY term
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CAST(len({TOKENS_SQL}) AS DOUBLE)) AS sum_dl
+  FROM documents
+), scored_term AS (
+  SELECT per.doc_id, per.term,
+         ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf
+           / (tf + {K1} * (1.0 - {B} + {B} * dl / (sum_dl / n))) AS s
+  FROM per JOIN dfs USING (term) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, list(s ORDER BY term) AS ss FROM scored_term GROUP BY doc_id
+), scored AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ss),
+                           (a, b) -> a + b), 6) AS score
+  FROM agg
+)
+SELECT doc_id, score, rk
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 20
+"""
+
+
+def engine_fuzzy_topk(spark, sf_dir, k=20):
+    """The real engine's fuzzy path: dictionary expansion + disjunction."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    res = eng.search(_FZ_Q, k=60, fuzzy=1)
+    pdf = res.page.copy()
+    pdf["score"] = round_half_away(pdf["score"], 6)
+    pdf = (
+        pdf.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(
+        pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
+    )
+
+
+ENGINE_FUZZY_TOPK_SQL = FUZZY_TOPK_SQL
+
+
+# --------------------------------------------------------------------------
 # highlighting (Atlas $search highlight): first-occurrence offsets for the
 # PAGE docs only — ranking first, then k docs' blocks decode positions.
 # The deterministic "term@pos ..." string (terms ascending, absent terms
@@ -801,6 +919,8 @@ QUERIES = {
     "ft_engine_phrase_topk": engine_phrase_topk,
     "ft_phrase_near_topk": phrase_near_topk,
     "ft_engine_phrase_near_topk": engine_phrase_near_topk,
+    "ft_fuzzy_topk": fuzzy_topk,
+    "ft_engine_fuzzy_topk": engine_fuzzy_topk,
     "ft_engine_highlight_topk": engine_highlight_topk,
     "ft_engine_phrase_first_pos": engine_phrase_first_pos,
     "ft_stream_ingest_topk": stream_ingest_topk,
@@ -821,6 +941,8 @@ ORACLES = {
     "ft_engine_phrase_topk": ENGINE_PHRASE_TOPK_SQL,
     "ft_phrase_near_topk": PHRASE_NEAR_TOPK_SQL,
     "ft_engine_phrase_near_topk": ENGINE_PHRASE_NEAR_TOPK_SQL,
+    "ft_fuzzy_topk": FUZZY_TOPK_SQL,
+    "ft_engine_fuzzy_topk": ENGINE_FUZZY_TOPK_SQL,
     "ft_engine_highlight_topk": ENGINE_HIGHLIGHT_TOPK_SQL,
     "ft_engine_phrase_first_pos": ENGINE_PHRASE_FIRST_POS_SQL,
     "ft_stream_ingest_topk": STREAM_INGEST_TOPK_SQL,

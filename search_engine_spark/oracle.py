@@ -30,7 +30,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-from .analysis import preprocess_query, tokenize
+from .analysis import edit_distance_leq, preprocess_query, tokenize
 
 K1 = 1.2
 B = 0.75
@@ -136,6 +136,41 @@ class OracleIndex:
             scores = self._score_terms(match_terms, conjunctive=False)
         else:
             scores = self._score_terms(terms, conjunctive=conjunctive)
+        if constant_boost:
+            scores = {d: s + (CONSTANT_BOOST if self.boosted(d) else 0.0) for d, s in scores.items()}
+        if avail_boost:
+            scores = {d: s + (AVAIL_BOOST if self.avail(d) > 0 else 0.0) for d, s in scores.items()}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return QueryResult(total=len(ranked), hits=ranked[skip : skip + k])
+
+    def expand_fuzzy(self, term: str, fuzzy: int) -> list[str]:
+        """Dictionary terms within Levenshtein distance ``fuzzy`` (ascending)."""
+        return [
+            t for t in self.terms_sorted
+            if abs(len(t) - len(term)) <= fuzzy and edit_distance_leq(t, term, fuzzy)
+        ]
+
+    def search_fuzzy(
+        self,
+        keyword: str,
+        k: int = 10,
+        skip: int = 0,
+        fuzzy: int = 1,
+        constant_boost: bool = False,
+        avail_boost: bool = False,
+    ) -> QueryResult:
+        """Fuzzy matching: every analyzed term expands to its edit-distance
+        neighborhood; the union scores as one disjunction, each variant with
+        its own idf — the blending rule shared with the prefix path."""
+        terms = preprocess_query(keyword)
+        if not terms:
+            return QueryResult(total=0)
+        expanded: set[str] = set()
+        for qt in terms:
+            expanded.update(self.expand_fuzzy(qt, fuzzy))
+        if not expanded:
+            return QueryResult(total=0)
+        scores = self._score_terms(sorted(expanded), conjunctive=False)
         if constant_boost:
             scores = {d: s + (CONSTANT_BOOST if self.boosted(d) else 0.0) for d, s in scores.items()}
         if avail_boost:

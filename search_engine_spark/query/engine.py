@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis.text import preprocess_query, tokenize
+from ..analysis.text import edit_distance_leq, preprocess_query, tokenize
 from ..catalog import IndexCatalog
 from ..index.codec import decode_position_lists, decode_postings
 from ..numerics import round_half_away
@@ -181,6 +181,7 @@ class SearchEngine:
         # term (identity for a batch index, whose terms are unique).
         self._terms_arr: np.ndarray | None = None
         self._dfs_arr: np.ndarray | None = None
+        self._term_lens: np.ndarray | None = None
         tdf = spark.read.parquet(self.cat.term_stats)
         n_terms = tdf.count()
         if n_terms <= _TERM_DICT_CACHE_MAX:
@@ -228,6 +229,38 @@ class SearchEngine:
         if max_expansions:
             q = q.limit(max_expansions)
         return [r["term"] for r in q.collect()]
+
+    def expand_fuzzy(
+        self, term: str, fuzzy: int, max_expansions: int | None = None
+    ) -> list[str]:
+        """Dictionary terms within Levenshtein distance ``fuzzy`` of ``term``
+        (Atlas/Lucene fuzzy matching: the query term expands to its
+        edit-distance neighborhood, then scores as a disjunction).
+
+        Cached-dictionary path: numpy length prefilter (|len diff| <= fuzzy)
+        + banded DP over the survivors.  Above the cache budget the
+        expansion is one JVM-side ``F.levenshtein`` filter over the
+        distributed term stats — the same definition, cluster-scale.
+        ``max_expansions`` keeps the first N in ascending term order (the
+        deterministic cap every oracle can reproduce).
+        """
+        if self._terms_arr is not None:
+            if self._term_lens is None:
+                self._term_lens = np.fromiter(
+                    (len(t) for t in self._terms_arr), dtype=np.int64,
+                    count=len(self._terms_arr),
+                )
+            cand = self._terms_arr[np.abs(self._term_lens - len(term)) <= fuzzy]
+            out = [str(t) for t in cand if edit_distance_leq(str(t), term, fuzzy)]
+        else:
+            rows = (
+                self.spark.read.parquet(self.cat.term_stats)
+                .select("term").distinct()
+                .filter(F.levenshtein(F.col("term"), F.lit(term)) <= fuzzy)
+                .collect()
+            )
+            out = sorted(r["term"] for r in rows)
+        return out[:max_expansions] if max_expansions else out
 
     def _pids_for_terms(self, terms: list[str]) -> list[int]:
         cuts = np.array(self.cuts, dtype=object)
@@ -708,6 +741,7 @@ class SearchEngine:
         phrase: bool = False,
         highlight: bool = False,
         max_gap: int = 0,
+        fuzzy: int = 0,
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
 
@@ -741,7 +775,19 @@ class SearchEngine:
         if not terms:
             return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
         single = len(terms) == 1
-        if single:
+        if fuzzy:
+            # fuzzy expansion replaces the length dispatch: every analyzed
+            # term expands to its edit-distance neighborhood and the union
+            # scores as one disjunction (each variant with its own idf) —
+            # the same blending rule as the prefix-expansion path.
+            if conjunctive:
+                raise ValueError("conjunctive is not supported with fuzzy")
+            expanded: set[str] = set()
+            for qt in terms:
+                expanded.update(self.expand_fuzzy(qt, fuzzy, max_expansions))
+            match_terms = sorted(expanded)
+            conj = False
+        elif single:
             match_terms = self.expand_prefix(terms[0], max_expansions)
             conj = False
         else:

@@ -185,3 +185,44 @@ def test_wand_total_modes(engine):
     dfs = engine.term_dfs(["milk", "oil"])
     assert exc.total <= apc.total == min(dfs.values()) < sum(dfs.values())
     assert list(exc.page["doc_id"]) == list(apc.page["doc_id"])
+
+
+# ------------------------------------------------------------------- fuzzy
+
+FUZZY_QUERIES = [
+    ("ricee", 1),   # insert -> rice
+    ("melk", 1),    # sub -> milk (and any other ed-1 neighbors)
+    ("oul", 1),     # sub -> oil
+    ("beltt oi", 1),  # multi-term: each term expands independently
+    ("milk", 2),    # wider neighborhood of a real term
+    ("zzzzqqqq", 1),  # nothing within distance 1
+]
+
+
+@pytest.mark.parametrize("force_dist", [False, True])
+@pytest.mark.parametrize("kw,f", FUZZY_QUERIES)
+def test_fuzzy_rank_identity(engine, oracle_tiny, kw, f, force_dist):
+    got = engine.search(kw, k=10, fuzzy=f, force_distributed=force_dist)
+    want = oracle_tiny.search_fuzzy(kw, k=10, fuzzy=f)
+    assert_rank_identical(got, want, f"fuzzy {kw} f={f} dist={force_dist}")
+
+
+def test_fuzzy_expansion_matches_oracle(engine, oracle_tiny):
+    for qt, f in [("melk", 1), ("oul", 1), ("milk", 2)]:
+        assert engine.expand_fuzzy(qt, f) == oracle_tiny.expand_fuzzy(qt, f)
+        assert engine.expand_fuzzy(qt, f, max_expansions=2) == \
+            oracle_tiny.expand_fuzzy(qt, f)[:2]
+
+
+def test_fuzzy_widens_beyond_exact(engine, oracle_tiny):
+    exact = engine.search("milk", k=5)
+    fz = engine.search("melk", k=5, fuzzy=1)
+    assert fz.total >= 1
+    # "milk" itself is within distance 1 of "melk", so every exact match
+    # is reachable through the fuzzy neighborhood
+    assert fz.total >= exact.total or exact.total == 0
+
+
+def test_fuzzy_rejects_conjunctive(engine):
+    with pytest.raises(ValueError, match="conjunctive"):
+        engine.search("dairy milk", fuzzy=1, conjunctive=True)
