@@ -186,6 +186,11 @@ def main():
         "search_phrase": lambda: pos_eng.search("table hash", k=10, phrase=True),
         "search_phrase_dist": lambda: pos_eng.search(
             "table hash", k=10, phrase=True, force_distributed=True),
+        # ordered proximity (max_gap) and fuzzy expansion + suggestion
+        "search_phrase_near": lambda: pos_eng.search(
+            "table hash", k=10, phrase=True, max_gap=2),
+        "search_fuzzy": lambda: eng.search("sow", k=10, fuzzy=1),
+        "search_suggest": lambda: eng.suggest("scen", fuzzy=1),
     }
     heads = {
         "rel_pricing_summary": relational.pricing_summary,

@@ -614,6 +614,44 @@ ENGINE_FUZZY_TOPK_SQL = FUZZY_TOPK_SQL
 
 
 # --------------------------------------------------------------------------
+# spelling suggestion ("did you mean"): best fuzzy neighbor by document
+# frequency (df desc, term asc) — the suggestion surface a search platform
+# exposes next to its fuzzy option.
+# --------------------------------------------------------------------------
+
+_SUG_QUERIES = ("scen", "hask", "sow", "tble", "qqqq")  # last has no neighbor
+
+
+def engine_suggest(spark, sf_dir):
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    rows = [
+        (qt, sug)
+        for qt in _SUG_QUERIES
+        if (sug := eng.suggest(qt, fuzzy=1)) is not None
+    ]
+    return spark.createDataFrame(rows, "qterm string, suggestion string")
+
+
+ENGINE_SUGGEST_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+), vocab AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), q(qterm) AS (
+  VALUES {", ".join(f"('{t}')" for t in _SUG_QUERIES)}
+), cand AS (
+  SELECT q.qterm, v.term, v.df,
+         row_number() OVER (PARTITION BY q.qterm
+                            ORDER BY v.df DESC, v.term ASC) AS rk
+  FROM q JOIN vocab v ON levenshtein(v.term, q.qterm) <= 1
+)
+SELECT qterm, term AS suggestion FROM cand WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # highlighting (Atlas $search highlight): first-occurrence offsets for the
 # PAGE docs only — ranking first, then k docs' blocks decode positions.
 # The deterministic "term@pos ..." string (terms ascending, absent terms
@@ -921,6 +959,7 @@ QUERIES = {
     "ft_engine_phrase_near_topk": engine_phrase_near_topk,
     "ft_fuzzy_topk": fuzzy_topk,
     "ft_engine_fuzzy_topk": engine_fuzzy_topk,
+    "ft_engine_suggest": engine_suggest,
     "ft_engine_highlight_topk": engine_highlight_topk,
     "ft_engine_phrase_first_pos": engine_phrase_first_pos,
     "ft_stream_ingest_topk": stream_ingest_topk,
@@ -943,6 +982,7 @@ ORACLES = {
     "ft_engine_phrase_near_topk": ENGINE_PHRASE_NEAR_TOPK_SQL,
     "ft_fuzzy_topk": FUZZY_TOPK_SQL,
     "ft_engine_fuzzy_topk": ENGINE_FUZZY_TOPK_SQL,
+    "ft_engine_suggest": ENGINE_SUGGEST_SQL,
     "ft_engine_highlight_topk": ENGINE_HIGHLIGHT_TOPK_SQL,
     "ft_engine_phrase_first_pos": ENGINE_PHRASE_FIRST_POS_SQL,
     "ft_stream_ingest_topk": STREAM_INGEST_TOPK_SQL,

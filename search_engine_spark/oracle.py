@@ -150,6 +150,13 @@ class OracleIndex:
             if abs(len(t) - len(term)) <= fuzzy and edit_distance_leq(t, term, fuzzy)
         ]
 
+    def suggest(self, term: str, fuzzy: int = 1) -> str | None:
+        """"Did you mean": most frequent in-range dictionary term."""
+        cands = self.expand_fuzzy(term, fuzzy)
+        if not cands:
+            return None
+        return min(cands, key=lambda t: (-len(self.postings[t]), t))
+
     def search_fuzzy(
         self,
         keyword: str,

@@ -262,6 +262,17 @@ class SearchEngine:
             out = sorted(r["term"] for r in rows)
         return out[:max_expansions] if max_expansions else out
 
+    def suggest(self, term: str, fuzzy: int = 1) -> str | None:
+        """"Did you mean": the most frequent dictionary term within
+        Levenshtein distance ``fuzzy`` (df desc, term asc tiebreak) — None
+        when nothing is in range.  A term already in the dictionary
+        suggests itself (distance 0 dominates nothing; df decides)."""
+        cands = self.expand_fuzzy(term, fuzzy)
+        if not cands:
+            return None
+        dfs = self.term_dfs(cands)
+        return min(cands, key=lambda t: (-dfs.get(t, 0), t))
+
     def _pids_for_terms(self, terms: list[str]) -> list[int]:
         cuts = np.array(self.cuts, dtype=object)
         return sorted({int(np.searchsorted(cuts, t, side="left")) for t in terms})

@@ -226,3 +226,11 @@ def test_fuzzy_widens_beyond_exact(engine, oracle_tiny):
 def test_fuzzy_rejects_conjunctive(engine):
     with pytest.raises(ValueError, match="conjunctive"):
         engine.search("dairy milk", fuzzy=1, conjunctive=True)
+
+
+def test_suggest_matches_oracle(engine, oracle_tiny):
+    # real terms suggest themselves (distance 0, highest df wins among
+    # the neighborhood); misspellings map to their best neighbor; garbage
+    # maps to None
+    for qt in ["milk", "melk", "ricee", "oul", "zzzzqqqq"]:
+        assert engine.suggest(qt) == oracle_tiny.suggest(qt), qt
