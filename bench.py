@@ -44,14 +44,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def clock_probe(n: int = 20_000_000) -> float:
-    """Per-core python integer throughput (M it/s) — the host-throttle
-    calibration used across BENCH/BASELINE.md."""
-    t0 = time.time()
-    x = 0
-    for i in range(n):
-        x += i
-    return round(n / 1e6 / (time.time() - t0), 2)
+from search_engine_spark.benchutil import clock_probe  # noqa: E402
 
 
 def main():

@@ -28,12 +28,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def clock_probe() -> float:
-    t0 = time.time()
-    x = 0
-    for i in range(20_000_000):
-        x += i
-    return round(20.0 / (time.time() - t0), 2)
+from search_engine_spark.benchutil import clock_probe  # noqa: E402
 
 
 def main():

@@ -206,12 +206,10 @@ def main():
               f"shW={rec['shuffle_write_mb']}MB", flush=True)
         return out
 
-    # throttle probe: same integer-loop calibration scaling_bench.py uses
-    t0 = time.time()
-    x = 0
-    for i in range(20_000_000):
-        x += i
-    results["clock_probe_mips"] = round(20.0 / (time.time() - t0), 2)
+    # throttle probe: the one shared calibration (benchutil.clock_probe)
+    from search_engine_spark.benchutil import clock_probe
+
+    results["clock_probe_mips"] = clock_probe()
 
     if not os.path.exists(os.path.join(sf_dir, "documents.parquet", "_SUCCESS")):
         timed("gen_documents", lambda: gen_documents(

@@ -255,18 +255,31 @@ def _index_for(spark, sf_dir: str) -> str:
     return index_dir
 
 
-def _engine_topk_frame(spark, eng, k: int = 20):
-    """Shared gate post-processing: query the engine, re-rank on the rounded
-    score with the doc_id tiebreak (the oracle's rule), emit the top page."""
-    res = eng.search(" ".join(_Q_TERMS), k=60, mode="wand")
+def _engine_page_frame(spark, res, k: int = 20, extra_cols: tuple = ()):
+    """THE shared gate postlude: re-rank an engine page on the rounded score
+    with the doc_id tiebreak (the oracle's rule), emit top-k with a rank.
+
+    Every engine gate funnels through here so the ranking rule lives in
+    exactly one place; ``extra_cols`` appends (name, sql_type) columns the
+    specific gate carries (highlights, first_pos, ...)."""
     pdf = res.page.copy()
     pdf["score"] = round_half_away(pdf["score"], 6)
-    pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
-    pdf = pdf.head(k)
-    pdf["rk"] = range(1, len(pdf) + 1)
-    return spark.createDataFrame(
-        pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
+    pdf = (
+        pdf.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
     )
+    pdf["rk"] = range(1, len(pdf) + 1)
+    names = ["doc_id", "score", "rk"] + [n for n, _ in extra_cols]
+    schema = "doc_id long, score double, rk int" + "".join(
+        f", {n} {t}" for n, t in extra_cols
+    )
+    return spark.createDataFrame(pdf[names], schema)
+
+
+def _engine_topk_frame(spark, eng, k: int = 20):
+    """BM25 gate form: the fixed 2-term WAND query through the postlude."""
+    return _engine_page_frame(spark, eng.search(" ".join(_Q_TERMS), k=60, mode="wand"), k)
 
 
 def engine_bm25_topk(spark, sf_dir):
@@ -363,23 +376,11 @@ WHERE rk <= 20
 
 
 def engine_phrase_topk(spark, sf_dir, k=20):
-    """The real engine's phrase path (positional index + SearchEngine),
-    re-ranked on the rounded score like every engine gate."""
+    """The real engine's phrase path (positional index + SearchEngine)."""
     from ..query.engine import SearchEngine
 
     eng = SearchEngine(spark, _index_for(spark, sf_dir))
-    res = eng.search(" ".join(_P_TERMS), k=60, phrase=True)
-    pdf = res.page.copy()
-    pdf["score"] = round_half_away(pdf["score"], 6)
-    pdf = (
-        pdf.sort_values(["score", "doc_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
-    pdf["rk"] = range(1, len(pdf) + 1)
-    return spark.createDataFrame(
-        pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
-    )
+    return _engine_page_frame(spark, eng.search(" ".join(_P_TERMS), k=60, phrase=True), k)
 
 
 ENGINE_PHRASE_TOPK_SQL = PHRASE_TOPK_SQL
@@ -478,17 +479,8 @@ def engine_phrase_near_topk(spark, sf_dir, k=20):
     from ..query.engine import SearchEngine
 
     eng = SearchEngine(spark, _index_for(spark, sf_dir))
-    res = eng.search(" ".join(_P_TERMS), k=60, phrase=True, max_gap=_NEAR_GAP)
-    pdf = res.page.copy()
-    pdf["score"] = round_half_away(pdf["score"], 6)
-    pdf = (
-        pdf.sort_values(["score", "doc_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
-    pdf["rk"] = range(1, len(pdf) + 1)
-    return spark.createDataFrame(
-        pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
+    return _engine_page_frame(
+        spark, eng.search(" ".join(_P_TERMS), k=60, phrase=True, max_gap=_NEAR_GAP), k
     )
 
 
@@ -596,18 +588,7 @@ def engine_fuzzy_topk(spark, sf_dir, k=20):
     from ..query.engine import SearchEngine
 
     eng = SearchEngine(spark, _index_for(spark, sf_dir))
-    res = eng.search(_FZ_Q, k=60, fuzzy=1)
-    pdf = res.page.copy()
-    pdf["score"] = round_half_away(pdf["score"], 6)
-    pdf = (
-        pdf.sort_values(["score", "doc_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
-    pdf["rk"] = range(1, len(pdf) + 1)
-    return spark.createDataFrame(
-        pdf[["doc_id", "score", "rk"]], "doc_id long, score double, rk int"
-    )
+    return _engine_page_frame(spark, eng.search(_FZ_Q, k=60, fuzzy=1), k)
 
 
 ENGINE_FUZZY_TOPK_SQL = FUZZY_TOPK_SQL
@@ -665,18 +646,11 @@ def engine_highlight_topk(spark, sf_dir, k=20):
     from ..query.engine import SearchEngine
 
     eng = SearchEngine(spark, _index_for(spark, sf_dir))
-    res = eng.search(" ".join(_Q_TERMS), k=60, mode="wand", highlight=True)
-    pdf = res.page.copy()
-    pdf["score"] = round_half_away(pdf["score"], 6)
-    pdf = (
-        pdf.sort_values(["score", "doc_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
-    pdf["rk"] = range(1, len(pdf) + 1)
-    return spark.createDataFrame(
-        pdf[["doc_id", "score", "rk", "highlights"]],
-        "doc_id long, score double, rk int, highlights string",
+    return _engine_page_frame(
+        spark,
+        eng.search(" ".join(_Q_TERMS), k=60, mode="wand", highlight=True),
+        k,
+        extra_cols=(("highlights", "string"),),
     )
 
 
@@ -706,18 +680,11 @@ def engine_phrase_first_pos(spark, sf_dir, k=20):
     from ..query.engine import SearchEngine
 
     eng = SearchEngine(spark, _index_for(spark, sf_dir))
-    res = eng.search(" ".join(_P_TERMS), k=60, phrase=True, highlight=True)
-    pdf = res.page.copy()
-    pdf["score"] = round_half_away(pdf["score"], 6)
-    pdf = (
-        pdf.sort_values(["score", "doc_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
-    pdf["rk"] = range(1, len(pdf) + 1)
-    return spark.createDataFrame(
-        pdf[["doc_id", "score", "rk", "first_pos"]],
-        "doc_id long, score double, rk int, first_pos long",
+    return _engine_page_frame(
+        spark,
+        eng.search(" ".join(_P_TERMS), k=60, phrase=True, highlight=True),
+        k,
+        extra_cols=(("first_pos", "long"),),
     )
 
 

@@ -322,23 +322,32 @@ def encode_jpeg_baseline(
     mcus_y = planes[0].shape[0] // (8 * vmax)
 
     def mcu_blocks():
-        """yield (comp_index, zz) in interleaved MCU order."""
+        """yield (mcu_start, comp_index, zz) in interleaved MCU order.
+
+        ``mcu_start`` marks the FIRST block of each MCU — in 420 mode the
+        luma component contributes four blocks per MCU, so restart
+        bookkeeping must key on this flag, not on ``ci == 0`` (a per-luma-
+        block count would fire RSTn markers mid-MCU, which every
+        conforming decoder rejects).
+        """
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                first = True
                 for ci, (_, (ch, cv), _) in enumerate(comps):
                     for j in range(cv):
                         for i in range(ch):
-                            yield ci, comp_zz[ci][my * cv + j, mx * ch + i]
+                            yield first, ci, comp_zz[ci][my * cv + j, mx * ch + i]
+                            first = False
 
     # pass 1: collect the symbols each Huffman table must cover
     dc_syms: dict[int, list[int]] = {0: [], 1: []}
     ac_syms: dict[int, list[int]] = {0: [], 1: []}
     preds = [0] * len(comps)
     n_mcu = 0
-    for ci, zz in mcu_blocks():
-        if ci == 0 and restart_interval and n_mcu and n_mcu % restart_interval == 0:
+    for mcu_start, ci, zz in mcu_blocks():
+        if mcu_start and restart_interval and n_mcu and n_mcu % restart_interval == 0:
             preds = [0] * len(comps)
-        if ci == 0:
+        if mcu_start:
             n_mcu += 1
         tid = 0 if ci == 0 else 1
         emits, preds[ci] = _code_block(zz, preds[ci])
@@ -355,13 +364,13 @@ def encode_jpeg_baseline(
     preds = [0] * len(comps)
     n_mcu = 0
     rst = 0
-    for ci, zz in mcu_blocks():
-        if ci == 0 and restart_interval and n_mcu and n_mcu % restart_interval == 0:
+    for mcu_start, ci, zz in mcu_blocks():
+        if mcu_start and restart_interval and n_mcu and n_mcu % restart_interval == 0:
             writer.align()
             writer.out += bytes((0xFF, 0xD0 + (rst & 7)))
             rst += 1
             preds = [0] * len(comps)
-        if ci == 0:
+        if mcu_start:
             n_mcu += 1
         tid = 0 if ci == 0 else 1
         emits, preds[ci] = _code_block(zz, preds[ci])

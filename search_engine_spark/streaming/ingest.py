@@ -69,6 +69,8 @@ from ..index.builder import (
     tokens_from_docs_pandas,
     with_extracted_text,
     SEGMENT_SCHEMA,
+    SEGMENT_SCHEMA_IDS,
+    SEGMENT_SCHEMA_IDS_POS,
     SEGMENT_SCHEMA_POS,
 )
 
@@ -117,26 +119,42 @@ _BCAST_DOCS_MAX = 20_000_000
 
 
 def _committed_gens(spark: SparkSession, index_dir: str, before: int | None = None):
-    """Rows of gen_stats for committed generations (optionally gen < before)."""
+    """Rows of gen_stats for committed generations (optionally gen < before).
+
+    Committed = the generation dir carries ``_SUCCESS``.  A crash during
+    the very first gen_stats write can leave ``gen=E/`` containing only
+    Spark's hidden ``_temporary`` staging — reading the root then fails
+    schema inference and would brick every replay, so dirs without the
+    marker are excluded BEFORE the read (and filtered from the rows as
+    defense against committers that expose task files early)."""
     root = _gen_stats_root(index_dir)
-    if not os.path.isdir(root) or not any(
-        e.startswith("gen=") for e in os.listdir(root)
-    ):
+    if not os.path.isdir(root):
         return []
-    df = spark.read.parquet(root)
+    committed = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(root)
+        if e.startswith("gen=")
+        and os.path.exists(os.path.join(root, e, "_SUCCESS"))
+    ]
+    if not committed:
+        return []
+    df = spark.read.parquet(root).filter(F.col("gen").isin(committed))
     if before is not None:
         df = df.filter(F.col("gen") < int(before))
     return sorted(df.collect(), key=lambda r: int(r["gen"]))
 
 
+def _resolve_tokenizer(docs: DataFrame, cfg: BuildConfig) -> str:
+    """Resolve "auto" to a concrete analyzer choice via the NFC sample."""
+    if cfg.tokenizer != "auto":
+        return cfg.tokenizer
+    return "jvm" if sampled_nfc_ok(docs) else "pandas"
+
+
 def _tokenize_like_builder(
-    docs: DataFrame, cfg: BuildConfig, positions: bool = False
+    docs: DataFrame, tokenizer: str, positions: bool = False
 ) -> DataFrame:
-    if cfg.tokenizer == "jvm":
-        return tokens_from_docs(docs, positions=positions)
-    if cfg.tokenizer == "pandas":
-        return tokens_from_docs_pandas(docs, positions=positions)
-    fn = tokens_from_docs if sampled_nfc_ok(docs) else tokens_from_docs_pandas
+    fn = tokens_from_docs if tokenizer == "jvm" else tokens_from_docs_pandas
     return fn(docs, positions=positions)
 
 
@@ -201,6 +219,24 @@ def ingest_batch(
         )
 
     docs = with_extracted_text(batch_df)
+
+    # the ANALYZER is frozen geometry too: "auto" re-sampled per batch could
+    # tokenize generations of one index with different normalization (JVM
+    # no-NFC vs pandas NFC), silently diverging from a full rebuild.  Gen 0
+    # resolves it once and records it; later generations honor the record
+    # (an explicit pin that disagrees raises; indexes frozen before this
+    # field existed fall back to the old per-batch sampling).
+    if frozen_pre is None:
+        tokenizer = _resolve_tokenizer(docs, cfg)
+    else:
+        tokenizer = frozen_pre.get("tokenizer")
+        if tokenizer is None:
+            tokenizer = _resolve_tokenizer(docs, cfg)
+        elif cfg.tokenizer not in ("auto", tokenizer):
+            raise ValueError(
+                f"index at {index_dir} was frozen with tokenizer={tokenizer!r}; "
+                f"ingest cfg.tokenizer={cfg.tokenizer!r} does not match"
+            )
     if id_col is not None:
         ranked = None
         with_ids = docs.withColumn("doc_id", F.col(id_col).cast("long"))
@@ -215,7 +251,7 @@ def ingest_batch(
         ids = F.broadcast(ids) if n_pre <= _BCAST_DOCS_MAX else ids
         with_ids = docs.join(ids, "url").select("doc_id", "url", "text")
 
-    tokens = _tokenize_like_builder(with_ids, cfg, positions=use_pos).persist()
+    tokens = _tokenize_like_builder(with_ids, tokenizer, positions=use_pos).persist()
 
     # per-generation doc stats (hydration + dl); docs with zero tokens keep dl=0
     dl_df = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
@@ -263,6 +299,7 @@ def ingest_batch(
             "block_docs": cfg.block_docs,
             "n_partitions": n_partitions,
             "with_positions": bool(use_pos),
+            "tokenizer": tokenizer,
         }
         _write_frozen(index_dir, frozen)
     cuts = list(frozen["term_cuts"])
@@ -276,15 +313,32 @@ def ingest_batch(
 
     # batch vocabulary -> (term, term_id, pid) with the FROZEN cuts; the
     # term->pid rule is count(cuts < term), identical to the engine's
-    # searchsorted(cuts, term, side="left") pruning rule
-    cuts_arr = np.array(cuts, dtype=object)
-    vocab = tokens.select("term").distinct().toPandas().sort_values("term")
-    terms_arr = vocab["term"].to_numpy(dtype=object)
-    pids_arr = np.searchsorted(cuts_arr, terms_arr, side="left").astype(np.int32)
-    vocab = vocab.reset_index(drop=True)
-    vocab["term_id"] = np.arange(len(vocab), dtype=np.int32)
-    pid_map = spark.createDataFrame(vocab[["term", "term_id"]])
-    dict_b = spark.sparkContext.broadcast((terms_arr, pids_arr))
+    # searchsorted(cuts, term, side="left") pruning rule.  The same two-path
+    # policy as build_index/compact_index: vocabularies within dict_budget
+    # broadcast; above it NOTHING materializes the batch vocabulary in one
+    # place (a catch-up batch draining a web-scale backlog brings a
+    # web-scale vocabulary with it) — ids ride a shuffle join and a
+    # post-encode join on the distributed dim restores term + pid.
+    n_batch_terms = tokens.select("term").distinct().count()
+    id_mode = n_batch_terms > cfg.dict_budget
+    if id_mode:
+        _, _, dim, ranked_t, _ = build_vocab(
+            spark, _gen_dir(cat.term_stats, epoch), n_partitions, cuts=cuts
+        )
+        term_dim_df = dim.persist()
+        term_dim_df.count()
+        ranked_t.unpersist()
+        pid_map = term_dim_df.select("term", "term_id")
+        dict_b = None
+    else:
+        cuts_arr = np.array(cuts, dtype=object)
+        vocab = tokens.select("term").distinct().toPandas().sort_values("term")
+        terms_arr = vocab["term"].to_numpy(dtype=object)
+        pids_arr = np.searchsorted(cuts_arr, terms_arr, side="left").astype(np.int32)
+        vocab = vocab.reset_index(drop=True)
+        vocab["term_id"] = np.arange(len(vocab), dtype=np.int32)
+        pid_map = F.broadcast(spark.createDataFrame(vocab[["term", "term_id"]]))
+        dict_b = spark.sparkContext.broadcast((terms_arr, pids_arr))
 
     packed = 0 < batch_max_dl < 4096
     doc32 = batch_max_id < (1 << 31)
@@ -296,7 +350,7 @@ def ingest_batch(
     )
     if use_pos:
         val_cols = val_cols + [F.col("positions")]
-    keyed = tokens.join(F.broadcast(pid_map), "term").select(
+    keyed = tokens.join(pid_map, "term").select(
         F.col("term_id"), doc_col, *val_cols
     )
     encoder = make_arrow_encoder(
@@ -307,14 +361,28 @@ def ingest_batch(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     sseg_key = F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)")
-    (
+    if id_mode:
+        enc_schema = SEGMENT_SCHEMA_IDS_POS if use_pos else SEGMENT_SCHEMA_IDS
+    else:
+        enc_schema = SEGMENT_SCHEMA_POS if use_pos else SEGMENT_SCHEMA
+    encoded = (
         keyed.repartition(shuffle_n, F.col("term_id"), sseg_key)
         .sortWithinPartitions("term_id", "doc_id")
-        .mapInArrow(encoder, schema=SEGMENT_SCHEMA_POS if use_pos else SEGMENT_SCHEMA)
-        .write.mode("overwrite")
+        .mapInArrow(encoder, schema=enc_schema)
+    )
+    if id_mode:
+        encoded = encoded.join(term_dim_df, "term_id").select(
+            "pid", "term", "sseg", "block_id", "first_doc", "last_doc",
+            "doc_count", "max_tf_norm", "nbytes", "postings",
+            *(["positions"] if use_pos else []),
+        )
+    (
+        encoded.write.mode("overwrite")
         .partitionBy("pid")
         .parquet(_gen_dir(cat.segments, epoch))
     )
+    if id_mode:
+        term_dim_df.unpersist()
     tokens.unpersist()
 
     # lineage (observability; a replay after this append but before the
@@ -360,7 +428,7 @@ def ingest_batch(
                 batch_max_dl,
                 batch_max_id,
                 float(avgdl_build),
-                len(terms_arr),
+                n_batch_terms,
             )
         ],
         "n_docs long, sum_dl long, max_dl int, max_doc_id long, "

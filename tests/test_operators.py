@@ -577,3 +577,28 @@ def test_ivf_recall_and_full_probe_exactness(spark, sf_dir):
         full = full.sort_values(["qid", "rk"]).reset_index(drop=True)
         assert list(full["cid"]) == list(b3s["cid"]), fn.__name__
         assert (full["cosine"] - b3s["cosine"]).abs().max() == 0.0, fn.__name__
+
+
+def test_jpeg_420_with_restart_interval_roundtrips():
+    """The 420+restart combination: one MCU = four luma blocks, so restart
+    bookkeeping must count MCUs, not luma blocks (a per-block count emits
+    RSTn mid-MCU and every conforming decoder rejects the stream)."""
+    import numpy as np
+
+    from search_engine_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.RandomState(3)
+    # 3x2 MCUs of 16x16 so several restart boundaries occur
+    vals = rng.randint(0, 256, size=(6, 4), dtype=np.uint8)
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    img = np.stack([gray, gray, gray], axis=2)
+    for rst in (1, 2, 3):
+        dec = decode_jpeg(encode_jpeg_baseline(img, subsampling="420",
+                                               restart_interval=rst))
+        assert dec.shape == img.shape
+        # flat-block luma survives 420 exactly; chroma of a gray image is
+        # neutral so decoded channels stay equal
+        assert (dec[:, :, 0] == img[:, :, 0]).all()

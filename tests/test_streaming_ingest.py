@@ -290,3 +290,68 @@ def test_streaming_surface_end_to_end(spark, corpora, rebuild_engine, tmp_path):
         b = eng.search(kw, k=10, mode="wand", force_distributed=True)
         assert list(a.page["doc_id"]) == list(b.page["doc_id"])
         assert list(a.page["score"]) == list(b.page["score"])
+
+
+def test_gen0_crash_window_does_not_brick_replay(spark, corpora, rebuild_engine):
+    """A crash during generation 0's gen_stats write leaves gen=0/ with only
+    Spark's hidden _temporary staging; replay must recover, not die on
+    parquet schema inference (the exactly-once contract)."""
+    tbl, base = corpora
+    idx = os.path.join(base, "crash0_idx")
+    wave = _write_waves(tbl, os.path.join(base, "crash0"), [(0, 300)])[0]
+    # simulate the window: gen dir exists, no visible files, no _SUCCESS
+    half = os.path.join(idx, "gen_stats", "gen=0", "_temporary")
+    os.makedirs(half, exist_ok=True)
+    r = ingest_batch(spark, spark.read.parquet(wave), idx, 0,
+                     cfg=BuildConfig(**_CFG))
+    assert not r.skipped and r.n_docs == 300
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == 300
+    assert len(eng.search("milk", k=5).page) > 0
+
+
+def test_ingest_id_mode_identical_to_broadcast_vocab(spark, corpora):
+    """dict_budget below the batch vocabulary forces the distributed-dim
+    path; the landed generations must be row-identical to the broadcast
+    path on the same waves."""
+    tbl, base = corpora
+    slices = [(0, 500), (500, 500)]
+    outs = {}
+    for name, budget in (("bcast", 2_000_000), ("idmode", 1)):
+        idx = os.path.join(base, f"vocab_{name}_idx")
+        waves = _write_waves(tbl, os.path.join(base, f"vocab_{name}"), slices)
+        for e, w in enumerate(waves):
+            ingest_batch(spark, spark.read.parquet(w), idx, e,
+                         cfg=BuildConfig(**_CFG, dict_budget=budget))
+        outs[name] = (
+            spark.read.parquet(os.path.join(idx, "segments"))
+            .select("gen", "term", "sseg", "block_id", "first_doc",
+                    "last_doc", "doc_count", "max_tf_norm", "nbytes",
+                    "postings")
+            .toPandas()
+            .sort_values(["gen", "term", "sseg", "block_id"])
+            .reset_index(drop=True)
+        )
+    assert outs["bcast"].equals(outs["idmode"])
+
+
+def test_tokenizer_frozen_at_gen0(spark, corpora):
+    """The analyzer choice is index geometry: gen 0 records it; a later
+    generation with a conflicting explicit pin raises instead of silently
+    mixing analyzers across generations."""
+    import json
+
+    tbl, base = corpora
+    idx = os.path.join(base, "tok_frozen_idx")
+    waves = _write_waves(tbl, os.path.join(base, "tok_frozen"), [(0, 200), (200, 200)])
+    ingest_batch(spark, spark.read.parquet(waves[0]), idx, 0,
+                 cfg=BuildConfig(**_CFG, tokenizer="pandas"))
+    with open(os.path.join(idx, "frozen.json")) as f:
+        assert json.load(f)["tokenizer"] == "pandas"
+    with pytest.raises(ValueError, match="tokenizer"):
+        ingest_batch(spark, spark.read.parquet(waves[1]), idx, 1,
+                     cfg=BuildConfig(**_CFG, tokenizer="jvm"))
+    # "auto" defers to the frozen choice
+    r = ingest_batch(spark, spark.read.parquet(waves[1]), idx, 1,
+                     cfg=BuildConfig(**_CFG))
+    assert not r.skipped and r.n_docs == 200
