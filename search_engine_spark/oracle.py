@@ -83,6 +83,28 @@ class OracleIndex:
     def avail(self, d: int) -> int:
         return self.doc_len[d] % 7
 
+    # -- shared postlude -----------------------------------------------------
+    def _rank_page(
+        self,
+        scores: dict[int, float],
+        k: int,
+        skip: int,
+        constant_boost: bool,
+        avail_boost: bool,
+        total: int | None = None,
+    ) -> QueryResult:
+        """THE boost/rank/paginate rule, in one place: +5 for flagged docs,
+        +10 for available docs, order (score desc, doc_id asc), skip/k."""
+        if constant_boost:
+            scores = {d: s + (CONSTANT_BOOST if self.boosted(d) else 0.0) for d, s in scores.items()}
+        if avail_boost:
+            scores = {d: s + (AVAIL_BOOST if self.avail(d) > 0 else 0.0) for d, s in scores.items()}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return QueryResult(
+            total=len(ranked) if total is None else total,
+            hits=ranked[skip : skip + k],
+        )
+
     # -- scoring -------------------------------------------------------------
     def _score_terms(self, terms: list[str], conjunctive: bool) -> dict[int, float]:
         terms = sorted(set(terms))  # ascending term order (float determinism)
@@ -136,12 +158,7 @@ class OracleIndex:
             scores = self._score_terms(match_terms, conjunctive=False)
         else:
             scores = self._score_terms(terms, conjunctive=conjunctive)
-        if constant_boost:
-            scores = {d: s + (CONSTANT_BOOST if self.boosted(d) else 0.0) for d, s in scores.items()}
-        if avail_boost:
-            scores = {d: s + (AVAIL_BOOST if self.avail(d) > 0 else 0.0) for d, s in scores.items()}
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
-        return QueryResult(total=len(ranked), hits=ranked[skip : skip + k])
+        return self._rank_page(scores, k, skip, constant_boost, avail_boost)
 
     def expand_fuzzy(self, term: str, fuzzy: int) -> list[str]:
         """Dictionary terms within Levenshtein distance ``fuzzy`` (ascending)."""
@@ -178,12 +195,7 @@ class OracleIndex:
         if not expanded:
             return QueryResult(total=0)
         scores = self._score_terms(sorted(expanded), conjunctive=False)
-        if constant_boost:
-            scores = {d: s + (CONSTANT_BOOST if self.boosted(d) else 0.0) for d, s in scores.items()}
-        if avail_boost:
-            scores = {d: s + (AVAIL_BOOST if self.avail(d) > 0 else 0.0) for d, s in scores.items()}
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
-        return QueryResult(total=len(ranked), hits=ranked[skip : skip + k])
+        return self._rank_page(scores, k, skip, constant_boost, avail_boost)
 
     def search_grouped(
         self,
@@ -265,9 +277,4 @@ class OracleIndex:
             d: bm25(tf, df, self.doc_len[d], self.n_docs, self.avgdl)
             for d, tf in tfs.items()
         }
-        if constant_boost:
-            scores = {d: s + (CONSTANT_BOOST if self.boosted(d) else 0.0) for d, s in scores.items()}
-        if avail_boost:
-            scores = {d: s + (AVAIL_BOOST if self.avail(d) > 0 else 0.0) for d, s in scores.items()}
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
-        return QueryResult(total=df, hits=ranked[skip : skip + k])
+        return self._rank_page(scores, k, skip, constant_boost, avail_boost, total=df)

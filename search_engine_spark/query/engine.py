@@ -182,6 +182,9 @@ class SearchEngine:
         self._terms_arr: np.ndarray | None = None
         self._dfs_arr: np.ndarray | None = None
         self._term_lens: np.ndarray | None = None
+        # per-(term, fuzzy, cap) expansion memo — repeated misspellings are
+        # the common case in real query logs; bounded, cleared wholesale
+        self._fuzzy_cache: dict[tuple, list[str]] = {}
         tdf = spark.read.parquet(self.cat.term_stats)
         n_terms = tdf.count()
         if n_terms <= _TERM_DICT_CACHE_MAX:
@@ -242,8 +245,13 @@ class SearchEngine:
         expansion is one JVM-side ``F.levenshtein`` filter over the
         distributed term stats — the same definition, cluster-scale.
         ``max_expansions`` keeps the first N in ascending term order (the
-        deterministic cap every oracle can reproduce).
+        deterministic cap every oracle can reproduce).  Results memoize per
+        engine instance (bounded) — repeat misspellings skip the scan.
         """
+        key = (term, int(fuzzy), max_expansions)
+        hit = self._fuzzy_cache.get(key)
+        if hit is not None:
+            return list(hit)
         if self._terms_arr is not None:
             if self._term_lens is None:
                 self._term_lens = np.fromiter(
@@ -260,7 +268,11 @@ class SearchEngine:
                 .collect()
             )
             out = sorted(r["term"] for r in rows)
-        return out[:max_expansions] if max_expansions else out
+        out = out[:max_expansions] if max_expansions else out
+        if len(self._fuzzy_cache) > 10_000:
+            self._fuzzy_cache.clear()
+        self._fuzzy_cache[key] = out
+        return list(out)
 
     def suggest(self, term: str, fuzzy: int = 1) -> str | None:
         """"Did you mean": the most frequent dictionary term within
@@ -778,6 +790,11 @@ class SearchEngine:
         if phrase:
             if group_by:
                 raise ValueError("group_by is not supported with phrase search")
+            if fuzzy:
+                raise ValueError(
+                    "fuzzy is not supported with phrase search (expansion of a "
+                    "positional phrase is not implemented; drop one of the two)"
+                )
             return self._phrase_search(
                 keyword, k, skip, constant_boost, avail_boost, with_url,
                 force_distributed, highlight=highlight, max_gap=max_gap,

@@ -272,9 +272,15 @@ def ingest_batch(
 
     # per-generation term-df deltas; the engine and later stats reads
     # aggregate SUM(df) by term across generations
+    gen_ts_path = _gen_dir(cat.term_stats, epoch)
     tokens.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
-    ).write.mode("overwrite").parquet(_gen_dir(cat.term_stats, epoch))
+    ).write.mode("overwrite").parquet(gen_ts_path)
+    # the landed stats have exactly one row per term, so the vocabulary
+    # size is a parquet row-count — no re-shuffle of the token table
+    n_batch_terms = spark.read.parquet(gen_ts_path).count()
+    id_mode = n_batch_terms > cfg.dict_budget
+    gen0_dim = None
 
     # frozen corpus geometry: generation 0 computes it and commits it to
     # frozen.json BEFORE encoding anything (atomic rename), every later
@@ -286,9 +292,15 @@ def ingest_batch(
     frozen = _read_frozen(index_dir)
     if frozen is None:
         n_partitions = cfg.n_partitions
-        cuts, _, _, ranked_t, _ = build_vocab(
-            spark, _gen_dir(cat.term_stats, epoch), n_partitions
+        cuts, _, dim0, ranked_t, _ = build_vocab(
+            spark, gen_ts_path, n_partitions
         )
+        if id_mode:
+            # the dim this call already computed (keyed by THESE cuts) is
+            # exactly what the id_mode encode needs — keep it instead of
+            # paying the distributed vocabulary pass a second time
+            gen0_dim = dim0.persist()
+            gen0_dim.count()
         ranked_t.unpersist()
         size_basis = expected_docs or batch_n
         frozen = {
@@ -319,20 +331,26 @@ def ingest_batch(
     # place (a catch-up batch draining a web-scale backlog brings a
     # web-scale vocabulary with it) — ids ride a shuffle join and a
     # post-encode join on the distributed dim restores term + pid.
-    n_batch_terms = tokens.select("term").distinct().count()
-    id_mode = n_batch_terms > cfg.dict_budget
     if id_mode:
-        _, _, dim, ranked_t, _ = build_vocab(
-            spark, _gen_dir(cat.term_stats, epoch), n_partitions, cuts=cuts
-        )
-        term_dim_df = dim.persist()
-        term_dim_df.count()
-        ranked_t.unpersist()
+        if gen0_dim is not None:
+            term_dim_df = gen0_dim
+        else:
+            _, _, dim, ranked_t, _ = build_vocab(
+                spark, gen_ts_path, n_partitions, cuts=cuts
+            )
+            term_dim_df = dim.persist()
+            term_dim_df.count()
+            ranked_t.unpersist()
         pid_map = term_dim_df.select("term", "term_id")
         dict_b = None
     else:
         cuts_arr = np.array(cuts, dtype=object)
-        vocab = tokens.select("term").distinct().toPandas().sort_values("term")
+        # the landed per-gen term stats are the batch vocabulary (one row
+        # per term) — a column-pruned parquet read, not a token re-shuffle
+        vocab = (
+            spark.read.parquet(gen_ts_path).select("term")
+            .toPandas().sort_values("term")
+        )
         terms_arr = vocab["term"].to_numpy(dtype=object)
         pids_arr = np.searchsorted(cuts_arr, terms_arr, side="left").astype(np.int32)
         vocab = vocab.reset_index(drop=True)

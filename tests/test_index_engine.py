@@ -234,3 +234,12 @@ def test_suggest_matches_oracle(engine, oracle_tiny):
     # maps to None
     for qt in ["milk", "melk", "ricee", "oul", "zzzzqqqq"]:
         assert engine.suggest(qt) == oracle_tiny.suggest(qt), qt
+
+
+@pytest.mark.parametrize("kw,f", [("melk", 1), ("beltt oi", 1), ("milk", 2)])
+def test_fuzzy_rank_identity_wand_mode(engine, oracle_tiny, kw, f):
+    """Fuzzy expansion through block-max WAND: the multi-variant disjunction
+    must survive theta pruning rank-identically."""
+    got = engine.search(kw, k=10, fuzzy=f, mode="wand", force_distributed=True)
+    want = oracle_tiny.search_fuzzy(kw, k=10, fuzzy=f)
+    assert_rank_identical(got, want, f"fuzzy-wand {kw} f={f}")

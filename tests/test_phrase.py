@@ -351,3 +351,8 @@ def test_positions_column_pruned_from_scoring_plans(phrase_engine):
         phrase_engine._phrase_candidate_blocks(["scan", "window"])
     )
     assert "positions" in phrase_plan
+
+
+def test_phrase_rejects_fuzzy(phrase_engine):
+    with pytest.raises(ValueError, match="fuzzy"):
+        phrase_engine.search("scan window", phrase=True, fuzzy=1)
