@@ -356,3 +356,62 @@ def test_positions_column_pruned_from_scoring_plans(phrase_engine):
 def test_phrase_rejects_fuzzy(phrase_engine):
     with pytest.raises(ValueError, match="fuzzy"):
         phrase_engine.search("scan window", phrase=True, fuzzy=1)
+
+
+def test_phrase_matcher_property_vs_bruteforce():
+    """Randomized corpora: the composite-key matcher (exact and max_gap)
+    equals a direct sliding-scan over the token streams — doc set, tfs,
+    dls, and exact-phrase first starts."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_spark.query.engine import _phrase_match_arrays
+
+    alphabet = ["a", "b", "c", "d"]
+
+    @given(
+        st.lists(st.lists(st.sampled_from(alphabet), min_size=1, max_size=12),
+                 min_size=1, max_size=12),
+        st.lists(st.sampled_from(alphabet), min_size=1, max_size=3),
+        st.integers(0, 2),
+    )
+    @settings(max_examples=150, deadline=None)
+    def check(docs, phrase, gap):
+        # decoded[t] = (doc_ids, tfs, dls, pos_flat) as the engine builds it
+        decoded = {}
+        for t in set(phrase):
+            ids, tfs, dls, pos = [], [], [], []
+            for d, toks in enumerate(docs):
+                p = [i for i, x in enumerate(toks) if x == t]
+                if p:
+                    ids.append(d); tfs.append(len(p)); dls.append(len(toks))
+                    pos.extend(p)
+            decoded[t] = (
+                np.array(ids, dtype=np.int64), np.array(tfs, dtype=np.int64),
+                np.array(dls, dtype=np.int64), np.array(pos, dtype=np.int64),
+            )
+        uniq, tfs_, dls_, firsts = _phrase_match_arrays(phrase, decoded, max_gap=gap)
+
+        # brute force: chain of END positions with per-adjacent gap <= gap+1
+        want = {}
+        for d, toks in enumerate(docs):
+            ends = {i for i, x in enumerate(toks) if x == phrase[0]}
+            for t in phrase[1:]:
+                nxt = set()
+                for i, x in enumerate(toks):
+                    if x == t and any(1 <= i - q <= gap + 1 for q in ends):
+                        nxt.add(i)
+                ends = nxt
+            if ends:
+                want[d] = (len(ends), len(toks))
+        assert dict(zip(uniq.tolist(), zip(tfs_.tolist(), dls_.tolist()))) == want
+        if gap == 0:
+            m = len(phrase)
+            for d, f in zip(uniq.tolist(), firsts.tolist()):
+                toks = docs[d]
+                starts = [i for i in range(len(toks) - m + 1)
+                          if toks[i:i + m] == phrase]
+                assert f == min(starts)
+
+    check()
