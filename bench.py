@@ -74,7 +74,9 @@ def main():
     def timed(name, fn):
         t0 = time.time()
         out = fn()
-        wall = round(time.time() - t0, 3)
+        # 6 decimals: sub-millisecond entries (suggest over the cached
+        # dictionary) must report their real wall, not 0.0
+        wall = round(time.time() - t0, 6)
         pass_walls.setdefault(name, []).append(wall)
         # min across legs: both legs run warm in one session, so min is the
         # least-throttled observation of the same plan

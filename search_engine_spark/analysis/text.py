@@ -93,16 +93,25 @@ def edit_distance_leq(a: str, b: str, k: int) -> bool:
         return False
     if k == 0:
         return a == b
-    prev = list(range(lb + 1))
+    if lb == 0:
+        return la <= k  # abs-diff check above already decided, but be direct
+    BIG = k + 1  # sentinel: any value > k behaves as +inf under min()
+    prev = [j if j <= k else BIG for j in range(lb + 1)]
     for i in range(1, la + 1):
-        cur = [i] + [0] * lb
-        best = i
-        for j in range(1, lb + 1):
-            cur[j] = min(
+        # only |i - j| <= k cells can end <= k (each off-diagonal step costs
+        # >= 1), so compute just the band row [lo, hi]
+        lo, hi = max(1, i - k), min(lb, i + k)
+        cur = [BIG] * (lb + 1)
+        best = BIG
+        if lo == 1 and i <= k:
+            cur[0] = best = i
+        for j in range(lo, hi + 1):
+            c = min(
                 prev[j] + 1,
                 cur[j - 1] + 1,
                 prev[j - 1] + (a[i - 1] != b[j - 1]),
             )
+            cur[j] = c if c <= k else BIG
             if cur[j] < best:
                 best = cur[j]
         if best > k:

@@ -613,7 +613,20 @@ def make_arrow_encoder(
         blist = [b for b in batches if b.num_rows]
         if not blist:
             return
-        tbl = pa.Table.from_batches(blist).combine_chunks()
+        tbl = pa.Table.from_batches(blist)
+        if with_positions:
+            # Spark ships array<int> as list<int32> (32-bit offsets); a
+            # partition whose total position count exceeds 2^31 elements
+            # would fail combine_chunks with an offset-capacity error.  Cast
+            # to large_list (64-bit offsets) first so positional encode
+            # partitions aren't capped by int32 list offsets.
+            i = tbl.schema.get_field_index("positions")
+            tbl = tbl.set_column(
+                i,
+                pa.field("positions", pa.large_list(pa.int32())),
+                tbl.column("positions").cast(pa.large_list(pa.int32())),
+            )
+        tbl = tbl.combine_chunks()
         codes = tbl.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
         if id_mode:
             terms_arr, pid_arr = None, None

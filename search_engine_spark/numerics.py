@@ -11,7 +11,15 @@ other digit agrees.
 
 Every numpy/pandas site that feeds a gated comparison or a rank tiebreak uses
 :func:`round_half_away`, which implements half-away-from-zero — the rule Spark
-and DuckDB already share — so all three stacks round identically.
+and DuckDB already share.  This removes the SYSTEMATIC half-to-even divergence;
+it is not bit-exact decimal rounding: the scaling below happens in float64, so
+an input within an ulp of a .5 boundary can still round differently than
+Spark/DuckDB's decimal HALF_UP (and for |x|*10^d >= 2^52 the +0.5 offset is
+absorbed).  That residual measure-zero boundary class is covered by the
+defenses in operators/_common.py: rank on the rounded value with an id
+tiebreak, keep twin expression trees operand-identical so cross-engine noise
+stays far below the rounding grid, and prefer exact integer/decimal arithmetic
+where the semantics allow.
 """
 
 from __future__ import annotations

@@ -160,7 +160,12 @@ class SearchEngine:
         if log_queries:
             existing = self.cat.read_query_log()
             if existing.num_rows:
-                self._qid = max(q for q in existing.column("qid").to_pylist() if q is not None)
+                # default=0 guards a log whose every qid is null (a corrupt
+                # or hand-written table must not crash engine construction)
+                self._qid = max(
+                    (q for q in existing.column("qid").to_pylist() if q is not None),
+                    default=0,
+                )
         self.stats = self.cat.read_corpus_stats()
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
