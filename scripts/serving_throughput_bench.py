@@ -1,0 +1,171 @@
+"""Concurrent serving throughput at 10^6 documents — queries/sec at two
+parallelism levels.
+
+The 100-TB query story is concurrent throughput, not one query's latency
+(BENCH §3a's own caveat): a search tier serves many queries at once, and the
+engine's driver fast path + distributed strategies must multiplex on one
+SparkSession.  This bench drives a mixed workload (tail multi-term, head-term
+WAND with approx totals, autocomplete, fuzzy, conjunctive, suggest) from a
+thread pool over ONE session and reports queries/sec.
+
+Scaling evidence (north rule: throughput efficiency >= 0.8 from N to 4N):
+run one leg per process on the SAME corpus and on-disk index —
+
+    python scripts/serving_throughput_bench.py --docs 1000000 --cpus 32 \
+        --out BENCH/serving_r5_1m_c32.json
+    python scripts/serving_throughput_bench.py --docs 1000000 --cpus 8 \
+        --reuse-index --out BENCH/serving_r5_1m_c8.json
+
+then efficiency = qps_32 / (4 * qps_8).  The workload mix is deterministic
+(seeded by query index), so both legs serve the identical query stream; a
+correctness check replays a sample sequentially and asserts the concurrent
+results match.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from search_engine_spark.benchutil import clock_probe  # noqa: E402
+
+# deterministic mixed workload: (kind, weight) — realistic serving mix, tail
+# queries dominating (the reference's traffic is store search keywords)
+TAIL_TERMS = ["rice", "milk", "belt", "dairy", "cadbury", "oil", "oiler", "belted"]
+HEAD = ["the", "a", "of", "in", "to"]
+
+
+def make_query(i: int):
+    r = (i * 2654435761) % 100
+    if r < 45:  # tail multi-term (driver fast path)
+        a = TAIL_TERMS[i % len(TAIL_TERMS)]
+        b = TAIL_TERMS[(i // 3 + 1) % len(TAIL_TERMS)]
+        return ("tail", lambda eng: eng.search(f"{a} {b}", k=10))
+    if r < 60:  # autocomplete (single-term prefix expansion)
+        p = ["oi", "bel", "mil", "ri"][i % 4]
+        return ("autocomplete", lambda eng: eng.search(p, k=10, max_expansions=50))
+    if r < 70:  # fuzzy
+        q = ["ricee", "milkk", "belt", "dairi"][i % 4]
+        return ("fuzzy", lambda eng: eng.search(q, k=10, fuzzy=1))
+    if r < 80:  # conjunctive tail
+        a = TAIL_TERMS[i % len(TAIL_TERMS)]
+        b = TAIL_TERMS[(i // 5 + 2) % len(TAIL_TERMS)]
+        return ("conjunctive", lambda eng: eng.search(f"{a} {b}", k=10, conjunctive=True))
+    if r < 90:  # head-term distributed, auto dispatch, approx total
+        h = HEAD[i % len(HEAD)]
+        t = TAIL_TERMS[i % len(TAIL_TERMS)]
+        return (
+            "head_auto",
+            lambda eng: eng.search(
+                f"{h} {t}", k=10, mode="auto", force_distributed=True,
+                total_mode="approx",
+            ),
+        )
+    if r < 95:  # suggest ("did you mean")
+        return ("suggest", lambda eng: eng.suggest(["ricee", "oill", "belte"][i % 3]))
+    # paginated tail
+    a = TAIL_TERMS[i % len(TAIL_TERMS)]
+    return ("paginated", lambda eng: eng.search(a, k=10, skip=10))
+
+
+def res_key(out):
+    if out is None or isinstance(out, str):
+        return out
+    return (out.total, [(int(d), round(float(s), 6)) for d, s in
+                        zip(out.page["doc_id"], out.page["score"])])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--queries", type=int, default=200)
+    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--reuse-index", action="store_true")
+    args = ap.parse_args()
+
+    corpus = f"/tmp/webtext_{args.docs // 1000}k"
+    if not os.path.exists(os.path.join(corpus, "part-00000.parquet")):
+        from search_engine_spark.fixtures.webtext import write_webtext_parquet_parallel
+
+        write_webtext_parquet_parallel(corpus, args.docs, procs=16)
+
+    from search_engine_spark.index.builder import BuildConfig, build_index
+    from search_engine_spark.query.engine import SearchEngine
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark("serving", cpus=args.cpus)
+    out: dict = {
+        "n_docs": args.docs,
+        "cpus": args.cpus,
+        "threads": args.threads,
+        "n_queries": args.queries,
+        "clock_probe_mips": clock_probe(),
+    }
+
+    index_dir = f"/tmp/query_scale_idx_{args.docs}"
+    if not (args.reuse_index and os.path.exists(os.path.join(index_dir, "corpus_stats.json"))):
+        if not os.path.exists(os.path.join(index_dir, "corpus_stats.json")):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            cfg = BuildConfig(
+                block_docs=1024, target_ranges=max(64, args.docs // 8192),
+                min_range_docs=2048, n_partitions=32, waves=1,
+            )
+            build_index(spark, corpus, index_dir, cfg=cfg)
+
+    eng = SearchEngine(spark, index_dir)
+    workload = [make_query(i) for i in range(args.queries)]
+    kinds = [k for k, _ in workload]
+    out["mix"] = {k: kinds.count(k) for k in sorted(set(kinds))}
+
+    # warmup: one of each kind (plan compilation, page cache)
+    seen = set()
+    for k, fn in workload:
+        if k not in seen:
+            fn(eng)
+            seen.add(k)
+
+    # concurrent leg
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=args.threads) as ex:
+        results = list(ex.map(lambda w: res_key(w[1](eng)), workload))
+    wall = time.time() - t0
+    out["concurrent_wall_s"] = round(wall, 2)
+    out["queries_per_sec"] = round(args.queries / wall, 2)
+
+    # sequential replay of a sample: concurrent results must be identical
+    sample = list(range(0, args.queries, max(1, args.queries // 25)))
+    mismatches = sum(
+        1 for i in sample if res_key(workload[i][1](eng)) != results[i]
+    )
+    out["sequential_sample_mismatches"] = mismatches
+    assert mismatches == 0, "concurrent results differ from sequential replay"
+
+    # sequential full leg for the concurrency speedup figure
+    t0 = time.time()
+    for _, fn in workload:
+        fn(eng)
+    seq_wall = time.time() - t0
+    out["sequential_wall_s"] = round(seq_wall, 2)
+    out["sequential_queries_per_sec"] = round(args.queries / seq_wall, 2)
+    out["concurrency_speedup"] = round(seq_wall / wall, 2)
+
+    out["clock_probe_mips_end"] = clock_probe()
+    js = json.dumps(out)
+    print(js)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(js + "\n")
+
+
+if __name__ == "__main__":
+    main()

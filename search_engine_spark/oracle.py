@@ -230,6 +230,36 @@ class OracleIndex:
         )
         return len(rows), rows[skip : skip + k]
 
+    def search_min_should_match(
+        self,
+        keyword: str,
+        m: int,
+        k: int = 10,
+        skip: int = 0,
+        constant_boost: bool = False,
+        avail_boost: bool = False,
+    ) -> QueryResult:
+        """Lucene minimumShouldMatch m-of-n over the analyzed terms: keep
+        docs matching at least ``m`` distinct query terms (m=1 is the plain
+        disjunction, m=n is `conjunctive`)."""
+        terms = sorted(set(preprocess_query(keyword)))
+        if not terms:
+            return QueryResult(total=0)
+        scores: dict[int, float] = {}
+        seen: dict[int, int] = {}
+        for t in terms:
+            pl = self.postings.get(t)
+            if not pl:
+                continue
+            df = len(pl)
+            for d, tf in pl.items():
+                scores[d] = scores.get(d, 0.0) + bm25(
+                    tf, df, self.doc_len[d], self.n_docs, self.avgdl
+                )
+                seen[d] = seen.get(d, 0) + 1
+        scores = {d: s for d, s in scores.items() if seen.get(d, 0) >= m}
+        return self._rank_page(scores, k, skip, constant_boost, avail_boost)
+
     def search_phrase(
         self,
         keyword: str,
@@ -278,3 +308,90 @@ class OracleIndex:
             for d, tf in tfs.items()
         }
         return self._rank_page(scores, k, skip, constant_boost, avail_boost, total=df)
+
+
+class OracleMultiFieldIndex:
+    """Multi-field rank-identity oracle (Lucene named fields).
+
+    Rows are ``(url, {field: text})``.  Each field keeps its own postings,
+    document count (docs where the field has >= 1 token — Lucene docCount),
+    and average field length (Lucene per-field norms), exactly the statistics
+    the Spark engine's ``field_cols`` build commits to corpus stats.  Compound
+    evaluation mirrors the reference's ``$search.compound`` shapes
+    (search_utils.py:79-97,181-203): every must clause must match, at least
+    ``minimum_should_match`` should clauses must match, and every present
+    query key contributes its field-local BM25, summed in ascending
+    (field, term) order — the same deterministic fold as the engine's
+    ascending posting-key order (the \\x1f separator sorts below every token
+    codepoint, so tuple order == prefixed-key order).
+    """
+
+    def __init__(self, rows: list[tuple[str, dict]]):
+        urls = sorted(u for u, _ in rows)
+        self.url_to_doc = {u: i for i, u in enumerate(urls)}
+        self.n_docs = len(rows)
+        self.field_len: dict[str, dict[int, int]] = {}
+        self.postings: dict[tuple[str, str], dict[int, int]] = {}
+        for url, fields in rows:
+            d = self.url_to_doc[url]
+            for f_name, text in fields.items():
+                toks = tokenize(text or "")
+                if not toks:
+                    continue
+                self.field_len.setdefault(f_name, {})[d] = len(toks)
+                for t in toks:
+                    pl = self.postings.setdefault((f_name, t), {})
+                    pl[d] = pl.get(d, 0) + 1
+        self.fields = {
+            f: (len(lens), sum(lens.values()) / len(lens))
+            for f, lens in self.field_len.items()
+        }
+
+    def search_compound(
+        self,
+        must: list = (),
+        should: list = (),
+        k: int = 10,
+        skip: int = 0,
+        minimum_should_match: int = 1,
+    ) -> QueryResult:
+        def clause_keys(c):
+            f, q = c
+            return [(f, t) for t in preprocess_query(q)]
+
+        mt = [clause_keys(c) for c in must]
+        st = [clause_keys(c) for c in should]
+        msm = int(minimum_should_match) if st else 0
+        if st and not mt:
+            msm = max(msm, 1)
+        if st and msm > len(st):
+            return QueryResult(total=0)
+        all_keys = sorted({ft for ts in mt + st for ft in ts})
+        scores: dict[int, float] = {}
+        has: dict[int, set] = {}
+        for f, t in all_keys:  # ascending (field, term) == engine fold order
+            pl = self.postings.get((f, t))
+            if not pl:
+                continue
+            dc, avgdl = self.fields[f]
+            df = len(pl)
+            idf = math.log(1.0 + (dc - df + 0.5) / (df + 0.5))
+            for d, tf in pl.items():
+                dl = self.field_len[f][d]
+                scores[d] = scores.get(d, 0.0) + idf * tf / (
+                    tf + K1 * (1.0 - B + B * dl / avgdl)
+                )
+                has.setdefault(d, set()).add((f, t))
+
+        def ok(d, ts):
+            hd = has.get(d, ())
+            return any(ft in hd for ft in ts)
+
+        kept = {
+            d: s
+            for d, s in scores.items()
+            if all(ok(d, ts) for ts in mt)
+            and (not msm or sum(ok(d, ts) for ts in st) >= msm)
+        }
+        ranked = sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))
+        return QueryResult(total=len(ranked), hits=ranked[skip : skip + k])

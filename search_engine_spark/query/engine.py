@@ -145,6 +145,62 @@ def _concat_decoded(parts: dict[str, list]) -> dict[str, tuple]:
     }
 
 
+def predict_wand_decode(
+    meta: pd.DataFrame,
+    idf: dict[str, float],
+    k: int,
+    bound_scale: float = 1.0,
+    boost_ceiling: float = 0.0,
+) -> dict:
+    """Metadata-only estimate of the postings WAND will actually decode.
+
+    The dispatch cost model (mode="auto"): decides sort-vs-WAND from the
+    (term, sseg, max_tf_norm, doc_count) frame BEFORE touching any postings
+    bytes.  Measured motivation (BENCH §3c): at 10^6 docs WAND loses ~1.5×
+    on dense-dense disjunctions ("the oil" — every range holds both terms at
+    similar bounds, nothing prunes, and WAND pays an extra Spark job) and
+    wins multiples on rare-dominated ones ("the cadbury" — θ lands above
+    every stopword-only range bound and phase 2 skips almost everything).
+
+    Mechanics: θ_lb = k-th largest PER-RANGE single-term achievable score
+    (idf·mtn is attained by the doc realizing the block max, and distinct
+    ranges contain distinct docs, so θ_lb is a sound lower bound on the true
+    θ).  Predicted decode = phase-1 ranges (scored exactly, no θ yet) plus
+    every remaining (term, range) cell whose range bound + boost ceiling
+    reaches θ_lb.  θ_lb ≤ θ and the per-cell mtn aggregates over that
+    range's blocks, so the estimate only OVER-predicts decode — auto never
+    picks WAND on an optimistic guess.
+
+    Returns {total_dc, predicted_dc, theta_lb, n_ranges}.
+    """
+    if meta.empty:
+        return {"total_dc": 0, "predicted_dc": 0, "theta_lb": 0.0, "n_ranges": 0}
+    m = meta.copy()
+    m["ub"] = m["term"].map(idf).fillna(0.0) * (m["mtn"] * bound_scale)
+    rng = m.groupby("sseg").agg(ub=("ub", "sum"), dc=("dc", "sum"), best=("ub", "max"))
+    total_dc = int(rng["dc"].sum())
+    best_sorted = np.sort(rng["best"].to_numpy())
+    if best_sorted.size < k:
+        # fewer ranges than k: no sound θ floor; assume nothing prunes
+        return {
+            "total_dc": total_dc, "predicted_dc": total_dc,
+            "theta_lb": 0.0, "n_ranges": int(len(rng)),
+        }
+    theta_lb = float(best_sorted[-k])
+    rng_sorted = rng.sort_values("ub", ascending=False)
+    cum = rng_sorted["dc"].cumsum().to_numpy()
+    n1 = int(np.searchsorted(cum, k) + 1)
+    phase1 = set(rng_sorted.index[:n1])
+    pred = int(rng_sorted["dc"].iloc[:n1].sum())
+    rest = m[~m["sseg"].isin(phase1)]
+    alive = (rest["sseg"].map(rng["ub"]) + boost_ceiling) >= theta_lb
+    pred += int(rest.loc[alive, "dc"].sum())
+    return {
+        "total_dc": total_dc, "predicted_dc": int(pred),
+        "theta_lb": theta_lb, "n_ranges": int(len(rng)),
+    }
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str, log_queries: bool = False):
         self.spark = spark
@@ -178,6 +234,12 @@ class SearchEngine:
         # avgdl1/avgdl0 for avgdl1 > avgdl0); batch indexes carry 1.0 and
         # x * 1.0 == x leaves their plans bit-identical.
         self.bound_scale = float(self.stats.get("wand_bound_scale", 1.0))
+        # multi-field index (builder.BuildConfig.field_cols): posting keys are
+        # "<field><sep><term>" and each field carries its own doc_count/avgdl
+        # (Lucene per-field norms; reference clauses address named paths,
+        # search_utils.py:79-97,181-203).  Empty dict = single-field index.
+        self.fields: dict[str, dict] = dict(self.stats.get("fields") or {})
+        self.field_sep: str = str(self.stats.get("field_sep", "\x1f"))
         self._segments_df = spark.read.parquet(self.cat.segments)
         # small term dicts: one-time sorted load, then O(log V) lookups with
         # zero Spark jobs per query (the reference's Atlas term dictionary is
@@ -302,7 +364,7 @@ class SearchEngine:
         return seg.filter(cond)
 
     # --------------------------------------------------------------- scoring
-    def _scored_docs(
+    def _scored_rows(
         self,
         terms: list[str],
         idf: dict[str, float],
@@ -310,6 +372,7 @@ class SearchEngine:
         theta: float | None = None,
         boost_ceiling: float = 0.0,
         rest_bounds: dict | None = None,
+        avgdl_map: dict[str, float] | None = None,
     ) -> DataFrame:
         """Decode candidate blocks -> per-(doc,term) BM25 partial scores.
 
@@ -318,16 +381,23 @@ class SearchEngine:
         pruned against θ after adding what the other terms could still
         contribute (pruning on the single-term bound alone would wrongly drop
         docs whose score is split across terms).
+
+        ``avgdl_map`` overrides the corpus avgdl per term — the multi-field
+        path passes each posting key its FIELD's avgdl (Lucene per-field
+        norms); baked block bounds stay sound because the builder bakes with
+        the largest per-field avgdl (tf_norm is monotone in avgdl).
         """
         avgdl = self.avgdl
         bscale = self.bound_scale
         idf_b = self.spark.sparkContext.broadcast(dict(idf))
         rb_b = self.spark.sparkContext.broadcast(rest_bounds or {})
+        adl_b = self.spark.sparkContext.broadcast(dict(avgdl_map or {}))
         th = theta
 
         def score_blocks(it):
             idfs = idf_b.value
             rbs = rb_b.value
+            adls = adl_b.value
             for pdf in it:
                 if len(pdf) == 0:
                     continue
@@ -347,7 +417,8 @@ class SearchEngine:
                     doc_ids, tfs, dls = decode_postings(buf)
                     tf = tfs.astype(np.float64)
                     dl = dls.astype(np.float64)
-                    score = w * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+                    adl = adls.get(t, avgdl)
+                    score = w * tf / (tf + K1 * (1.0 - B + B * dl / adl))
                     outs.append(
                         pd.DataFrame(
                             {
@@ -362,8 +433,24 @@ class SearchEngine:
                     yield pd.concat(outs, ignore_index=True)
 
         segs = self._candidate_segments(terms, ssegs=ssegs)
-        scored = segs.select("term", "sseg", "max_tf_norm", "postings").mapInPandas(
+        return segs.select("term", "sseg", "max_tf_norm", "postings").mapInPandas(
             score_blocks, schema=_SCORED_SCHEMA
+        )
+
+    def _scored_docs(
+        self,
+        terms: list[str],
+        idf: dict[str, float],
+        ssegs: list[int] | None = None,
+        theta: float | None = None,
+        boost_ceiling: float = 0.0,
+        rest_bounds: dict | None = None,
+        avgdl_map: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Per-doc BM25: partial scores folded in ascending term order."""
+        scored = self._scored_rows(
+            terms, idf, ssegs=ssegs, theta=theta, boost_ceiling=boost_ceiling,
+            rest_bounds=rest_bounds, avgdl_map=avgdl_map,
         )
         # deterministic ascending-term-order float summation (JVM-side fold)
         parts = F.sort_array(F.collect_list(F.struct("term", "score")))
@@ -402,6 +489,15 @@ class SearchEngine:
     # distributed WAND path takes over when Σ df of the matched terms exceeds
     # this; at web scale every head-term query does.
     SMALL_QUERY_POSTINGS = 2_000_000
+    # mode="auto": choose WAND only when the metadata cost model predicts the
+    # pruned decode at or below this fraction of the candidate postings.
+    # Calibrated at the 10^6-doc index (BENCH §3c): dense-dense queries
+    # predict ~1.0 (WAND measured ~1.5× slower — pays its extra job for no
+    # pruning), rare-dominated ones predict <0.2 (WAND measured faster).
+    WAND_AUTO_FRACTION = 0.5
+    # populated by the last mode="auto" dispatch: {"mode", "total_dc",
+    # "predicted_dc", "theta_lb", "n_ranges"} — bench/test introspection
+    last_dispatch: dict | None = None
 
     def _driver_search(
         self,
@@ -413,6 +509,7 @@ class SearchEngine:
         k: int,
         skip: int,
         group_by: bool = False,
+        min_should_match: int = 0,
     ) -> SearchResult:
         rows = (
             self._candidate_segments(terms)
@@ -451,6 +548,11 @@ class SearchEngine:
         if conjunctive:
             keep = nt == len(decoded)
             uniq, acc, dls = uniq[keep], acc[keep], dls[keep]
+        elif min_should_match:
+            # Lucene minimumShouldMatch m-of-n: keep docs matching at least
+            # m of the query's terms (m=1 is the plain disjunction)
+            keep = nt >= min_should_match
+            uniq, acc, dls = uniq[keep], acc[keep], dls[keep]
         if constant_boost:
             acc = acc + np.where(dls % 37 == 0, CONSTANT_BOOST, 0.0)
         if avail_boost:
@@ -482,6 +584,216 @@ class SearchEngine:
         order = np.lexsort((uniq, -acc))[skip : skip + k]
         page = pd.DataFrame({"doc_id": uniq[order], "score": acc[order]})
         return SearchResult(total=total, page=page)
+
+    # ----------------------------------------------------- multi-field search
+    def _clause_terms(self, clause, max_expansions: int | None = None) -> list[str]:
+        """One compound clause -> its prefixed posting keys.
+
+        A clause addresses a named field path (reference ``{"text": {"query":
+        kw, "path": "name"}}``, search_utils.py:79-97).  ``(field, query)``
+        tuples are text clauses; dicts may set ``kind``:
+
+        - ``text``: the analyzed terms of ``query``, each prefixed — the
+          clause matches a doc when ANY of them is present (Lucene text
+          query = disjunction within the clause);
+        - ``prefix``: Atlas ``autocomplete`` (search_utils.py:182-186) — the
+          single analyzed term expands by dictionary prefix scan WITHIN the
+          field (prefixed keys sort contiguously per field, so the existing
+          range scan is already field-scoped).
+        """
+        if isinstance(clause, (tuple, list)):
+            field, query, kind = clause[0], clause[1], "text"
+        else:
+            field, query = clause["field"], clause["query"]
+            kind = clause.get("kind", "text")
+        if not self.fields:
+            raise ValueError(
+                "search_fields requires a multi-field index "
+                "(build with BuildConfig(field_cols=...))"
+            )
+        if field not in self.fields:
+            raise ValueError(
+                f"unknown field {field!r}; index fields: {sorted(self.fields)}"
+            )
+        toks = preprocess_query(query)
+        sep = self.field_sep
+        if kind == "text":
+            return [f"{field}{sep}{t}" for t in toks]
+        if kind == "prefix":
+            if len(toks) != 1:
+                raise ValueError(
+                    f"prefix clause needs a single analyzed term, got {toks!r}"
+                )
+            return self.expand_prefix(f"{field}{sep}{toks[0]}", max_expansions)
+        raise ValueError(f"unknown clause kind {kind!r}")
+
+    def search_fields(
+        self,
+        must: list = (),
+        should: list = (),
+        k: int = 10,
+        skip: int = 0,
+        minimum_should_match: int = 1,
+        max_expansions: int | None = None,
+        with_url: bool = False,
+        force_distributed: bool = False,
+    ) -> SearchResult:
+        """Compound multi-field search (reference ``$search.compound`` over
+        named paths: should over name+barcode for single-term queries,
+        must over store_id/wh_id + name otherwise, minimumShouldMatch=1 —
+        search_utils.py:79-97,181-203, app.py:472-486).
+
+        Semantics (Lucene BooleanQuery): a doc matches when EVERY must
+        clause matches and at least ``minimum_should_match`` should clauses
+        match (with no must clauses, at least 1 should clause must match
+        regardless).  Every present query term contributes
+        ``idf_field(term) * tf_norm(tf, dl_field, avgdl_field)`` — idf from
+        the FIELD's doc_count/df, the norm from the FIELD's length stats —
+        summed per doc in ascending posting-key order (field, then term):
+        the same deterministic fold as the single-field engine.
+        """
+        empty = SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
+        must_terms = [self._clause_terms(c, max_expansions) for c in must]
+        should_terms = [self._clause_terms(c, max_expansions) for c in should]
+        msm = int(minimum_should_match)
+        if not should_terms:
+            msm = 0
+        elif not must_terms:
+            msm = max(msm, 1)
+        if msm > len(should_terms):
+            return empty
+        all_terms = sorted({t for ts in must_terms + should_terms for t in ts})
+        if not all_terms:
+            return empty
+        dfs = self.term_dfs(all_terms)
+        # a must clause with no present term can never match
+        for ts in must_terms:
+            if not any(t in dfs for t in ts):
+                return empty
+        present = sorted(dfs)
+        if not present:
+            return empty
+        sep = self.field_sep
+        idf: dict[str, float] = {}
+        avgdl_map: dict[str, float] = {}
+        for t in present:
+            fs = self.fields[t.split(sep, 1)[0]]
+            idf[t] = _math_idf(int(fs["doc_count"]), dfs[t])
+            avgdl_map[t] = float(fs["avgdl"])
+        present_must = [[t for t in ts if t in dfs] for ts in must_terms]
+        present_should = [[t for t in ts if t in dfs] for ts in should_terms]
+
+        if not force_distributed and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS:
+            res = self._driver_search_fields(
+                present, idf, avgdl_map, present_must, present_should, msm, k, skip
+            )
+        else:
+            res = self._dist_search_fields(
+                present, idf, avgdl_map, present_must, present_should, msm, k, skip
+            )
+        if with_url and len(res.page):
+            ids = [int(d) for d in res.page["doc_id"]]
+            urls = (
+                self.spark.read.parquet(self.cat.doc_stats)
+                .filter(F.col("doc_id").isin(ids))
+                .select("doc_id", "url")
+                .toPandas()
+            )
+            res = SearchResult(
+                total=res.total, page=res.page.merge(urls, on="doc_id", how="left")
+            )
+        return res
+
+    def _driver_search_fields(
+        self, present, idf, avgdl_map, must_terms, should_terms, msm, k, skip
+    ) -> SearchResult:
+        """Driver-side compound evaluation (small candidate sets)."""
+        rows = self._candidate_segments(present).select("term", "postings").collect()
+        per_term: dict[str, list] = {}
+        for r in rows:
+            per_term.setdefault(r["term"], []).append(r["postings"])
+        decoded = {}
+        all_ids = []
+        for t in sorted(per_term):
+            parts = [decode_postings(b) for b in per_term[t]]
+            ids = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            dl = np.concatenate([p[2] for p in parts]).astype(np.float64)
+            decoded[t] = (ids, tf, dl)
+            all_ids.append(ids)
+        empty = SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
+        if not all_ids:
+            return empty
+        uniq = np.unique(np.concatenate(all_ids))
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        has = {}
+        # ascending posting-key order — the same fold as the distributed path
+        for t in sorted(decoded):
+            ids, tf, dl = decoded[t]
+            s = idf[t] * tf / (tf + K1 * (1.0 - B + B * dl / avgdl_map[t]))
+            pos = np.searchsorted(uniq, ids)
+            acc[pos] = acc[pos] + s
+            flag = np.zeros(uniq.size, dtype=bool)
+            flag[pos] = True
+            has[t] = flag
+        def clause_ok(ts):
+            ok = np.zeros(uniq.size, dtype=bool)
+            for t in ts:
+                if t in has:
+                    ok |= has[t]
+            return ok
+        keep = np.ones(uniq.size, dtype=bool)
+        for ts in must_terms:
+            keep &= clause_ok(ts)
+        if msm:
+            n_should = np.zeros(uniq.size, dtype=np.int64)
+            for ts in should_terms:
+                n_should += clause_ok(ts).astype(np.int64)
+            keep &= n_should >= msm
+        uniq, acc = uniq[keep], acc[keep]
+        if uniq.size == 0:
+            return empty
+        order = np.lexsort((uniq, -acc))[skip : skip + k]
+        return SearchResult(
+            total=int(uniq.size),
+            page=pd.DataFrame({"doc_id": uniq[order], "score": acc[order]}),
+        )
+
+    def _dist_search_fields(
+        self, present, idf, avgdl_map, must_terms, should_terms, msm, k, skip
+    ) -> SearchResult:
+        """Distributed compound evaluation: one decode+score pass, clause
+        logic as JVM array expressions over the per-doc matched-key set."""
+        scored = self._scored_rows(present, idf, avgdl_map=avgdl_map)
+        parts = F.sort_array(F.collect_list(F.struct("term", "score")))
+        agg = scored.groupBy("doc_id").agg(parts.alias("parts"))
+        ts_col = F.transform(F.col("parts"), lambda x: x["term"])
+        agg = agg.select(
+            "doc_id",
+            F.aggregate("parts", F.lit(0.0), lambda a, x: a + x["score"]).alias("score"),
+            ts_col.alias("ts"),
+        )
+        def clause_ok(ts):
+            return F.arrays_overlap(F.col("ts"), F.array(*[F.lit(t) for t in ts]))
+        cond = F.lit(True)
+        for ts in must_terms:
+            cond = cond & clause_ok(ts)
+        if msm:
+            n_should = sum(
+                (clause_ok(ts).cast("int") for ts in should_terms), F.lit(0)
+            )
+            cond = cond & (n_should >= msm)
+        kept = agg.filter(cond).select("doc_id", "score").persist()
+        ranked = kept.orderBy(F.desc("score"), F.asc("doc_id"))
+        page_df = ranked.offset(skip).limit(k) if skip else ranked.limit(k)
+        page = (
+            page_df.toPandas()
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        total = kept.count()
+        kept.unpersist()
+        return SearchResult(total=int(total), page=page)
 
     # ------------------------------------------------------------ highlight
     def _highlight_page(self, terms: list[str], doc_ids: list[int]) -> pd.DataFrame:
@@ -770,6 +1082,7 @@ class SearchEngine:
         highlight: bool = False,
         max_gap: int = 0,
         fuzzy: int = 0,
+        min_should_match: int = 0,
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
 
@@ -785,6 +1098,17 @@ class SearchEngine:
         paginate far enough to care get ``"exact"`` (the default, and
         always exact in sort mode).
         """
+        msm = int(min_should_match)
+        if msm:
+            # Lucene m-of-n over the query's term clauses; m=len(terms) is
+            # exactly `conjunctive`, so requesting both is a caller bug
+            if conjunctive:
+                raise ValueError("min_should_match and conjunctive are exclusive")
+            if fuzzy or phrase:
+                raise ValueError(
+                    "min_should_match applies to plain term disjunctions "
+                    "(not fuzzy expansions or phrases)"
+                )
         if highlight and group_by:
             raise ValueError("group_by is not supported with highlight")
         if highlight and "positions" not in self._segments_df.columns:
@@ -841,7 +1165,7 @@ class SearchEngine:
         if not force_distributed and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS:
             res = self._driver_search(
                 present, idf, conj, constant_boost, avail_boost, k, skip,
-                group_by=group_by,
+                group_by=group_by, min_should_match=msm,
             )
             if highlight and len(res.page):
                 hl = self._highlight_page(present, [int(d) for d in res.page["doc_id"]])
@@ -865,16 +1189,42 @@ class SearchEngine:
             AVAIL_BOOST if avail_boost else 0.0
         )
 
+        # mode="auto": metadata-only cost model (predict_wand_decode) picks
+        # the physical strategy.  WAND pays an extra Spark job + a two-branch
+        # union, so it must earn its keep by actually pruning; the measured
+        # crossover (BENCH §3c) sits where the predicted decode falls below
+        # ~half the candidate postings.
+        wand_meta = None
+        if mode == "auto":
+            if skip != 0 or group_by:
+                mode = "sort"  # WAND is unsound for these; no estimate needed
+            else:
+                wand_meta = self._wand_meta(present)
+                est = predict_wand_decode(
+                    wand_meta, idf, k, self.bound_scale, boost_ceiling
+                )
+                use_wand = (
+                    est["total_dc"] > 0
+                    and est["predicted_dc"] <= self.WAND_AUTO_FRACTION * est["total_dc"]
+                )
+                mode = "wand" if use_wand else "sort"
+                self.last_dispatch = {"mode": mode, **est}
+
         # grouped rollup needs every doc's exact score (a group's winner can
         # sit below the doc-level top-k that WAND's θ prunes against), so it
         # rides the full-scoring sort path
         wand = mode == "wand" and skip == 0 and not group_by
         if wand:
-            scored = self._wand_scored(present, idf, conj, constant_boost, avail_boost, k, boost_ceiling)
+            scored = self._wand_scored(
+                present, idf, conj, constant_boost, avail_boost, k,
+                boost_ceiling, min_should_match=msm, meta=wand_meta,
+            )
         else:
             scored = self._scored_docs(present, idf)
             if conj:
                 scored = scored.filter(F.col("n_terms") == len(present))
+            elif msm:
+                scored = scored.filter(F.col("n_terms") >= msm)
             scored = self._apply_boosts(scored, constant_boost, avail_boost)
             if group_by:
                 scored = self._group_rollup(scored)
@@ -910,7 +1260,7 @@ class SearchEngine:
             # $facet count) needs the unpruned match count — doc_ids only,
             # no float math.  Single matched term: the count is its df,
             # already in hand.  approx mode: Σdf upper bound, no decode.
-            if len(present) == 1:
+            if len(present) == 1 and not msm:
                 total = int(dfs[present[0]])
             elif total_mode == "approx":
                 if conj:
@@ -919,7 +1269,7 @@ class SearchEngine:
                 else:
                     total = min(int(sum(dfs.values())), self.n_docs)
             else:
-                total = self._match_count(present, conj)
+                total = self._match_count(present, conj, min_should_match=msm)
         else:
             total = scored.count()
             scored.unpersist()
@@ -948,7 +1298,9 @@ class SearchEngine:
             .join(counts, "g_id")
         )
 
-    def _match_count(self, terms: list[str], conjunctive: bool) -> int:
+    def _match_count(
+        self, terms: list[str], conjunctive: bool, min_should_match: int = 0
+    ) -> int:
         """Total match count without decoding scores.
 
         Disjunctive counts need distinct doc_ids across terms, which requires
@@ -972,9 +1324,26 @@ class SearchEngine:
         if conjunctive:
             agg = docs.groupBy("doc_id").agg(F.count("*").alias("nt"))
             return agg.filter(F.col("nt") == len(terms)).count()
+        if min_should_match:
+            agg = docs.groupBy("doc_id").agg(F.count("*").alias("nt"))
+            return agg.filter(F.col("nt") >= min_should_match).count()
         return docs.select("doc_id").distinct().count()
 
     # ------------------------------------------------------------------ WAND
+    def _wand_meta(self, terms: list[str]) -> pd.DataFrame:
+        """Per-(term, doc-range) block metadata: max tf_norm + posting count.
+
+        A cheap columnar read (term, sseg, max_tf_norm, doc_count — never the
+        postings bytes); both the WAND plan and the auto-dispatch cost model
+        run off this one frame."""
+        return (
+            self._candidate_segments(terms)
+            .select("term", "sseg", "max_tf_norm", "doc_count")
+            .groupBy("term", "sseg")
+            .agg(F.max("max_tf_norm").alias("mtn"), F.sum("doc_count").alias("dc"))
+            .toPandas()
+        )
+
     def _wand_scored(
         self,
         terms: list[str],
@@ -984,6 +1353,8 @@ class SearchEngine:
         avail_boost: bool,
         k: int,
         boost_ceiling: float,
+        min_should_match: int = 0,
+        meta: pd.DataFrame | None = None,
     ) -> DataFrame:
         """Distributed block-max WAND over the global doc-id grid.
 
@@ -993,13 +1364,8 @@ class SearchEngine:
         ranges exactly to establish θ = kth best score; phase 2 scores only
         ranges whose bound ≥ θ, with per-block pruning inside.
         """
-        meta = (
-            self._candidate_segments(terms)
-            .select("term", "sseg", "max_tf_norm", "doc_count")
-            .groupBy("term", "sseg")
-            .agg(F.max("max_tf_norm").alias("mtn"), F.sum("doc_count").alias("dc"))
-            .toPandas()
-        )
+        if meta is None:
+            meta = self._wand_meta(terms)
         if meta.empty:
             return self._scored_docs(terms, idf)
         meta["ub"] = meta["term"].map(idf).fillna(0.0) * (meta["mtn"] * self.bound_scale)
@@ -1008,11 +1374,14 @@ class SearchEngine:
         )
         if conjunctive:
             by_range = by_range[by_range["nterms"] == len(terms)]
-            if by_range.empty:
-                # no range contains all terms -> empty result
-                return self.spark.createDataFrame(
-                    [], "doc_id long, score double, n_terms int, dl int"
-                )
+        elif min_should_match > 1:
+            # a doc matching >= m terms needs >= m terms present in its range
+            by_range = by_range[by_range["nterms"] >= min_should_match]
+        if by_range.empty:
+            # no range can satisfy the clause requirement -> empty result
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, n_terms int, dl int"
+            )
         by_range = by_range.sort_values("ub", ascending=False)
         by_range["ub_total"] = by_range["ub"] + boost_ceiling
 
@@ -1036,6 +1405,8 @@ class SearchEngine:
             )
             if conjunctive:
                 s = s.filter(F.col("n_terms") == len(terms))
+            elif min_should_match:
+                s = s.filter(F.col("n_terms") >= min_should_match)
             return self._apply_boosts(s, constant_boost, avail_boost)
 
         top1 = (

@@ -166,6 +166,7 @@ class IngestResult:
     postings: int = 0
     avgdl_build: float = 0.0
     wall_sec: float = 0.0
+    phase_sec: dict | None = None  # per-phase walls (observability)
 
 
 def ingest_batch(
@@ -185,6 +186,14 @@ def ingest_batch(
     at-least-once replay semantics.
     """
     t0 = time.time()
+    phase_t: dict[str, float] = {}
+    _tp = [time.time()]
+
+    def _mark(name):
+        now = time.time()
+        phase_t[name] = round(now - _tp[0], 2)
+        _tp[0] = now
+
     cfg = cfg or BuildConfig()
     cat = IndexCatalog(index_dir)
     gstats_dir = _gen_dir(_gen_stats_root(index_dir), epoch)
@@ -200,6 +209,7 @@ def ingest_batch(
         _ensure_stats_fresh(spark, cat)
         return IngestResult(epoch=epoch, skipped=True)
 
+    _mark("preamble")
     prior = _committed_gens(spark, index_dir, before=epoch)
     prior_n = sum(int(r["n_docs"]) for r in prior)
     prior_dl = sum(int(r["sum_dl"]) for r in prior)
@@ -251,6 +261,7 @@ def ingest_batch(
         ids = F.broadcast(ids) if n_pre <= _BCAST_DOCS_MAX else ids
         with_ids = docs.join(ids, "url").select("doc_id", "url", "text")
 
+    _mark("ids_plan")
     tokens = _tokenize_like_builder(with_ids, tokenizer, positions=use_pos).persist()
 
     # per-generation doc stats (hydration + dl); docs with zero tokens keep dl=0
@@ -259,6 +270,7 @@ def ingest_batch(
         "doc_id", "url", F.coalesce("dl", F.lit(0)).alias("dl")
     )
     doc_stats.write.mode("overwrite").parquet(_gen_dir(cat.doc_stats, epoch))
+    _mark("doc_stats")
     agg = spark.read.parquet(_gen_dir(cat.doc_stats, epoch)).agg(
         F.count("*").alias("n"),
         F.sum("dl").alias("s"),
@@ -270,6 +282,7 @@ def ingest_batch(
     if ranked is not None:
         ranked.unpersist()
 
+    _mark("doc_agg")
     # per-generation term-df deltas; the engine and later stats reads
     # aggregate SUM(df) by term across generations
     gen_ts_path = _gen_dir(cat.term_stats, epoch)
@@ -278,6 +291,7 @@ def ingest_batch(
     ).write.mode("overwrite").parquet(gen_ts_path)
     # the landed stats have exactly one row per term, so the vocabulary
     # size is a parquet row-count — no re-shuffle of the token table
+    _mark("term_stats")
     n_batch_terms = spark.read.parquet(gen_ts_path).count()
     id_mode = n_batch_terms > cfg.dict_budget
     gen0_dim = None
@@ -358,6 +372,7 @@ def ingest_batch(
         pid_map = F.broadcast(spark.createDataFrame(vocab[["term", "term_id"]]))
         dict_b = spark.sparkContext.broadcast((terms_arr, pids_arr))
 
+    _mark("vocab")
     packed = 0 < batch_max_dl < 4096
     doc32 = batch_max_id < (1 << 31)
     doc_col = F.col("doc_id").cast("int").alias("doc_id") if doc32 else F.col("doc_id")
@@ -399,6 +414,7 @@ def ingest_batch(
         .partitionBy("pid")
         .parquet(_gen_dir(cat.segments, epoch))
     )
+    _mark("encode")
     if id_mode:
         term_dim_df.unpersist()
     tokens.unpersist()
@@ -416,6 +432,7 @@ def ingest_batch(
         )
         .collect()
     )
+    _mark("lineage")
     postings = sum(int(r["postings_count"]) for r in landed)
     cat.append_manifest(
         [
@@ -453,10 +470,13 @@ def ingest_batch(
         "avgdl_build double, n_terms long",
     ).coalesce(1).write.mode("overwrite").parquet(gstats_dir)
 
+    _mark("commit")
     _refresh_corpus_stats(spark, cat)
+    _mark("stats_refresh")
     return IngestResult(
         epoch=epoch, skipped=False, n_docs=batch_n, postings=postings,
         avgdl_build=avgdl_build, wall_sec=round(time.time() - t0, 2),
+        phase_sec=phase_t,
     )
 
 

@@ -1,0 +1,258 @@
+"""Multi-field index paths: build, per-field stats, compound search parity.
+
+The reference scores named Lucene fields (should over name+barcode, must over
+store_id/wh_id — search_utils.py:79-97,181-203, app.py:472-486).  These tests
+pin the engine's field_cols build + search_fields compound path rank- AND
+score-identical to OracleMultiFieldIndex on BOTH physical paths, plus the
+single-field minimumShouldMatch m-of-n generalization.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from search_engine_spark.analysis.text import tokenize
+from search_engine_spark.oracle import OracleIndex, OracleMultiFieldIndex
+
+TITLE_LEN = 6
+
+
+@pytest.fixture(scope="module")
+def mf_rows(webtext_tiny):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(webtext_tiny, "part-00000.parquet"))
+    rows = []
+    for url, text in zip(tbl.column("url").to_pylist(), tbl.column("text").to_pylist()):
+        toks = tokenize(text)
+        rows.append(
+            (url, {"title": " ".join(toks[:TITLE_LEN]), "body": " ".join(toks[TITLE_LEN:])})
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def mf_oracle(mf_rows):
+    return OracleMultiFieldIndex(mf_rows)
+
+
+@pytest.fixture(scope="module")
+def mf_index(spark, mf_rows, tmp_path_factory):
+    from search_engine_spark.index.builder import BuildConfig, build_index
+
+    corpus = str(tmp_path_factory.mktemp("mf") / "corpus")
+    spark.createDataFrame(
+        [(u, f["title"], f["body"]) for u, f in mf_rows],
+        "url string, title string, body string",
+    ).write.mode("overwrite").parquet(corpus)
+    index_dir = str(tmp_path_factory.mktemp("mf") / "index")
+    cfg = BuildConfig(
+        block_docs=64, target_ranges=16, min_range_docs=64, n_partitions=8,
+        waves=2, field_cols=("title", "body"),
+    )
+    metrics = build_index(spark, corpus, index_dir, cfg=cfg)
+    assert metrics["n_docs"] == len(mf_rows)
+    return index_dir
+
+
+@pytest.fixture(scope="module")
+def mf_engine(spark, mf_index):
+    from search_engine_spark.query.engine import SearchEngine
+
+    return SearchEngine(spark, mf_index)
+
+
+@pytest.fixture(scope="module")
+def q_terms(mf_oracle):
+    """Deterministic query terms: the highest-df term of each field (df desc,
+    term asc tiebreak), plus a term present in both fields."""
+
+    def top(field):
+        cands = [
+            (len(pl), t) for (f, t), pl in mf_oracle.postings.items() if f == field
+        ]
+        return min(cands, key=lambda c: (-c[0], c[1]))[1]
+
+    t_title, t_body = top("title"), top("body")
+    both = sorted(
+        t
+        for (f, t) in mf_oracle.postings
+        if f == "title" and ("body", t) in mf_oracle.postings
+    )
+    assert both, "fixture must contain a term present in both fields"
+    return t_title, t_body, both[0]
+
+
+def _check(eng, oracle, must, should, msm, k=15, skip=0):
+    exp = oracle.search_compound(
+        must=must, should=should, k=k, skip=skip, minimum_should_match=msm
+    )
+    for fd in (False, True):
+        res = eng.search_fields(
+            must=must, should=should, k=k, skip=skip,
+            minimum_should_match=msm, force_distributed=fd,
+        )
+        got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
+        assert [g[0] for g in got] == [h[0] for h in exp.hits], (must, should, msm, fd)
+        assert np.allclose(
+            [g[1] for g in got], [h[1] for h in exp.hits], rtol=0, atol=1e-12
+        ), (must, should, msm, fd)
+        assert res.total == exp.total, (must, should, msm, fd, res.total, exp.total)
+    return exp
+
+
+def test_field_stats_match_oracle(mf_engine, mf_oracle):
+    assert set(mf_engine.fields) == set(mf_oracle.fields)
+    for f, (dc, avgdl) in mf_oracle.fields.items():
+        assert mf_engine.fields[f]["doc_count"] == dc
+        assert mf_engine.fields[f]["avgdl"] == pytest.approx(avgdl, abs=1e-12)
+
+
+def test_should_over_two_fields(mf_engine, mf_oracle, q_terms):
+    # the reference's single-term flagship: should over both paths, msm=1
+    _, _, both = q_terms
+    exp = _check(mf_engine, mf_oracle, [], [("title", both), ("body", both)], 1)
+    assert exp.total > 0
+
+
+def test_must_plus_should(mf_engine, mf_oracle, q_terms):
+    t_title, t_body, _ = q_terms
+    exp = _check(mf_engine, mf_oracle, [("title", t_title)], [("body", t_body)], 1)
+    assert exp.total > 0
+
+
+def test_must_only_two_clauses(mf_engine, mf_oracle, q_terms):
+    t_title, t_body, _ = q_terms
+    _check(mf_engine, mf_oracle, [("title", t_title), ("body", t_body)], [], 0)
+
+
+def test_msm_two_of_three(mf_engine, mf_oracle, q_terms):
+    t_title, t_body, both = q_terms
+    should = [("title", t_title), ("body", t_body), ("body", both)]
+    e2 = _check(mf_engine, mf_oracle, [], should, 2)
+    e3 = _check(mf_engine, mf_oracle, [], should, 3)
+    assert e3.total <= e2.total
+
+
+def test_pagination(mf_engine, mf_oracle, q_terms):
+    _, _, both = q_terms
+    _check(mf_engine, mf_oracle, [], [("title", both), ("body", both)], 1, k=5, skip=7)
+
+
+def test_multi_term_text_clause(mf_engine, mf_oracle, q_terms):
+    # a text clause is a disjunction of its analyzed terms (Lucene text query)
+    t_title, t_body, both = q_terms
+    _check(mf_engine, mf_oracle, [("body", f"{t_body} {both}")], [], 0)
+
+
+def test_absent_must_term_empty(mf_engine):
+    res = mf_engine.search_fields(must=[("title", "zzzzznotaterm")], k=5)
+    assert res.total == 0 and len(res.page) == 0
+
+
+def test_prefix_clause(mf_engine, mf_oracle, q_terms):
+    t_title = q_terms[0]
+    prefix = t_title[:2]
+    # oracle expansion: field vocabulary terms starting with the prefix,
+    # scored as one disjunction of (field, term) keys
+    exp_terms = sorted(
+        t for (f, t) in mf_oracle.postings if f == "title" and t.startswith(prefix)
+    )
+    assert exp_terms
+    # the expansion is one disjunction: n single-term should clauses with
+    # msm=1 filter and score identically (every present key contributes),
+    # and single-term clause texts dodge the multi-term query preprocessing
+    exp = mf_oracle.search_compound(
+        should=[("title", t) for t in exp_terms], k=15, minimum_should_match=1
+    )
+    for fd in (False, True):
+        res = mf_engine.search_fields(
+            should=[{"field": "title", "query": prefix, "kind": "prefix"}],
+            k=15, force_distributed=fd,
+        )
+        got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
+        assert [g[0] for g in got] == [h[0] for h in exp.hits]
+        assert np.allclose([g[1] for g in got], [h[1] for h in exp.hits], atol=1e-12)
+
+
+def test_unknown_field_raises(mf_engine):
+    with pytest.raises(ValueError, match="unknown field"):
+        mf_engine.search_fields(should=[("nope", "x")])
+
+
+def test_single_field_index_rejects_field_search(spark, index_tiny):
+    from search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, index_tiny)
+    with pytest.raises(ValueError, match="multi-field index"):
+        eng.search_fields(should=[("title", "x")])
+
+
+def test_field_build_resume(spark, mf_rows, tmp_path_factory, mf_oracle, q_terms):
+    """Kill after wave 1, resume: field layout honored, results identical."""
+    from search_engine_spark.index.builder import BuildConfig, build_index
+    from search_engine_spark.query.engine import SearchEngine
+
+    corpus = str(tmp_path_factory.mktemp("mfr") / "corpus")
+    spark.createDataFrame(
+        [(u, f["title"], f["body"]) for u, f in mf_rows],
+        "url string, title string, body string",
+    ).write.mode("overwrite").parquet(corpus)
+    index_dir = str(tmp_path_factory.mktemp("mfr") / "index")
+    cfg = BuildConfig(
+        block_docs=64, target_ranges=16, min_range_docs=64, n_partitions=8,
+        waves=2, field_cols=("title", "body"),
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, corpus, index_dir, cfg=cfg, fail_after_wave=1)
+    # resume with a cfg that LACKS field_cols: the committed layout wins
+    metrics = build_index(
+        spark, corpus, index_dir,
+        cfg=BuildConfig(block_docs=64, target_ranges=16, min_range_docs=64,
+                        n_partitions=8, waves=2),
+    )
+    assert metrics["partitions_skipped"] > 0
+    eng = SearchEngine(spark, index_dir)
+    _, _, both = q_terms
+    _check(eng, mf_oracle, [], [("title", both), ("body", both)], 1)
+
+
+# --------------------------- single-field m-of-n ---------------------------
+
+
+def test_min_should_match_m_of_n(spark, index_tiny, oracle_tiny):
+    from search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, index_tiny)
+    kw = "cadbury dairy milk"
+    n = len(set(tokenize(kw)))
+    for m in range(1, n + 1):
+        exp = oracle_tiny.search_min_should_match(kw, m, k=15)
+        for kwargs in (
+            {},  # driver path
+            {"force_distributed": True, "mode": "sort"},
+            {"force_distributed": True, "mode": "wand"},
+        ):
+            res = eng.search(kw, k=15, min_should_match=m, **kwargs)
+            got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
+            assert [g[0] for g in got] == [h[0] for h in exp.hits], (m, kwargs)
+            assert np.allclose(
+                [g[1] for g in got], [h[1] for h in exp.hits], rtol=0, atol=5e-7
+            ), (m, kwargs)
+            assert res.total == exp.total, (m, kwargs)
+    # m == n must equal conjunctive
+    conj = eng.search(kw, k=15, conjunctive=True)
+    msm_n = eng.search(kw, k=15, min_should_match=n)
+    assert list(conj.page["doc_id"]) == list(msm_n.page["doc_id"])
+    assert conj.total == msm_n.total
+
+
+def test_min_should_match_validation(spark, index_tiny):
+    from search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, index_tiny)
+    with pytest.raises(ValueError, match="exclusive"):
+        eng.search("a b", min_should_match=1, conjunctive=True)
+    with pytest.raises(ValueError, match="plain term"):
+        eng.search("a b", min_should_match=1, fuzzy=1)

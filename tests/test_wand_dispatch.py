@@ -1,0 +1,98 @@
+"""The mode="auto" dispatch cost model (predict_wand_decode) + plumbing.
+
+The predictor runs on block metadata alone; these tests pin its two regimes
+on synthetic metadata (deterministic, no index build) and the end-to-end
+auto path's rank identity on the tiny index.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from search_engine_spark.query.engine import predict_wand_decode
+
+
+def _meta(rows):
+    return pd.DataFrame(rows, columns=["term", "sseg", "mtn", "dc"])
+
+
+def test_rare_dominated_predicts_pruning():
+    # stopword 'the' (idf ~0) in every range; rare term in every range but
+    # with high bounds in only a few -> theta_lb from the rare term prunes
+    # the stopword-only mass of almost every range
+    rows = []
+    for s in range(100):
+        rows.append(("the", s, 0.9, 10_000))
+        # rare term: strong best-doc bound in 5 ranges, weak elsewhere
+        rows.append(("cadbury", s, 0.8 if s < 5 else 0.3, 50))
+    idf = {"the": 0.01, "cadbury": 5.0}
+    est = predict_wand_decode(_meta(rows), idf, k=5)
+    assert est["total_dc"] == 100 * 10_050
+    # theta_lb = 5th best per-range achievable = idf_cad * 0.8 = 4.0;
+    # ranges with weak cadbury bound (0.3*5 + 0.009 < 4.0) all prune
+    assert est["theta_lb"] == pytest.approx(4.0)
+    assert est["predicted_dc"] < 0.2 * est["total_dc"]
+
+
+def test_dense_dense_predicts_no_pruning():
+    # two mid-idf terms with near-identical bounds in every range: theta_lb
+    # ~= every range bound, nothing can prune
+    rows = []
+    for s in range(100):
+        rows.append(("oil", s, 0.8, 1_000))
+        rows.append(("the", s, 0.9, 10_000))
+    idf = {"oil": 2.0, "the": 0.01}
+    est = predict_wand_decode(_meta(rows), idf, k=10)
+    assert est["predicted_dc"] == est["total_dc"]
+
+
+def test_fewer_ranges_than_k_assumes_full_decode():
+    rows = [("a", s, 0.5, 100) for s in range(3)]
+    est = predict_wand_decode(_meta(rows), {"a": 1.0}, k=10)
+    assert est["predicted_dc"] == est["total_dc"]
+    assert est["theta_lb"] == 0.0
+
+
+def test_empty_meta():
+    est = predict_wand_decode(_meta([]), {}, k=10)
+    assert est == {"total_dc": 0, "predicted_dc": 0, "theta_lb": 0.0, "n_ranges": 0}
+
+
+def test_conservative_vs_true_theta():
+    # theta_lb never exceeds the best single-range achievable score, so the
+    # predictor can only OVER-estimate decode (never under): raising k must
+    # not increase theta_lb
+    rows = [("x", s, 0.1 + 0.01 * s, 100) for s in range(50)]
+    idf = {"x": 3.0}
+    prev = np.inf
+    for k in (1, 5, 20):
+        est = predict_wand_decode(_meta(rows), idf, k=k)
+        assert est["theta_lb"] <= prev
+        prev = est["theta_lb"]
+
+
+def test_auto_mode_rank_identity(spark, index_tiny, oracle_tiny):
+    from search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, index_tiny)
+    for kw in ("cadbury dairy milk", "the oil"):
+        pages = {}
+        for mode in ("sort", "wand", "auto"):
+            res = eng.search(kw, k=10, mode=mode, force_distributed=True)
+            pages[mode] = [
+                (int(d), round(float(s), 6))
+                for d, s in zip(res.page["doc_id"], res.page["score"])
+            ]
+        assert pages["sort"] == pages["wand"] == pages["auto"], kw
+        assert eng.last_dispatch is not None
+        assert eng.last_dispatch["mode"] in ("sort", "wand")
+        assert 0 <= eng.last_dispatch["predicted_dc"] <= eng.last_dispatch["total_dc"]
+
+
+def test_auto_mode_skip_routes_to_sort(spark, index_tiny):
+    from search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, index_tiny)
+    a = eng.search("cadbury dairy milk", k=5, skip=3, mode="auto", force_distributed=True)
+    b = eng.search("cadbury dairy milk", k=5, skip=3, mode="sort", force_distributed=True)
+    assert list(a.page["doc_id"]) == list(b.page["doc_id"])
