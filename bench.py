@@ -109,6 +109,16 @@ def main():
         timings["index_build_positional"] / timings["index_build"], 3
     )
 
+    # ---- multi-field build (title/body derived from documents.text): the
+    # per-field-stats index behind search_fields; the delta vs index_build is
+    # the cost of the field dimension at equal corpus size -------------------
+    from search_engine_spark.operators.fulltext import _mf_index_for
+
+    mf_tag = sf_dir.strip("/").replace("/", "_")
+    for d in (f"/tmp/ses_mfcorp_{mf_tag}", f"/tmp/ses_mfidx_{mf_tag}"):
+        shutil.rmtree(d, ignore_errors=True)
+    timed("index_build_multifield", lambda: _mf_index_for(spark, sf_dir))
+
     # ---- streaming incremental ingest: same corpus as 3 generations ------
     from pyspark.sql import functions as F
 
@@ -157,6 +167,7 @@ def main():
     eng = SearchEngine(spark, index_dir)
     inc_eng = SearchEngine(spark, inc_dir)
     pos_eng = SearchEngine(spark, pos_dir)
+    mf_eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
     suite: dict = {
         # same query against the generation-merged incremental index — the
         # cost of querying a grown index vs the batch-built one
@@ -186,6 +197,14 @@ def main():
             "table hash", k=10, phrase=True, max_gap=2),
         "search_fuzzy": lambda: eng.search("sow", k=10, fuzzy=1),
         "search_suggest": lambda: eng.suggest("scen", fuzzy=1),
+        # compound multi-field clauses (reference should-over-name+barcode /
+        # must-store_id shapes) + m-of-n minimumShouldMatch
+        "search_multifield_should": lambda: mf_eng.search_fields(
+            should=[("title", "scan"), ("body", "scan")], k=10),
+        "search_multifield_must": lambda: mf_eng.search_fields(
+            must=[("title", "window")], should=[("body", "scan")], k=10),
+        "search_msm2": lambda: eng.search(
+            "scan window merge", k=10, min_should_match=2),
     }
     heads = {
         "rel_pricing_summary": relational.pricing_summary,

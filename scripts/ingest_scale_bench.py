@@ -84,6 +84,7 @@ def main():
     inc_idx = "/tmp/ingest_scale_inc_idx"
     shutil.rmtree(inc_idx, ignore_errors=True)
     gen_walls = []
+    gen_phases = []
     for e in range(args.gens):
         wdf = spark.read.parquet(os.path.join(waves_root, f"w{e}"))
         t0 = time.time()
@@ -91,9 +92,11 @@ def main():
             spark, wdf, inc_idx, e, cfg=cfg, expected_docs=n_docs
         )
         gen_walls.append(round(time.time() - t0, 2))
+        gen_phases.append(r.phase_sec)
         print(f"gen {e}: {gen_walls[-1]} s, {r.n_docs} docs, "
-              f"{r.postings} postings", file=sys.stderr)
+              f"{r.postings} postings, phases={r.phase_sec}", file=sys.stderr)
     out["gen_walls_s"] = gen_walls
+    out["gen_phase_s"] = gen_phases
     out["ingest_total_s"] = round(sum(gen_walls), 2)
     out["ingest_vs_batch_ratio"] = round(out["ingest_total_s"] / out["batch_build_s"], 3)
     out["last_gen_vs_first_ratio"] = round(gen_walls[-1] / gen_walls[0], 3)

@@ -29,6 +29,7 @@ import json
 import os
 import shutil
 import sys
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -83,15 +84,132 @@ def res_key(out):
                         zip(out.page["doc_id"], out.page["score"])])
 
 
+def worker_main(args):
+    """--worker lo:hi:ready:go — serve workload[lo:hi] as one coordinator."""
+    lo, hi, ready_file, go_file = args.worker.split(":")
+    lo, hi = int(lo), int(hi)
+    from search_engine_spark.query.engine import SearchEngine
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(
+        f"serving-w{lo}", cpus=args.cpus,
+        shuffle_partitions=args.shuffle_partitions,
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
+    eng = SearchEngine(spark, f"/tmp/query_scale_idx_{args.docs}")
+    workload = [make_query(i) for i in range(lo, hi)]
+    seen = set()
+    for k, fn in workload:  # warmup outside the timed window
+        if k not in seen:
+            fn(eng)
+            seen.add(k)
+    with open(ready_file, "w") as f:
+        f.write("ready")
+    while not os.path.exists(go_file):
+        time.sleep(0.05)
+
+    def run_one(w):
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", threading.current_thread().name
+        )
+        return res_key(w[1](eng))
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=args.threads) as ex:
+        list(ex.map(run_one, workload))
+    t1 = time.time()
+    print(json.dumps({"lo": lo, "hi": hi, "start": t0, "end": t1}))
+
+
+def coordinator_main(args):
+    """--procs P: P shared-nothing coordinators over the same on-disk index.
+
+    Each subprocess opens its OWN SparkSession (cpus/P cores) on the same
+    immutable segment files — the cluster serving architecture: stateless
+    query frontends scale out; the index is shared storage.  All workers
+    warm up, rendezvous on a go-file barrier, then serve their slices;
+    aggregate qps = total queries / (max end - min start).
+    """
+    import subprocess
+    import tempfile
+
+    per_proc_cpus = max(1, args.cpus // args.procs)
+    per = -(-args.queries // args.procs)
+    tmp = tempfile.mkdtemp(prefix="serving_procs_")
+    go_file = os.path.join(tmp, "go")
+    procs, ready_files = [], []
+    for p in range(args.procs):
+        lo, hi = p * per, min((p + 1) * per, args.queries)
+        ready = os.path.join(tmp, f"ready{p}")
+        ready_files.append(ready)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--docs", str(args.docs), "--cpus", str(per_proc_cpus),
+                    "--threads", str(args.threads),
+                    "--shuffle-partitions", str(args.shuffle_partitions),
+                    "--worker", f"{lo}:{hi}:{ready}:{go_file}",
+                ],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            )
+        )
+    while not all(os.path.exists(r) for r in ready_files):
+        time.sleep(0.2)
+    with open(go_file, "w") as f:
+        f.write("go")
+    spans = []
+    for pr in procs:
+        out_b, _ = pr.communicate()
+        line = [ln for ln in out_b.decode().splitlines() if ln.startswith("{")][-1]
+        spans.append(json.loads(line))
+    start, end = min(s["start"] for s in spans), max(s["end"] for s in spans)
+    out = {
+        "n_docs": args.docs,
+        "mode": "multi_coordinator",
+        "procs": args.procs,
+        "cpus_total": args.cpus,
+        "cpus_per_proc": per_proc_cpus,
+        "threads_per_proc": args.threads,
+        "n_queries": args.queries,
+        "wall_s": round(end - start, 2),
+        "queries_per_sec": round(args.queries / (end - start), 2),
+        "clock_probe_mips": clock_probe(),
+    }
+    js = json.dumps(out)
+    print(js)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(js + "\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--queries", type=int, default=200)
-    ap.add_argument("--threads", type=int, default=8)
+    # measured sweep (BENCH §3b): the driver fast path is GIL/py4j-bound and
+    # peaks at 2-4 in-process threads; 8 threads oversubscribes the driver
+    # and is SLOWER than sequential.  One driver is the serving bottleneck —
+    # the scale-out axis is coordinators (--procs), not threads.
+    ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument(
+        "--procs", type=int, default=0,
+        help="multi-coordinator mode: P independent processes (own "
+        "SparkSession, cpus/P cores each) serve slices of the same workload "
+        "against the same on-disk index — the shared-nothing query-frontend "
+        "architecture a cluster-scale serving tier uses",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument("--reuse-index", action="store_true")
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    ap.add_argument("--worker", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.worker:
+        return worker_main(args)
+    if args.procs:
+        return coordinator_main(args)
 
     corpus = f"/tmp/webtext_{args.docs // 1000}k"
     if not os.path.exists(os.path.join(corpus, "part-00000.parquet")):
@@ -103,7 +221,19 @@ def main():
     from search_engine_spark.query.engine import SearchEngine
     from search_engine_spark.session import get_spark
 
-    spark = get_spark("serving", cpus=args.cpus)
+    # Serving session config, identical across legs:
+    # - FAIR scheduler + one pool per serving thread: without it, concurrent
+    #   queries queue FIFO behind whichever distributed query got its job in
+    #   first (measured: concurrency SLOWED the suite 1.5×, head-of-line
+    #   blocking on the head-term jobs);
+    # - fixed shuffle-partition count (not 3×cores): a serving query's
+    #   shuffle is tiny, and scaling task count with cores just multiplies
+    #   per-task overhead (measured: local[32] slower than local[8] on the
+    #   same suite under the build-oriented 3×cores default).
+    spark = get_spark(
+        "serving", cpus=args.cpus, shuffle_partitions=args.shuffle_partitions,
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
     out: dict = {
         "n_docs": args.docs,
         "cpus": args.cpus,
@@ -134,10 +264,16 @@ def main():
             fn(eng)
             seen.add(k)
 
-    # concurrent leg
+    # concurrent leg — each worker thread gets its own FAIR pool (pinned
+    # python->JVM threads make setLocalProperty per-thread)
+    def run_one(w):
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", threading.current_thread().name)
+        return res_key(w[1](eng))
+
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=args.threads) as ex:
-        results = list(ex.map(lambda w: res_key(w[1](eng)), workload))
+        results = list(ex.map(run_one, workload))
     wall = time.time() - t0
     out["concurrent_wall_s"] = round(wall, 2)
     out["queries_per_sec"] = round(args.queries / wall, 2)

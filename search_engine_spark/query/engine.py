@@ -489,12 +489,18 @@ class SearchEngine:
     # distributed WAND path takes over when Σ df of the matched terms exceeds
     # this; at web scale every head-term query does.
     SMALL_QUERY_POSTINGS = 2_000_000
-    # mode="auto": choose WAND only when the metadata cost model predicts the
-    # pruned decode at or below this fraction of the candidate postings.
-    # Calibrated at the 10^6-doc index (BENCH §3c): dense-dense queries
-    # predict ~1.0 (WAND measured ~1.5× slower — pays its extra job for no
-    # pruning), rare-dominated ones predict <0.2 (WAND measured faster).
+    # mode="auto" picks WAND only when BOTH hold (BENCH §3c calibration):
+    # - the predicted decode falls below this fraction of the candidate
+    #   postings (relative: pruning must actually bite), AND
+    # - the predicted SAVED postings exceed this absolute floor — WAND's
+    #   fixed cost is ~2 extra Spark jobs (block-metadata aggregate + the
+    #   phase-1 θ probe), which at local[32] measures worth ~2M decoded
+    #   postings; saving less than that loses even when the ratio looks
+    #   great (measured at 10^6 docs: 90% pruning, still slower).  At
+    #   cluster scale the same structure holds with a larger floor (more
+    #   executors amortize decode faster than they amortize job latency).
     WAND_AUTO_FRACTION = 0.5
+    WAND_AUTO_MIN_SAVED = 2_000_000
     # populated by the last mode="auto" dispatch: {"mode", "total_dc",
     # "predicted_dc", "theta_lb", "n_ranges"} — bench/test introspection
     last_dispatch: dict | None = None
@@ -1206,6 +1212,7 @@ class SearchEngine:
                 use_wand = (
                     est["total_dc"] > 0
                     and est["predicted_dc"] <= self.WAND_AUTO_FRACTION * est["total_dc"]
+                    and est["total_dc"] - est["predicted_dc"] >= self.WAND_AUTO_MIN_SAVED
                 )
                 mode = "wand" if use_wand else "sort"
                 self.last_dispatch = {"mode": mode, **est}
@@ -1251,6 +1258,8 @@ class SearchEngine:
             .drop(columns="_sk")
             .reset_index(drop=True)
         )
+        for df_ in getattr(scored, "_ses_persisted", ()):
+            df_.unpersist()  # WAND's phase-1 cache; page is materialized now
         if highlight and len(page):
             hl = self._highlight_page(present, [int(d) for d in page["doc_id"]])
             page = page.merge(hl, on="doc_id", how="left")
@@ -1409,9 +1418,15 @@ class SearchEngine:
                 s = s.filter(F.col("n_terms") >= min_should_match)
             return self._apply_boosts(s, constant_boost, avail_boost)
 
+        # phase 1 is both the θ probe AND one branch of the final union —
+        # persist it so the final plan reuses the computed scores instead of
+        # re-decoding phase 1's blocks (measured: the re-execution was a
+        # whole extra Spark job, half of WAND's fixed overhead at 10^6 docs).
+        # The caller unpersists via the frame's _ses_persisted attribute
+        # after materializing the page.
+        p1 = exact(phase1).persist()
         top1 = (
-            exact(phase1)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            p1.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .toPandas()
         )
@@ -1424,6 +1439,9 @@ class SearchEngine:
         if theta is not None:
             rest = [s for s in rest if by_range.loc[s, "ub_total"] >= theta]
         if len(rest) == 0:
-            return exact(phase1)
-        # score surviving ranges with block-level pruning, union with phase 1
-        return exact(phase1).unionByName(exact(list(rest), theta=theta))
+            out = p1
+        else:
+            # score surviving ranges with block-level pruning, union phase 1
+            out = p1.unionByName(exact(list(rest), theta=theta))
+        out._ses_persisted = [p1]  # noqa: SLF001 — local cleanup protocol
+        return out
