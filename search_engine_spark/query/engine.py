@@ -187,7 +187,8 @@ def predict_wand_decode(
             "theta_lb": 0.0, "n_ranges": int(len(rng)),
         }
     theta_lb = float(best_sorted[-k])
-    rng_sorted = rng.sort_values("ub", ascending=False)
+    # phase-1 selection mirrors _wand_scored: ranges by best achievable
+    rng_sorted = rng.sort_values("best", ascending=False)
     cum = rng_sorted["dc"].cumsum().to_numpy()
     n1 = int(np.searchsorted(cum, k) + 1)
     phase1 = set(rng_sorted.index[:n1])
@@ -1391,7 +1392,24 @@ class SearchEngine:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double, n_terms int, dl int"
             )
-        by_range = by_range.sort_values("ub", ascending=False)
+        # per-range ACHIEVABLE floor: idf·mtn is attained by the doc
+        # realizing the block max, and distinct ranges hold distinct docs, so
+        # the k-th largest per-range achievable is a sound lower bound on the
+        # true θ — usable for pruning BEFORE any scoring.  (Measured at 8M
+        # docs: phase-1's own θ over the 2 top-ub ranges was 2.89 while the
+        # floor was 3.44 — without the floor, 942/976 ranges survived and
+        # phase 2 decoded 7.7M rows for nothing.)
+        best_per_range = meta.assign(
+            ach=meta["term"].map(idf).fillna(0.0) * (meta["mtn"] * self.bound_scale)
+        ).groupby("sseg")["ach"].max()
+        theta_floor = None
+        if not conjunctive and min_should_match <= 1 and len(best_per_range) >= k:
+            theta_floor = float(np.sort(best_per_range.to_numpy())[-k])
+        by_range = by_range.join(best_per_range.rename("best"))
+        # phase 1 targets the ranges CONTAINING the globally best docs (top
+        # achievable), not the fattest total bounds — its θ then approaches
+        # the true top-k threshold instead of the best dense range's
+        by_range = by_range.sort_values("best", ascending=False)
         by_range["ub_total"] = by_range["ub"] + boost_ceiling
 
         # per-(term, range) residual bound: what the OTHER terms could add in
@@ -1431,9 +1449,13 @@ class SearchEngine:
             .toPandas()
         )
         if len(top1) < k:
-            theta = None  # not enough candidates yet; cannot prune safely
+            # phase 1 alone can't establish θ; the achievable floor (when
+            # sound — plain disjunctions only) still can
+            theta = theta_floor
         else:
             theta = float(top1["score"].iloc[-1])
+            if theta_floor is not None and theta_floor > theta:
+                theta = theta_floor
 
         rest = by_range.index[n1:]
         if theta is not None:
