@@ -67,9 +67,15 @@ def main():
         )
         per = -(-n_docs // args.gens)
         for e in range(args.gens):
+            # the window's global sort collapses to ONE partition — written
+            # as-is each wave would be a single parquet file and every
+            # generation's tokenize would run on ~6 input splits (measured:
+            # 32 s of a 60 s generation).  Re-spread before writing; wave
+            # MEMBERSHIP stays url-lex-ordered, which is all the doc-id
+            # contract needs.
             ranked.filter(
                 (F.col("rk") >= e * per) & (F.col("rk") < (e + 1) * per)
-            ).drop("rk").write.mode("overwrite").parquet(
+            ).drop("rk").repartition(16).write.mode("overwrite").parquet(
                 os.path.join(waves_root, f"w{e}")
             )
 

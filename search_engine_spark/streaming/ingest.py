@@ -262,7 +262,19 @@ def ingest_batch(
         with_ids = docs.join(ids, "url").select("doc_id", "url", "text")
 
     _mark("ids_plan")
-    tokens = _tokenize_like_builder(with_ids, tokenizer, positions=use_pos).persist()
+    # Materialize the generation's token stream as compressed columnar
+    # parquet, NOT .persist(): a deserialized JVM cache of ~10^7 token rows
+    # is GC-bound (measured: the doc_stats pass took 38 s of a 68 s
+    # generation under .persist(); the batch builder hit the same wall and
+    # stages tokens_tmp for the same reason — builder.py phase 2 notes).
+    # Every downstream consumer (doc stats, term stats, encode) re-reads
+    # column-pruned.
+    tokens_tmp = _gen_dir(os.path.join(index_dir, "tokens_tmp"), epoch)
+    _tokenize_like_builder(with_ids, tokenizer, positions=use_pos).write.mode(
+        "overwrite"
+    ).parquet(tokens_tmp)
+    tokens = spark.read.parquet(tokens_tmp)
+    _mark("tokenize")
 
     # per-generation doc stats (hydration + dl); docs with zero tokens keep dl=0
     dl_df = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
@@ -417,7 +429,9 @@ def ingest_batch(
     _mark("encode")
     if id_mode:
         term_dim_df.unpersist()
-    tokens.unpersist()
+    import shutil
+
+    shutil.rmtree(tokens_tmp, ignore_errors=True)
 
     # lineage (observability; a replay after this append but before the
     # gen_stats commit can duplicate rows — harmless, documented)
