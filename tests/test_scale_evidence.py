@@ -99,3 +99,56 @@ def test_rank_identity_and_compaction_at_1m(ingest_evidence):
     assert files["compacted"] * 2 <= files["grown"]
     # compaction (no tokenize) costs well under the full rebuild
     assert ingest_evidence["compact_s"] < ingest_evidence["batch_build_s"]
+
+
+# ---------------------------------------------------------------------------
+# round-5 artifacts: ingest throughput after the token-staging fix, the
+# serving coordinator scale-out, and the WAND crossover with auto-dispatch
+# ---------------------------------------------------------------------------
+
+ING5_ART = os.path.join(os.path.dirname(ART), "scale_r5_ingest_1m.json")
+
+
+def _load(path):
+    if not os.path.exists(path):
+        pytest.skip(f"no committed artifact {os.path.basename(path)}")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_r5_ingest_throughput_at_least_half_of_batch():
+    """250k-doc generations must run at >= 50% of the batch build's docs/sec
+    (the round-4 ratio was 36% — GC-bound token cache, since staged as
+    parquet like the batch builder)."""
+    d = _load(ING5_ART)
+    assert d["n_docs"] >= 1_000_000
+    assert d["ingest_vs_batch_ratio"] <= 2.0  # throughput >= 50% of batch
+    assert d["last_gen_vs_first_ratio"] < 1.5  # still O(batch), not O(corpus)
+    assert d["rank_identity_mismatches"] == 0
+
+
+def test_r5_serving_coordinator_scaleout():
+    """4 shared-nothing coordinators over the same index must reach >= 0.8
+    scaling efficiency vs one coordinator at a quarter of the cores."""
+    one = _load(os.path.join(os.path.dirname(ART), "serving_r5_1m_c8.json"))
+    four = _load(os.path.join(os.path.dirname(ART), "serving_r5_1m_p4.json"))
+    assert one["sequential_sample_mismatches"] == 0
+    eff = four["queries_per_sec"] / (4 * one["queries_per_sec"])
+    assert eff >= 0.8
+
+
+def test_r5_wand_crossover_and_dispatch():
+    """WAND beats the sort baseline at 8M docs wherever the cost model
+    predicts pruning, loses at 1M everywhere, and mode=auto picks the
+    measured winner on every (query, scale) row — both sides of the
+    crossover."""
+    m1 = _load(os.path.join(os.path.dirname(ART), "wand_crossover_r5_1m.json"))
+    m8 = _load(os.path.join(os.path.dirname(ART), "wand_crossover_r5_8m.json"))
+    for d in (m1, m8):
+        for q in d["queries"].values():
+            assert q["pages_identical"]
+            assert q["auto_picked_winner"], q["keyword"]
+    # the crossover itself: rare-dominated flips between scales
+    assert m1["queries"]["rare_dominated"]["wand_over_sort_ratio"] > 1.0
+    assert m8["queries"]["rare_dominated"]["wand_over_sort_ratio"] < 1.0
+    assert m8["queries"]["dense_dense"]["wand_over_sort_ratio"] < 1.0
