@@ -96,6 +96,33 @@ def edit_distance_leq(a: str, b: str, k: int) -> bool:
     if lb == 0:
         return la <= k  # abs-diff check above already decided, but be direct
     BIG = k + 1  # sentinel: any value > k behaves as +inf under min()
+    return _banded_dp_leq(a, b, k, BIG, prefix=False)
+
+
+def prefix_edit_distance_leq(q: str, t: str, k: int) -> bool:
+    """distance(q, some PREFIX of t) <= k — Lucene-style fuzzy autocomplete.
+
+    Equivalent closed form both SQL engines can compute:
+    ``min over L in [len(q)-k, len(q)+k] of levenshtein(t[:L], q) <= k``
+    (a matching prefix's length must be within k of len(q), since every
+    length unit of difference costs at least one edit).
+    """
+    lq = len(q)
+    if lq <= k:
+        return True  # the empty prefix is already within k
+    if k == 0:
+        return t.startswith(q)
+    if len(t) < lq - k:
+        return False  # even the whole of t is too short
+    return _banded_dp_leq(q, t, k, k + 1, prefix=True)
+
+
+def _banded_dp_leq(a: str, b: str, k: int, BIG: int, prefix: bool) -> bool:
+    """Banded Levenshtein DP: distance(a, b) <= k, or — with ``prefix`` —
+    distance(a, some prefix of b) <= k (min over the final row's band;
+    cells on any <=k-cost path satisfy |i-j| <= k, so the band is exact
+    for both questions)."""
+    la, lb = len(a), len(b)
     prev = [j if j <= k else BIG for j in range(lb + 1)]
     for i in range(1, la + 1):
         # only |i - j| <= k cells can end <= k (each off-diagonal step costs
@@ -117,4 +144,6 @@ def edit_distance_leq(a: str, b: str, k: int) -> bool:
         if best > k:
             return False
         prev = cur
+    if prefix:
+        return min(prev) <= k  # best prefix of b, any length in the band
     return prev[lb] <= k

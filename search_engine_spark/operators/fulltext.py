@@ -633,6 +633,130 @@ SELECT qterm, term AS suggestion FROM cand WHERE rk = 1
 
 
 # --------------------------------------------------------------------------
+# fuzzy autocomplete (Atlas autocomplete + fuzzy option, the reference's
+# retail should-clauses use autocomplete paths, search_utils.py:182-186):
+# expansion = dictionary terms having a PREFIX within Levenshtein distance 1
+# of the query term.  Closed form every engine shares:
+#   min over L in [len(q)-1, len(q)+1] of levenshtein(t[:L], q) <= 1
+# The union scores as one disjunction (per-variant idf, ascending-term fold)
+# exactly like the plain-fuzzy path.
+# --------------------------------------------------------------------------
+
+_PF_Q = "scen"  # prefix-edit-1 neighborhood at sf0.01 spans scan/scene-like stems
+
+
+def _pf_vocab_cond_spark(q: str, fuzzy: int = 1):
+    lq = len(q)
+    exprs = [
+        F.levenshtein(F.substring("term", 1, L), F.lit(q))
+        for L in range(max(1, lq - fuzzy), lq + fuzzy + 1)
+    ]
+    return (F.least(*exprs) if len(exprs) > 1 else exprs[0]) <= fuzzy
+
+
+def _pf_vocab_cond_sql(q: str, fuzzy: int = 1) -> str:
+    lq = len(q)
+    parts = ", ".join(
+        f"levenshtein(substr(term, 1, {L}), '{q}')"
+        for L in range(max(1, lq - fuzzy), lq + fuzzy + 1)
+    )
+    return f"least({parts}) <= {fuzzy}"
+
+
+def prefix_fuzzy_topk(spark, sf_dir, k=20):
+    d = t(spark, sf_dir, "documents")
+    toks = tokens_col()
+    tok = d.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    vocab = tok.select("term").distinct().filter(_pf_vocab_cond_spark(_PF_Q))
+    per = (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfs = per.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.size(toks).cast("double")).alias("sum_dl"),
+    )
+    avgdl = F.col("sum_dl") / F.col("n")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    s = idf * F.col("tf") / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl") / avgdl)
+    )
+    scored_term = (
+        per.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", s.alias("s"))
+    )
+    parts = F.sort_array(F.collect_list(F.struct("term", "s")))
+    agg = scored_term.groupBy("doc_id").agg(parts.alias("parts"))
+    scored = agg.select(
+        "doc_id",
+        F.round(
+            F.aggregate("parts", F.lit(0.0), lambda a, x: a + x["s"]), 6
+        ).alias("score"),
+    )
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rk"
+    )
+
+
+PREFIX_FUZZY_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term,
+         CAST(len({TOKENS_SQL}) AS DOUBLE) AS dl
+  FROM documents
+), exp AS (
+  SELECT DISTINCT term FROM tok WHERE {_pf_vocab_cond_sql(_PF_Q)}
+), per AS (
+  SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf,
+         ANY_VALUE(t.dl) AS dl
+  FROM tok t JOIN exp USING (term) GROUP BY t.doc_id, t.term
+), dfs AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM per GROUP BY term
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CAST(len({TOKENS_SQL}) AS DOUBLE)) AS sum_dl
+  FROM documents
+), scored_term AS (
+  SELECT per.doc_id, per.term,
+         ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf
+           / (tf + {K1} * (1.0 - {B} + {B} * dl / (sum_dl / n))) AS s
+  FROM per JOIN dfs USING (term) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, list(s ORDER BY term) AS ss FROM scored_term GROUP BY doc_id
+), scored AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ss),
+                           (a, b) -> a + b), 6) AS score
+  FROM agg
+)
+SELECT doc_id, score, rk
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 20
+"""
+
+
+def engine_prefix_fuzzy_topk(spark, sf_dir, k=20):
+    """The real engine's fuzzy-autocomplete path (prefix_fuzzy=1)."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    return _engine_page_frame(spark, eng.search(_PF_Q, k=60, prefix_fuzzy=1), k)
+
+
+ENGINE_PREFIX_FUZZY_TOPK_SQL = PREFIX_FUZZY_TOPK_SQL
+
+
+# --------------------------------------------------------------------------
 # highlighting (Atlas $search highlight): first-occurrence offsets for the
 # PAGE docs only — ranking first, then k docs' blocks decode positions.
 # The deterministic "term@pos ..." string (terms ascending, absent terms
@@ -1187,19 +1311,21 @@ QUERIES = {
     "ft_fuzzy_topk": fuzzy_topk,
     "ft_engine_fuzzy_topk": engine_fuzzy_topk,
     "ft_engine_suggest": engine_suggest,
+    "ft_prefix_fuzzy_topk": prefix_fuzzy_topk,
+    "ft_engine_prefix_fuzzy_topk": engine_prefix_fuzzy_topk,
     "ft_engine_highlight_topk": engine_highlight_topk,
     "ft_engine_phrase_first_pos": engine_phrase_first_pos,
     "ft_stream_ingest_topk": stream_ingest_topk,
     "ft_compacted_topk": compacted_topk,
-    "ft_grouped_topk": grouped_topk,
-    "ft_engine_grouped_topk": engine_grouped_topk,
     "ft_multifield_topk": multifield_topk,
     "ft_engine_multifield_topk": engine_multifield_topk,
     "ft_engine_multifield_must": engine_multifield_must,
     "ft_engine_msm2_topk": engine_msm2_topk,
-    # registered last on purpose: with the round-5 window rotation this is
-    # the one ft gate that falls outside the driver's 50-gate window, and it
-    # is already driver-verified (CORRECTNESS_r04) + CHECKGATE-covered
+    # registered last on purpose: with the round-5 window rotation these are
+    # the ft gates that fall outside the driver's 50-gate window, and all
+    # three are already driver-verified (CORRECTNESS_r04) + CHECKGATE-covered
+    "ft_grouped_topk": grouped_topk,
+    "ft_engine_grouped_topk": engine_grouped_topk,
     "ft_query_log_replay": query_log_replay,
 }
 
@@ -1217,6 +1343,8 @@ ORACLES = {
     "ft_fuzzy_topk": FUZZY_TOPK_SQL,
     "ft_engine_fuzzy_topk": ENGINE_FUZZY_TOPK_SQL,
     "ft_engine_suggest": ENGINE_SUGGEST_SQL,
+    "ft_prefix_fuzzy_topk": PREFIX_FUZZY_TOPK_SQL,
+    "ft_engine_prefix_fuzzy_topk": ENGINE_PREFIX_FUZZY_TOPK_SQL,
     "ft_engine_highlight_topk": ENGINE_HIGHLIGHT_TOPK_SQL,
     "ft_engine_phrase_first_pos": ENGINE_PHRASE_FIRST_POS_SQL,
     "ft_stream_ingest_topk": STREAM_INGEST_TOPK_SQL,

@@ -167,6 +167,30 @@ class OracleIndex:
             if abs(len(t) - len(term)) <= fuzzy and edit_distance_leq(t, term, fuzzy)
         ]
 
+    def expand_prefix_fuzzy(self, term: str, fuzzy: int) -> list[str]:
+        """Fuzzy autocomplete: terms with a PREFIX within distance ``fuzzy``."""
+        from .analysis.text import prefix_edit_distance_leq
+
+        return [
+            t for t in self.terms_sorted
+            if len(t) >= len(term) - fuzzy and prefix_edit_distance_leq(term, t, fuzzy)
+        ]
+
+    def search_prefix_fuzzy(
+        self, keyword: str, k: int = 10, skip: int = 0, fuzzy: int = 1,
+        constant_boost: bool = False, avail_boost: bool = False,
+    ) -> QueryResult:
+        """Atlas autocomplete with fuzzy: the single analyzed term expands to
+        its prefix-edit neighborhood; the union scores as one disjunction."""
+        terms = preprocess_query(keyword)
+        if len(terms) != 1:
+            raise ValueError("prefix_fuzzy is a single-term surface")
+        expanded = self.expand_prefix_fuzzy(terms[0], fuzzy)
+        if not expanded:
+            return QueryResult(total=0)
+        scores = self._score_terms(expanded, conjunctive=False)
+        return self._rank_page(scores, k, skip, constant_boost, avail_boost)
+
     def suggest(self, term: str, fuzzy: int = 1) -> str | None:
         """"Did you mean": most frequent in-range dictionary term."""
         cands = self.expand_fuzzy(term, fuzzy)

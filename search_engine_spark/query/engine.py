@@ -342,6 +342,53 @@ class SearchEngine:
         self._fuzzy_cache[key] = out
         return list(out)
 
+    def expand_prefix_fuzzy(
+        self, term: str, fuzzy: int, max_expansions: int | None = None
+    ) -> list[str]:
+        """Fuzzy autocomplete expansion (Atlas ``autocomplete`` with the
+        ``fuzzy`` option): dictionary terms having a PREFIX within
+        Levenshtein distance ``fuzzy`` of the query term.
+
+        Closed form shared by every twin: ``min over L in
+        [len(q)-fuzzy, len(q)+fuzzy] of levenshtein(t[:L], q) <= fuzzy``
+        (a matching prefix's length is within ``fuzzy`` of len(q)).  The
+        cached-dictionary path computes it with a banded DP
+        (``prefix_edit_distance_leq``); above the cache budget it is one
+        JVM-side ``least(levenshtein(substring(term, 1, L), q))`` filter
+        over the distributed term stats — same definition, cluster-scale.
+        """
+        from ..analysis.text import prefix_edit_distance_leq
+
+        key = ("pf", term, int(fuzzy), max_expansions)
+        hit = self._fuzzy_cache.get(key)
+        if hit is not None:
+            return list(hit)
+        lq = len(term)
+        if self._terms_arr is not None:
+            if self._term_lens is None:
+                self._term_lens = np.fromiter(
+                    (len(t) for t in self._terms_arr), dtype=np.int64,
+                    count=len(self._terms_arr),
+                )
+            cand = self._terms_arr[self._term_lens >= lq - fuzzy]
+            out = [str(t) for t in cand if prefix_edit_distance_leq(term, str(t), fuzzy)]
+        else:
+            exprs = [
+                F.levenshtein(F.substring("term", 1, L), F.lit(term))
+                for L in range(max(1, lq - fuzzy), lq + fuzzy + 1)
+            ]
+            cond = (F.least(*exprs) if len(exprs) > 1 else exprs[0]) <= fuzzy
+            rows = (
+                self.spark.read.parquet(self.cat.term_stats)
+                .select("term").distinct().filter(cond).collect()
+            )
+            out = sorted(r["term"] for r in rows)
+        out = out[:max_expansions] if max_expansions else out
+        if len(self._fuzzy_cache) > 10_000:
+            self._fuzzy_cache.clear()
+        self._fuzzy_cache[key] = out
+        return list(out)
+
     def suggest(self, term: str, fuzzy: int = 1) -> str | None:
         """"Did you mean": the most frequent dictionary term within
         Levenshtein distance ``fuzzy`` (df desc, term asc tiebreak) — None
@@ -1090,6 +1137,7 @@ class SearchEngine:
         max_gap: int = 0,
         fuzzy: int = 0,
         min_should_match: int = 0,
+        prefix_fuzzy: int = 0,
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
 
@@ -1139,7 +1187,21 @@ class SearchEngine:
         if not terms:
             return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
         single = len(terms) == 1
-        if fuzzy:
+        if prefix_fuzzy:
+            # Atlas autocomplete + fuzzy: a single-term surface (the
+            # reference only ever autocompletes 1-term keywords,
+            # search_utils.py:182-186); the expansion scores as the usual
+            # disjunction, each variant with its own idf
+            if fuzzy or conjunctive or not single:
+                raise ValueError(
+                    "prefix_fuzzy applies to single-term autocomplete "
+                    "(not combinable with fuzzy/conjunctive/multi-term)"
+                )
+            match_terms = self.expand_prefix_fuzzy(
+                terms[0], prefix_fuzzy, max_expansions
+            )
+            conj = False
+        elif fuzzy:
             # fuzzy expansion replaces the length dispatch: every analyzed
             # term expands to its edit-distance neighborhood and the union
             # scores as one disjunction (each variant with its own idf) —
