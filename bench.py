@@ -196,6 +196,9 @@ def main():
         "search_phrase_near": lambda: pos_eng.search(
             "table hash", k=10, phrase=True, max_gap=2),
         "search_fuzzy": lambda: eng.search("sow", k=10, fuzzy=1),
+        "search_damerau": lambda: eng.search(
+            "tabel jion", k=10, fuzzy=1, fuzzy_transpositions=True
+        ),
         "search_prefix_fuzzy": lambda: eng.search("scen", k=10, prefix_fuzzy=1),
         "search_suggest": lambda: eng.suggest("scen", fuzzy=1),
         # compound multi-field clauses (reference should-over-name+barcode /

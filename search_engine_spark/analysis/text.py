@@ -78,15 +78,27 @@ def tokenize_series(text):  # pd.Series[str] -> pd.Series[list[str]]
     return lowered.str.findall(_TOKEN_RE)
 
 
-def edit_distance_leq(a: str, b: str, k: int) -> bool:
-    """Classic Levenshtein (insert/delete/substitute, no transposition)
-    distance(a, b) <= k, banded DP with early exit.
+def edit_distance_leq(
+    a: str, b: str, k: int, transpositions: bool = False
+) -> bool:
+    """Edit distance(a, b) <= k, banded DP with early exit.
 
-    The definition every twin must share: Spark's ``F.levenshtein`` and
-    DuckDB's ``levenshtein`` both implement plain Levenshtein, so the
-    engine's cached-dictionary fuzzy expansion (this function), its
-    distributed expansion (``F.levenshtein``), the pure-Python oracle, and
-    the SQL oracles all agree term-for-term.
+    ``transpositions=False`` (default): classic Levenshtein
+    (insert/delete/substitute) — the definition every twin must share:
+    Spark's ``F.levenshtein`` and DuckDB's ``levenshtein`` both implement
+    plain Levenshtein, so the engine's cached-dictionary fuzzy expansion
+    (this function), its distributed expansion (``F.levenshtein``), the
+    pure-Python oracle, and the SQL oracles all agree term-for-term.
+
+    ``transpositions=True``: an adjacent transposition counts as ONE edit —
+    Lucene's ``fuzzy.transpositions`` (the Atlas default the reference's
+    ``$search`` fuzzy option inherits).  Implemented as OSA (optimal string
+    alignment: each character pair transposes at most once).  At ``k == 1``
+    OSA, unrestricted Damerau-Levenshtein, and DuckDB's
+    ``damerau_levenshtein`` agree exactly (a single edit is a single edit
+    under all three); at ``k >= 2`` OSA can exceed unrestricted Damerau
+    (e.g. 'ca'->'abc': OSA 3, Damerau 2), so SQL-oracle-gated surfaces pin
+    ``k = 1`` and the general-k path is property-tested against brute force.
     """
     la, lb = len(a), len(b)
     if abs(la - lb) > k:
@@ -96,7 +108,23 @@ def edit_distance_leq(a: str, b: str, k: int) -> bool:
     if lb == 0:
         return la <= k  # abs-diff check above already decided, but be direct
     BIG = k + 1  # sentinel: any value > k behaves as +inf under min()
-    return _banded_dp_leq(a, b, k, BIG, prefix=False)
+    return _banded_dp_leq(a, b, k, BIG, prefix=False, transpositions=transpositions)
+
+
+def swap_variants(q: str) -> list[str]:
+    """All distinct strings one adjacent transposition away from ``q``.
+
+    The closed form behind the distributed ``transpositions`` expansion at
+    ``fuzzy = 1``: damerau(t, q) <= 1  <=>  levenshtein(t, q) <= 1  OR
+    t IN swap_variants(q) — a single edit is either one of the three
+    Levenshtein primitives or exactly one adjacent swap.  Equal adjacent
+    characters swap to the same string (distance 0 via identity), so they
+    are skipped; results are sorted and deduplicated for determinism.
+    """
+    return sorted(
+        {q[:i] + q[i + 1] + q[i] + q[i + 2:] for i in range(len(q) - 1)
+         if q[i] != q[i + 1]}
+    )
 
 
 def prefix_edit_distance_leq(q: str, t: str, k: int) -> bool:
@@ -117,12 +145,19 @@ def prefix_edit_distance_leq(q: str, t: str, k: int) -> bool:
     return _banded_dp_leq(q, t, k, k + 1, prefix=True)
 
 
-def _banded_dp_leq(a: str, b: str, k: int, BIG: int, prefix: bool) -> bool:
+def _banded_dp_leq(
+    a: str, b: str, k: int, BIG: int, prefix: bool,
+    transpositions: bool = False,
+) -> bool:
     """Banded Levenshtein DP: distance(a, b) <= k, or — with ``prefix`` —
     distance(a, some prefix of b) <= k (min over the final row's band;
     cells on any <=k-cost path satisfy |i-j| <= k, so the band is exact
-    for both questions)."""
+    for both questions).  ``transpositions`` adds the OSA recurrence
+    (prev2[j-2] + 1 when the trailing character pairs are swapped); a
+    transposition also moves one off the diagonal by at most one per unit
+    cost, so the same band stays exact."""
     la, lb = len(a), len(b)
+    prev2: list[int] | None = None
     prev = [j if j <= k else BIG for j in range(lb + 1)]
     for i in range(1, la + 1):
         # only |i - j| <= k cells can end <= k (each off-diagonal step costs
@@ -138,12 +173,18 @@ def _banded_dp_leq(a: str, b: str, k: int, BIG: int, prefix: bool) -> bool:
                 cur[j - 1] + 1,
                 prev[j - 1] + (a[i - 1] != b[j - 1]),
             )
+            if (
+                transpositions and i >= 2 and j >= 2
+                and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]
+                and prev2 is not None
+            ):
+                c = min(c, prev2[j - 2] + 1)
             cur[j] = c if c <= k else BIG
             if cur[j] < best:
                 best = cur[j]
         if best > k:
             return False
-        prev = cur
+        prev2, prev = prev, cur
     if prefix:
         return min(prev) <= k  # best prefix of b, any length in the band
     return prev[lb] <= k

@@ -499,6 +499,15 @@ _FZ_Q = "sow"  # expands to {row, slow} at sf0.01 — a real multi-variant fold
 
 
 def fuzzy_topk(spark, sf_dir, k=20):
+    return _fuzzy_disjunction_topk(
+        spark, sf_dir, F.levenshtein(F.col("term"), F.lit(_FZ_Q)) <= 1, k
+    )
+
+
+def _fuzzy_disjunction_topk(spark, sf_dir, vocab_cond, k=20):
+    """Shared declarative twin for every fuzzy surface: filter the corpus
+    vocabulary with ``vocab_cond``, then score the surviving variants as one
+    BM25 disjunction (per-variant idf, ascending-term float fold)."""
     d = t(spark, sf_dir, "documents")
     toks = tokens_col()
     tok = d.select(
@@ -506,10 +515,7 @@ def fuzzy_topk(spark, sf_dir, k=20):
         F.size(toks).cast("double").alias("dl"),
         F.explode(toks).alias("term"),
     )
-    vocab = (
-        tok.select("term").distinct()
-        .filter(F.levenshtein(F.col("term"), F.lit(_FZ_Q)) <= 1)
-    )
+    vocab = tok.select("term").distinct().filter(vocab_cond)
     per = (
         tok.join(F.broadcast(vocab), "term")
         .groupBy("doc_id", "term")
@@ -627,6 +633,94 @@ WITH tok AS (
          row_number() OVER (PARTITION BY q.qterm
                             ORDER BY v.df DESC, v.term ASC) AS rk
   FROM q JOIN vocab v ON levenshtein(v.term, q.qterm) <= 1
+)
+SELECT qterm, term AS suggestion FROM cand WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Damerau fuzzy (Lucene fuzzy with transpositions=true — the Atlas DEFAULT
+# the reference's $search fuzzy option inherits): an adjacent transposition
+# counts as ONE edit, so classic swap typos ('tabel', 'jion', 'teh') reach
+# their corrections.  At max_edits=1 the exact closed form every JVM engine
+# can compute is  levenshtein(t, q) <= 1  OR  t IN swap_variants(q)  — and
+# DuckDB's damerau_levenshtein states the same set directly (at k=1 OSA and
+# unrestricted Damerau coincide; property-pinned in tests/test_damerau.py).
+# Two query terms so the expansion is a REAL multi-variant disjunction fold
+# ({table, join} at sf0.01), and plain Levenshtein expands BOTH to {} — the
+# gate distinguishes the semantics, not just re-tests the fuzzy pipeline.
+# --------------------------------------------------------------------------
+
+_DZ_QS = ("tabel", "jion")  # corrections reachable only via a transposition
+
+
+def _damerau1_cond_spark(q: str):
+    from ..analysis.text import swap_variants
+
+    cond = F.levenshtein(F.col("term"), F.lit(q)) <= 1
+    swaps = swap_variants(q)
+    if swaps:
+        cond = cond | F.col("term").isin(swaps)
+    return cond
+
+
+def damerau_topk(spark, sf_dir, k=20):
+    cond = _damerau1_cond_spark(_DZ_QS[0])
+    for q in _DZ_QS[1:]:
+        cond = cond | _damerau1_cond_spark(q)
+    return _fuzzy_disjunction_topk(spark, sf_dir, cond, k)
+
+
+DAMERAU_TOPK_SQL = FUZZY_TOPK_SQL.replace(
+    f"levenshtein(term, '{_FZ_Q}') <= 1",
+    " OR ".join(f"damerau_levenshtein(term, '{q}') <= 1" for q in _DZ_QS),
+)
+
+
+def engine_damerau_topk(spark, sf_dir, k=20):
+    """The real engine's transposition-aware fuzzy path."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    return _engine_page_frame(
+        spark,
+        eng.search(" ".join(_DZ_QS), k=60, fuzzy=1, fuzzy_transpositions=True),
+        k,
+    )
+
+
+ENGINE_DAMERAU_TOPK_SQL = DAMERAU_TOPK_SQL
+
+
+_SUG_DZ_QUERIES = ("teh", "tabel", "sow", "qqqq")  # teh/tabel need the swap
+
+
+def engine_suggest_damerau(spark, sf_dir):
+    """"Did you mean" with transpositions: 'teh' -> 'the' is distance 1 here
+    (plain Levenshtein calls it 2 and suggests nothing)."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    rows = [
+        (qt, sug)
+        for qt in _SUG_DZ_QUERIES
+        if (sug := eng.suggest(qt, fuzzy=1, transpositions=True)) is not None
+    ]
+    return spark.createDataFrame(rows, "qterm string, suggestion string")
+
+
+ENGINE_SUGGEST_DAMERAU_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+), vocab AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), q(qterm) AS (
+  VALUES {", ".join(f"('{t}')" for t in _SUG_DZ_QUERIES)}
+), cand AS (
+  SELECT q.qterm, v.term, v.df,
+         row_number() OVER (PARTITION BY q.qterm
+                            ORDER BY v.df DESC, v.term ASC) AS rk
+  FROM q JOIN vocab v ON damerau_levenshtein(v.term, q.qterm) <= 1
 )
 SELECT qterm, term AS suggestion FROM cand WHERE rk = 1
 """
@@ -1311,19 +1405,22 @@ QUERIES = {
     "ft_fuzzy_topk": fuzzy_topk,
     "ft_engine_fuzzy_topk": engine_fuzzy_topk,
     "ft_engine_suggest": engine_suggest,
+    "ft_damerau_topk": damerau_topk,
+    "ft_engine_damerau_topk": engine_damerau_topk,
+    "ft_engine_suggest_damerau": engine_suggest_damerau,
     "ft_prefix_fuzzy_topk": prefix_fuzzy_topk,
     "ft_engine_prefix_fuzzy_topk": engine_prefix_fuzzy_topk,
-    "ft_engine_highlight_topk": engine_highlight_topk,
-    "ft_engine_phrase_first_pos": engine_phrase_first_pos,
-    "ft_stream_ingest_topk": stream_ingest_topk,
-    "ft_compacted_topk": compacted_topk,
     "ft_multifield_topk": multifield_topk,
     "ft_engine_multifield_topk": engine_multifield_topk,
     "ft_engine_multifield_must": engine_multifield_must,
     "ft_engine_msm2_topk": engine_msm2_topk,
+    "ft_engine_highlight_topk": engine_highlight_topk,
     # registered last on purpose: with the round-5 window rotation these are
-    # the ft gates that fall outside the driver's 50-gate window, and all
-    # three are already driver-verified (CORRECTNESS_r04) + CHECKGATE-covered
+    # the ft gates that fall outside the driver's 50-gate window, and every
+    # one is already driver-verified (CORRECTNESS_r04) + CHECKGATE-covered
+    "ft_engine_phrase_first_pos": engine_phrase_first_pos,
+    "ft_stream_ingest_topk": stream_ingest_topk,
+    "ft_compacted_topk": compacted_topk,
     "ft_grouped_topk": grouped_topk,
     "ft_engine_grouped_topk": engine_grouped_topk,
     "ft_query_log_replay": query_log_replay,
@@ -1343,6 +1440,9 @@ ORACLES = {
     "ft_fuzzy_topk": FUZZY_TOPK_SQL,
     "ft_engine_fuzzy_topk": ENGINE_FUZZY_TOPK_SQL,
     "ft_engine_suggest": ENGINE_SUGGEST_SQL,
+    "ft_damerau_topk": DAMERAU_TOPK_SQL,
+    "ft_engine_damerau_topk": ENGINE_DAMERAU_TOPK_SQL,
+    "ft_engine_suggest_damerau": ENGINE_SUGGEST_DAMERAU_SQL,
     "ft_prefix_fuzzy_topk": PREFIX_FUZZY_TOPK_SQL,
     "ft_engine_prefix_fuzzy_topk": ENGINE_PREFIX_FUZZY_TOPK_SQL,
     "ft_engine_highlight_topk": ENGINE_HIGHLIGHT_TOPK_SQL,

@@ -160,11 +160,16 @@ class OracleIndex:
             scores = self._score_terms(terms, conjunctive=conjunctive)
         return self._rank_page(scores, k, skip, constant_boost, avail_boost)
 
-    def expand_fuzzy(self, term: str, fuzzy: int) -> list[str]:
-        """Dictionary terms within Levenshtein distance ``fuzzy`` (ascending)."""
+    def expand_fuzzy(
+        self, term: str, fuzzy: int, transpositions: bool = False
+    ) -> list[str]:
+        """Dictionary terms within edit distance ``fuzzy`` (ascending).
+        ``transpositions`` counts an adjacent swap as one edit (Lucene
+        ``fuzzy.transpositions``, the Atlas default)."""
         return [
             t for t in self.terms_sorted
-            if abs(len(t) - len(term)) <= fuzzy and edit_distance_leq(t, term, fuzzy)
+            if abs(len(t) - len(term)) <= fuzzy
+            and edit_distance_leq(t, term, fuzzy, transpositions)
         ]
 
     def expand_prefix_fuzzy(self, term: str, fuzzy: int) -> list[str]:
@@ -191,9 +196,11 @@ class OracleIndex:
         scores = self._score_terms(expanded, conjunctive=False)
         return self._rank_page(scores, k, skip, constant_boost, avail_boost)
 
-    def suggest(self, term: str, fuzzy: int = 1) -> str | None:
+    def suggest(
+        self, term: str, fuzzy: int = 1, transpositions: bool = False
+    ) -> str | None:
         """"Did you mean": most frequent in-range dictionary term."""
-        cands = self.expand_fuzzy(term, fuzzy)
+        cands = self.expand_fuzzy(term, fuzzy, transpositions)
         if not cands:
             return None
         return min(cands, key=lambda t: (-len(self.postings[t]), t))
@@ -206,6 +213,7 @@ class OracleIndex:
         fuzzy: int = 1,
         constant_boost: bool = False,
         avail_boost: bool = False,
+        transpositions: bool = False,
     ) -> QueryResult:
         """Fuzzy matching: every analyzed term expands to its edit-distance
         neighborhood; the union scores as one disjunction, each variant with
@@ -215,7 +223,7 @@ class OracleIndex:
             return QueryResult(total=0)
         expanded: set[str] = set()
         for qt in terms:
-            expanded.update(self.expand_fuzzy(qt, fuzzy))
+            expanded.update(self.expand_fuzzy(qt, fuzzy, transpositions))
         if not expanded:
             return QueryResult(total=0)
         scores = self._score_terms(sorted(expanded), conjunctive=False)

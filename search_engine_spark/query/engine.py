@@ -302,21 +302,31 @@ class SearchEngine:
         return [r["term"] for r in q.collect()]
 
     def expand_fuzzy(
-        self, term: str, fuzzy: int, max_expansions: int | None = None
+        self, term: str, fuzzy: int, max_expansions: int | None = None,
+        transpositions: bool = False,
     ) -> list[str]:
-        """Dictionary terms within Levenshtein distance ``fuzzy`` of ``term``
+        """Dictionary terms within edit distance ``fuzzy`` of ``term``
         (Atlas/Lucene fuzzy matching: the query term expands to its
         edit-distance neighborhood, then scores as a disjunction).
 
+        ``transpositions=True`` counts an adjacent swap as ONE edit —
+        Lucene's ``fuzzy.transpositions``, the Atlas default the reference's
+        ``$search`` fuzzy option inherits ('teh' now reaches 'the').
+
         Cached-dictionary path: numpy length prefilter (|len diff| <= fuzzy)
         + banded DP over the survivors.  Above the cache budget the
-        expansion is one JVM-side ``F.levenshtein`` filter over the
-        distributed term stats — the same definition, cluster-scale.
-        ``max_expansions`` keeps the first N in ascending term order (the
-        deterministic cap every oracle can reproduce).  Results memoize per
-        engine instance (bounded) — repeat misspellings skip the scan.
+        expansion is one JVM-side filter over the distributed term stats —
+        plain ``F.levenshtein``, plus (transpositions at fuzzy=1) the exact
+        closed form ``levenshtein(t, q) <= 1 OR t IN swap_variants(q)``; for
+        the one shape with no JVM closed form (transpositions at fuzzy >= 2,
+        beyond Lucene's own max of 2) an Arrow-batched pandas_udf runs the
+        same banded DP over the term dictionary — dictionary-scale, never
+        corpus-scale.  ``max_expansions`` keeps the first N in ascending
+        term order (the deterministic cap every oracle can reproduce).
+        Results memoize per engine instance (bounded) — repeat misspellings
+        skip the scan.
         """
-        key = (term, int(fuzzy), max_expansions)
+        key = (term, int(fuzzy), max_expansions, bool(transpositions))
         hit = self._fuzzy_cache.get(key)
         if hit is not None:
             return list(hit)
@@ -327,14 +337,32 @@ class SearchEngine:
                     count=len(self._terms_arr),
                 )
             cand = self._terms_arr[np.abs(self._term_lens - len(term)) <= fuzzy]
-            out = [str(t) for t in cand if edit_distance_leq(str(t), term, fuzzy)]
+            out = [
+                str(t) for t in cand
+                if edit_distance_leq(str(t), term, fuzzy, transpositions)
+            ]
         else:
-            rows = (
-                self.spark.read.parquet(self.cat.term_stats)
-                .select("term").distinct()
-                .filter(F.levenshtein(F.col("term"), F.lit(term)) <= fuzzy)
-                .collect()
-            )
+            stats = self.spark.read.parquet(self.cat.term_stats)
+            if not transpositions:
+                cond = F.levenshtein(F.col("term"), F.lit(term)) <= fuzzy
+            elif fuzzy == 1:
+                from ..analysis.text import swap_variants
+
+                cond = F.levenshtein(F.col("term"), F.lit(term)) <= fuzzy
+                swaps = swap_variants(term)
+                if swaps:
+                    cond = cond | F.col("term").isin(swaps)
+            else:
+                from pyspark.sql.functions import pandas_udf
+
+                @pandas_udf("boolean")
+                def _osa_leq(terms: pd.Series) -> pd.Series:
+                    return terms.map(
+                        lambda t: edit_distance_leq(t, term, fuzzy, True)
+                    )
+
+                cond = _osa_leq(F.col("term"))
+            rows = stats.select("term").distinct().filter(cond).collect()
             out = sorted(r["term"] for r in rows)
         out = out[:max_expansions] if max_expansions else out
         if len(self._fuzzy_cache) > 10_000:
@@ -389,12 +417,15 @@ class SearchEngine:
         self._fuzzy_cache[key] = out
         return list(out)
 
-    def suggest(self, term: str, fuzzy: int = 1) -> str | None:
-        """"Did you mean": the most frequent dictionary term within
-        Levenshtein distance ``fuzzy`` (df desc, term asc tiebreak) — None
-        when nothing is in range.  A term already in the dictionary
-        suggests itself (distance 0 dominates nothing; df decides)."""
-        cands = self.expand_fuzzy(term, fuzzy)
+    def suggest(
+        self, term: str, fuzzy: int = 1, transpositions: bool = False
+    ) -> str | None:
+        """"Did you mean": the most frequent dictionary term within edit
+        distance ``fuzzy`` (df desc, term asc tiebreak) — None when nothing
+        is in range.  A term already in the dictionary suggests itself
+        (distance 0 dominates nothing; df decides).  ``transpositions``
+        counts an adjacent swap as one edit, so 'teh' suggests 'the'."""
+        cands = self.expand_fuzzy(term, fuzzy, transpositions=transpositions)
         if not cands:
             return None
         dfs = self.term_dfs(cands)
@@ -1136,6 +1167,7 @@ class SearchEngine:
         highlight: bool = False,
         max_gap: int = 0,
         fuzzy: int = 0,
+        fuzzy_transpositions: bool = False,
         min_should_match: int = 0,
         prefix_fuzzy: int = 0,
     ) -> SearchResult:
@@ -1153,6 +1185,8 @@ class SearchEngine:
         paginate far enough to care get ``"exact"`` (the default, and
         always exact in sort mode).
         """
+        if fuzzy_transpositions and not fuzzy:
+            raise ValueError("fuzzy_transpositions requires fuzzy >= 1")
         msm = int(min_should_match)
         if msm:
             # Lucene m-of-n over the query's term clauses; m=len(terms) is
@@ -1210,7 +1244,10 @@ class SearchEngine:
                 raise ValueError("conjunctive is not supported with fuzzy")
             expanded: set[str] = set()
             for qt in terms:
-                expanded.update(self.expand_fuzzy(qt, fuzzy, max_expansions))
+                expanded.update(self.expand_fuzzy(
+                    qt, fuzzy, max_expansions,
+                    transpositions=fuzzy_transpositions,
+                ))
             match_terms = sorted(expanded)
             conj = False
         elif single:
