@@ -199,6 +199,7 @@ def main():
         "search_damerau": lambda: eng.search(
             "tabel jion", k=10, fuzzy=1, fuzzy_transpositions=True
         ),
+        "search_phonetic": lambda: eng.search("grup stremm", k=10, phonetic=True),
         "search_prefix_fuzzy": lambda: eng.search("scen", k=10, prefix_fuzzy=1),
         "search_suggest": lambda: eng.suggest("scen", fuzzy=1),
         # compound multi-field clauses (reference should-over-name+barcode /

@@ -78,6 +78,35 @@ def tokenize_series(text):  # pd.Series[str] -> pd.Series[list[str]]
     return lowered.str.findall(_TOKEN_RE)
 
 
+# Phonetic key (SURVEY §2 A11 — the reference's commented-out "sounds_like"
+# pipeline, reference metaphone.py:37-47, computed doublemetaphone keys per
+# name word and stored them for phonetic $search).  Pinned here as classic
+# American Soundex with h/w treated as vowels (code 0) — deliberately chosen
+# because the whole key is expressible as the SAME translate -> adjacent-dedup
+# -> drop-first-code -> drop-zeros -> pad chain in python (this function),
+# Spark SQL (F.translate/F.regexp_replace), and DuckDB SQL, so the engine,
+# the declarative twin, and the oracle share one definition three ways.
+_SOUNDEX_MAP = "01230120022455012623010202"  # a..z -> code ('0' = vowel/h/w)
+_ALPHA_RE = re.compile(r"[a-z]+")
+_DEDUP_RE = re.compile(r"(.)\1+")
+
+
+def soundex_key(t: str) -> str:
+    """Pinned phonetic key: 'milk'/'melk'/'mlik' -> M420, 'pfister' -> P236.
+
+    Non-[a-z]+ terms (digits, non-ASCII letters) key to themselves — the
+    identity key makes the function total without inventing phonetics for
+    scripts Soundex was never defined on.
+    """
+    if not _ALPHA_RE.fullmatch(t):
+        return t
+    codes = "".join(_SOUNDEX_MAP[ord(c) - 97] for c in t)
+    deduped = _DEDUP_RE.sub(r"\1", codes)
+    rest = deduped[1:].replace("0", "")  # first code ALWAYS drops (it is the
+    # kept letter's own code, merged with any same-code run behind it)
+    return t[0].upper() + (rest + "000")[:3]
+
+
 def edit_distance_leq(
     a: str, b: str, k: int, transpositions: bool = False
 ) -> bool:

@@ -727,6 +727,70 @@ SELECT qterm, term AS suggestion FROM cand WHERE rk = 1
 
 
 # --------------------------------------------------------------------------
+# phonetic matching (SURVEY §2 A11 — the reference's commented-out
+# "sounds_like" pipeline, reference metaphone.py:37-47, computed
+# doublemetaphone keys per name word for phonetic $search).  Re-expressed
+# Spark-first: every analyzed query term expands to the dictionary terms
+# sharing its pinned Soundex key, and the union scores as the standard BM25
+# disjunction.  The key is ONE definition in three stacks: python
+# (analysis.text.soundex_key), Spark columns (query.engine.soundex_key_col),
+# and the DuckDB chain below — translate -> adjacent-dedup -> drop the first
+# code -> drop zeros -> pad/cut to 3.
+# --------------------------------------------------------------------------
+
+_PH_QS = ("grup", "stremm")  # keys G610/S365 -> {group, stream} at sf0.01
+
+
+def _soundex_sql(operand: str) -> str:
+    """The pinned Soundex chain as a DuckDB expression over ``operand``."""
+    from ..analysis.text import _SOUNDEX_MAP
+
+    dedup = (
+        f"regexp_replace(translate({operand}, 'abcdefghijklmnopqrstuvwxyz', "
+        f"'{_SOUNDEX_MAP}'), '(.)\\1+', '\\1', 'g')"
+    )
+    key = (
+        f"upper(({operand})[1]) || substr(rpad(replace(substr({dedup}, 2), "
+        f"'0', ''), 3, '0'), 1, 3)"
+    )
+    return (
+        f"CASE WHEN NOT regexp_matches({operand}, '^[a-z]+$') "
+        f"THEN {operand} ELSE {key} END"
+    )
+
+
+def phonetic_topk(spark, sf_dir, k=20):
+    from ..analysis.text import soundex_key
+    from ..query.engine import soundex_key_col
+
+    keys = sorted({soundex_key(q) for q in _PH_QS})
+    return _fuzzy_disjunction_topk(
+        spark, sf_dir, soundex_key_col(F.col("term")).isin(keys), k
+    )
+
+
+PHONETIC_TOPK_SQL = FUZZY_TOPK_SQL.replace(
+    f"levenshtein(term, '{_FZ_Q}') <= 1",
+    f"{_soundex_sql('term')} IN ("
+    + ", ".join(_soundex_sql(f"'{q}'") for q in _PH_QS)
+    + ")",
+)
+
+
+def engine_phonetic_topk(spark, sf_dir, k=20):
+    """The real engine's phonetic path: key-equal expansion + disjunction."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    return _engine_page_frame(
+        spark, eng.search(" ".join(_PH_QS), k=60, phonetic=True), k
+    )
+
+
+ENGINE_PHONETIC_TOPK_SQL = PHONETIC_TOPK_SQL
+
+
+# --------------------------------------------------------------------------
 # fuzzy autocomplete (Atlas autocomplete + fuzzy option, the reference's
 # retail should-clauses use autocomplete paths, search_utils.py:182-186):
 # expansion = dictionary terms having a PREFIX within Levenshtein distance 1
@@ -1404,20 +1468,22 @@ QUERIES = {
     "ft_engine_phrase_near_topk": engine_phrase_near_topk,
     "ft_fuzzy_topk": fuzzy_topk,
     "ft_engine_fuzzy_topk": engine_fuzzy_topk,
-    "ft_engine_suggest": engine_suggest,
     "ft_damerau_topk": damerau_topk,
     "ft_engine_damerau_topk": engine_damerau_topk,
     "ft_engine_suggest_damerau": engine_suggest_damerau,
+    "ft_phonetic_topk": phonetic_topk,
+    "ft_engine_phonetic_topk": engine_phonetic_topk,
     "ft_prefix_fuzzy_topk": prefix_fuzzy_topk,
     "ft_engine_prefix_fuzzy_topk": engine_prefix_fuzzy_topk,
     "ft_multifield_topk": multifield_topk,
     "ft_engine_multifield_topk": engine_multifield_topk,
     "ft_engine_multifield_must": engine_multifield_must,
     "ft_engine_msm2_topk": engine_msm2_topk,
-    "ft_engine_highlight_topk": engine_highlight_topk,
     # registered last on purpose: with the round-5 window rotation these are
     # the ft gates that fall outside the driver's 50-gate window, and every
     # one is already driver-verified (CORRECTNESS_r04) + CHECKGATE-covered
+    "ft_engine_suggest": engine_suggest,
+    "ft_engine_highlight_topk": engine_highlight_topk,
     "ft_engine_phrase_first_pos": engine_phrase_first_pos,
     "ft_stream_ingest_topk": stream_ingest_topk,
     "ft_compacted_topk": compacted_topk,
@@ -1443,6 +1509,8 @@ ORACLES = {
     "ft_damerau_topk": DAMERAU_TOPK_SQL,
     "ft_engine_damerau_topk": ENGINE_DAMERAU_TOPK_SQL,
     "ft_engine_suggest_damerau": ENGINE_SUGGEST_DAMERAU_SQL,
+    "ft_phonetic_topk": PHONETIC_TOPK_SQL,
+    "ft_engine_phonetic_topk": ENGINE_PHONETIC_TOPK_SQL,
     "ft_prefix_fuzzy_topk": PREFIX_FUZZY_TOPK_SQL,
     "ft_engine_prefix_fuzzy_topk": ENGINE_PREFIX_FUZZY_TOPK_SQL,
     "ft_engine_highlight_topk": ENGINE_HIGHLIGHT_TOPK_SQL,

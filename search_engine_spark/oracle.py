@@ -172,6 +172,30 @@ class OracleIndex:
             and edit_distance_leq(t, term, fuzzy, transpositions)
         ]
 
+    def expand_phonetic(self, term: str) -> list[str]:
+        """Dictionary terms sharing ``term``'s pinned Soundex key (A11)."""
+        from .analysis.text import soundex_key
+
+        want = soundex_key(term)
+        return [t for t in self.terms_sorted if soundex_key(t) == want]
+
+    def search_phonetic(
+        self, keyword: str, k: int = 10, skip: int = 0,
+        constant_boost: bool = False, avail_boost: bool = False,
+    ) -> QueryResult:
+        """Phonetic matching: every analyzed term expands to its key-equal
+        dictionary neighborhood; the union scores as one disjunction."""
+        terms = preprocess_query(keyword)
+        if not terms:
+            return QueryResult(total=0)
+        expanded: set[str] = set()
+        for qt in terms:
+            expanded.update(self.expand_phonetic(qt))
+        if not expanded:
+            return QueryResult(total=0)
+        scores = self._score_terms(sorted(expanded), conjunctive=False)
+        return self._rank_page(scores, k, skip, constant_boost, avail_boost)
+
     def expand_prefix_fuzzy(self, term: str, fuzzy: int) -> list[str]:
         """Fuzzy autocomplete: terms with a PREFIX within distance ``fuzzy``."""
         from .analysis.text import prefix_edit_distance_leq

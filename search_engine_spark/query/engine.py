@@ -202,6 +202,25 @@ def predict_wand_decode(
     }
 
 
+def soundex_key_col(c):
+    """``analysis.text.soundex_key`` as a pure-JVM Spark column expression —
+    the chain the distributed phonetic expansion and the declarative twins
+    share with the python and DuckDB forms (one definition, three stacks):
+    translate a..z to codes -> collapse adjacent-duplicate codes -> drop the
+    first code (the kept letter's own) -> drop vowel zeros -> pad/cut to 3.
+    Non-[a-z]+ terms key to themselves."""
+    from ..analysis.text import _SOUNDEX_MAP
+
+    codes = F.translate(c, "abcdefghijklmnopqrstuvwxyz", _SOUNDEX_MAP)
+    deduped = F.regexp_replace(codes, r"(.)\1+", "$1")
+    rest = F.regexp_replace(F.substring(deduped, 2, 1_000_000), "0", "")
+    key = F.concat(
+        F.upper(F.substring(c, 1, 1)),
+        F.substring(F.rpad(rest, 3, "0"), 1, 3),
+    )
+    return F.when(c.rlike("^[a-z]+$"), key).otherwise(c)
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str, log_queries: bool = False):
         self.spark = spark
@@ -253,6 +272,8 @@ class SearchEngine:
         # per-(term, fuzzy, cap) expansion memo — repeated misspellings are
         # the common case in real query logs; bounded, cleared wholesale
         self._fuzzy_cache: dict[tuple, list[str]] = {}
+        # lazy per-dictionary-term Soundex keys (expand_phonetic)
+        self._phonetic_keys: np.ndarray | None = None
         tdf = spark.read.parquet(self.cat.term_stats)
         n_terms = tdf.count()
         if n_terms <= _TERM_DICT_CACHE_MAX:
@@ -412,6 +433,44 @@ class SearchEngine:
             )
             out = sorted(r["term"] for r in rows)
         out = out[:max_expansions] if max_expansions else out
+        if len(self._fuzzy_cache) > 10_000:
+            self._fuzzy_cache.clear()
+        self._fuzzy_cache[key] = out
+        return list(out)
+
+    def expand_phonetic(self, term: str) -> list[str]:
+        """Dictionary terms sharing ``term``'s pinned Soundex key (ascending)
+        — SURVEY §2 A11, the reference's commented-out "sounds_like" phonetic
+        pipeline (reference metaphone.py:37-47) re-expressed as key-equal
+        dictionary expansion scored as the standard disjunction.
+
+        Cached-dictionary path: the per-term key array is computed once,
+        lazily, then every expansion is a numpy mask.  Above the cache budget
+        the expansion is one JVM-side filter over the distributed term stats
+        using the same translate/regexp chain (``soundex_key_col``) — the
+        identical definition, cluster-scale, no Python in the filter.
+        """
+        from ..analysis.text import soundex_key
+
+        key = ("ph", term)
+        hit = self._fuzzy_cache.get(key)
+        if hit is not None:
+            return list(hit)
+        want = soundex_key(term)
+        if self._terms_arr is not None:
+            if self._phonetic_keys is None:
+                self._phonetic_keys = np.array(
+                    [soundex_key(str(t)) for t in self._terms_arr], dtype=object
+                )
+            out = [str(t) for t in self._terms_arr[self._phonetic_keys == want]]
+        else:
+            rows = (
+                self.spark.read.parquet(self.cat.term_stats)
+                .select("term").distinct()
+                .filter(soundex_key_col(F.col("term")) == F.lit(want))
+                .collect()
+            )
+            out = sorted(r["term"] for r in rows)
         if len(self._fuzzy_cache) > 10_000:
             self._fuzzy_cache.clear()
         self._fuzzy_cache[key] = out
@@ -1170,6 +1229,7 @@ class SearchEngine:
         fuzzy_transpositions: bool = False,
         min_should_match: int = 0,
         prefix_fuzzy: int = 0,
+        phonetic: bool = False,
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
 
@@ -1187,6 +1247,12 @@ class SearchEngine:
         """
         if fuzzy_transpositions and not fuzzy:
             raise ValueError("fuzzy_transpositions requires fuzzy >= 1")
+        if phonetic and (fuzzy or prefix_fuzzy or conjunctive or phrase
+                         or min_should_match):
+            raise ValueError(
+                "phonetic is its own expansion surface (not combinable with "
+                "fuzzy/prefix_fuzzy/conjunctive/phrase/min_should_match)"
+            )
         msm = int(min_should_match)
         if msm:
             # Lucene m-of-n over the query's term clauses; m=len(terms) is
@@ -1234,6 +1300,15 @@ class SearchEngine:
             match_terms = self.expand_prefix_fuzzy(
                 terms[0], prefix_fuzzy, max_expansions
             )
+            conj = False
+        elif phonetic:
+            # phonetic expansion (A11): every analyzed term expands to the
+            # dictionary terms sharing its Soundex key; the union scores as
+            # one disjunction — the same blending rule as fuzzy/prefix.
+            expanded_ph: set[str] = set()
+            for qt in terms:
+                expanded_ph.update(self.expand_phonetic(qt))
+            match_terms = sorted(expanded_ph)
             conj = False
         elif fuzzy:
             # fuzzy expansion replaces the length dispatch: every analyzed
