@@ -1245,6 +1245,15 @@ class SearchEngine:
         paginate far enough to care get ``"exact"`` (the default, and
         always exact in sort mode).
         """
+        if self.fields:
+            # posting keys on a multi-field index are "<field><sep><term>";
+            # a bare-term lookup would silently match NOTHING — fail loud and
+            # point at the clause API instead of returning an empty page
+            raise ValueError(
+                "this is a multi-field index (fields: "
+                f"{sorted(self.fields)}); use search_fields(must=..., "
+                "should=...) — plain search() has no field to address"
+            )
         if fuzzy_transpositions and not fuzzy:
             raise ValueError("fuzzy_transpositions requires fuzzy >= 1")
         if phonetic and (fuzzy or prefix_fuzzy or conjunctive or phrase

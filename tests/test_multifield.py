@@ -189,6 +189,13 @@ def test_single_field_index_rejects_field_search(spark, index_tiny):
         eng.search_fields(should=[("title", "x")])
 
 
+def test_multifield_index_rejects_plain_search(mf_engine):
+    # bare terms never match "<field><sep><term>" posting keys — plain
+    # search() must fail loud instead of silently returning an empty page
+    with pytest.raises(ValueError, match="search_fields"):
+        mf_engine.search("milk")
+
+
 def test_field_build_resume(spark, mf_rows, tmp_path_factory, mf_oracle, q_terms):
     """Kill after wave 1, resume: field layout honored, results identical."""
     from search_engine_spark.index.builder import BuildConfig, build_index
