@@ -137,6 +137,24 @@ def test_r5_serving_coordinator_scaleout():
     assert eff >= 0.8
 
 
+def test_r5_expansion_surfaces_at_1m():
+    """Damerau/phonetic at the 1M index: expansion is dictionary-time, the
+    serve is ordinary disjunction cost.  'teh' finds NOTHING under plain
+    Levenshtein and exactly the head term under transpositions — the
+    round-4 honest note, closed and measured."""
+    d = _load(os.path.join(os.path.dirname(ART), "expansion_r5_1m.json"))
+    s = d["surfaces"]
+    assert d["n_docs"] >= 1_000_000 and d["n_dict_terms"] >= 10_000
+    assert s["fuzzy_teh"]["expansions"]["teh"] == 0
+    assert s["fuzzy_teh"]["total"] == 0
+    assert s["damerau_teh"]["expansions"]["teh"] == 1
+    assert s["damerau_teh"]["total"] > 0.5 * d["n_docs"]  # a real head term
+    assert s["damerau_teh"]["expand_s_cold"] < 1.0  # dictionary DP, not postings
+    assert s["phonetic_teh"]["expansions"]["teh"] >= 1
+    # memoized steady state: the key array is built once per engine
+    assert s["phonetic_tail"]["expand_s_cold"] <= s["phonetic_teh"]["expand_s_cold"]
+
+
 def test_r5_wand_crossover_and_dispatch():
     """WAND beats the sort baseline at 8M docs wherever the cost model
     predicts pruning, loses at 1M everywhere, and mode=auto picks the
