@@ -1342,6 +1342,65 @@ ENGINE_MULTIFIELD_MUST_SQL = _MF_TOPK_SQL_TMPL.format(
 )
 
 
+# fuzzy clause over a named path (the Atlas text clause's fuzzy option):
+# body:'sow'~1 expands FIELD-SCOPED to {row, slow}, scored per-variant with
+# the BODY's df/docCount/avgdl and folded in ascending posting-key order.
+_MF_FZ_Q = "sow"
+
+
+def engine_multifield_fuzzy(spark, sf_dir, k=20):
+    """The engine's field-scoped fuzzy expansion through the compound path."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
+    res = eng.search_fields(
+        should=[{"field": "body", "query": _MF_FZ_Q, "kind": "fuzzy", "fuzzy": 1}],
+        minimum_should_match=1, k=60,
+    )
+    return _engine_page_frame(spark, res, k)
+
+
+ENGINE_MULTIFIELD_FUZZY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), fdoc AS (
+  SELECT doc_id, toks[{_MF_TITLE_LEN + 1}:] AS body FROM t
+), tok AS (
+  SELECT doc_id, CAST(len(body) AS DOUBLE) AS dl, unnest(body) AS term
+  FROM fdoc
+), exp AS (
+  SELECT DISTINCT term FROM tok WHERE levenshtein(term, '{_MF_FZ_Q}') <= 1
+), per AS (
+  SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf,
+         ANY_VALUE(t.dl) AS dl
+  FROM tok t JOIN exp USING (term) GROUP BY t.doc_id, t.term
+), dfs AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM per GROUP BY term
+), stats AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE len(body) > 0) AS DOUBLE) AS dc,
+         SUM(CAST(len(body) AS DOUBLE)) FILTER (WHERE len(body) > 0) AS sumdl
+  FROM fdoc
+), scored_term AS (
+  SELECT per.doc_id, per.term,
+         ln(1.0 + (dc - df + 0.5) / (df + 0.5)) * tf
+           / (tf + {K1} * (1.0 - {B} + {B} * dl / (sumdl / dc))) AS s
+  FROM per JOIN dfs USING (term) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, list(s ORDER BY term) AS ss FROM scored_term GROUP BY doc_id
+), scored AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ss),
+                           (a, b) -> a + b), 6) AS score
+  FROM agg
+)
+SELECT doc_id, score, rk
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 20
+"""
+
+
 # --------------------------------------------------------------------------
 # minimumShouldMatch m-of-n (Lucene general form; the reference only ever
 # sets m=1, search_utils.py:134,188): docs matching at least m of the n
@@ -1465,7 +1524,6 @@ QUERIES = {
     "ft_phrase_topk": phrase_topk,
     "ft_engine_phrase_topk": engine_phrase_topk,
     "ft_phrase_near_topk": phrase_near_topk,
-    "ft_engine_phrase_near_topk": engine_phrase_near_topk,
     "ft_fuzzy_topk": fuzzy_topk,
     "ft_engine_fuzzy_topk": engine_fuzzy_topk,
     "ft_damerau_topk": damerau_topk,
@@ -1478,10 +1536,12 @@ QUERIES = {
     "ft_multifield_topk": multifield_topk,
     "ft_engine_multifield_topk": engine_multifield_topk,
     "ft_engine_multifield_must": engine_multifield_must,
+    "ft_engine_multifield_fuzzy": engine_multifield_fuzzy,
     "ft_engine_msm2_topk": engine_msm2_topk,
     # registered last on purpose: with the round-5 window rotation these are
     # the ft gates that fall outside the driver's 50-gate window, and every
     # one is already driver-verified (CORRECTNESS_r04) + CHECKGATE-covered
+    "ft_engine_phrase_near_topk": engine_phrase_near_topk,
     "ft_engine_suggest": engine_suggest,
     "ft_engine_highlight_topk": engine_highlight_topk,
     "ft_engine_phrase_first_pos": engine_phrase_first_pos,
@@ -1522,6 +1582,7 @@ ORACLES = {
     "ft_multifield_topk": MULTIFIELD_TOPK_SQL,
     "ft_engine_multifield_topk": ENGINE_MULTIFIELD_TOPK_SQL,
     "ft_engine_multifield_must": ENGINE_MULTIFIELD_MUST_SQL,
+    "ft_engine_multifield_fuzzy": ENGINE_MULTIFIELD_FUZZY_SQL,
     "ft_engine_msm2_topk": ENGINE_MSM2_TOPK_SQL,
     "ft_query_log_replay": QUERY_LOG_REPLAY_SQL,
 }

@@ -412,8 +412,26 @@ class OracleMultiFieldIndex:
         minimum_should_match: int = 1,
     ) -> QueryResult:
         def clause_keys(c):
-            f, q = c
-            return [(f, t) for t in preprocess_query(q)]
+            if isinstance(c, dict):
+                f, q, kind = c["field"], c["query"], c.get("kind", "text")
+            else:
+                (f, q), kind = c, "text"
+            toks = preprocess_query(q)
+            if kind == "text":
+                return [(f, t) for t in toks]
+            if kind == "fuzzy":
+                n = int(c.get("fuzzy", 1))
+                tr = bool(c.get("transpositions", False))
+                vocab = sorted(t for (ff, t) in self.postings if ff == f)
+                out = set()
+                for qt in toks:
+                    out.update(
+                        t for t in vocab
+                        if abs(len(t) - len(qt)) <= n
+                        and edit_distance_leq(t, qt, n, tr)
+                    )
+                return [(f, t) for t in sorted(out)]
+            raise ValueError(f"unknown clause kind {kind!r}")
 
         mt = [clause_keys(c) for c in must]
         st = [clause_keys(c) for c in should]

@@ -743,7 +743,13 @@ class SearchEngine:
         - ``prefix``: Atlas ``autocomplete`` (search_utils.py:182-186) — the
           single analyzed term expands by dictionary prefix scan WITHIN the
           field (prefixed keys sort contiguously per field, so the existing
-          range scan is already field-scoped).
+          range scan is already field-scoped);
+        - ``fuzzy``: the Atlas text clause's ``fuzzy`` option over a named
+          path — every analyzed term expands to its edit-distance
+          neighborhood WITHIN the field's vocabulary (options ``fuzzy``
+          (default 1) and ``transpositions`` (default False) on the clause
+          dict).  The clause matches when ANY variant is present, exactly
+          like a plain text clause over the expanded term set.
         """
         if isinstance(clause, (tuple, list)):
             field, query, kind = clause[0], clause[1], "text"
@@ -769,7 +775,81 @@ class SearchEngine:
                     f"prefix clause needs a single analyzed term, got {toks!r}"
                 )
             return self.expand_prefix(f"{field}{sep}{toks[0]}", max_expansions)
+        if kind == "fuzzy":
+            n = int(clause.get("fuzzy", 1))
+            transpositions = bool(clause.get("transpositions", False))
+            out: set[str] = set()
+            for tk in toks:
+                out.update(self._expand_fuzzy_in_field(
+                    field, tk, n, transpositions, max_expansions
+                ))
+            return sorted(out)
         raise ValueError(f"unknown clause kind {kind!r}")
+
+    def _expand_fuzzy_in_field(
+        self, field: str, term: str, fuzzy: int, transpositions: bool,
+        max_expansions: int | None,
+    ) -> list[str]:
+        """Edit-distance expansion scoped to one field's vocabulary.
+
+        Prefixed keys sort contiguously per field ([field+sep, field+" ")
+        bounds: the \\x1f separator sorts below every token codepoint), so
+        the cached path slices the dictionary to the field's range, strips
+        the prefix, and runs the same banded DP as the single-field
+        expansion; the distributed path applies the same k=1 closed form /
+        pandas_udf to the key SUFFIX over a prefix-pruned term-stats scan.
+        Returns prefixed keys, ascending.
+        """
+        sep = self.field_sep
+        prefix = f"{field}{sep}"
+        key = ("ff", field, term, int(fuzzy), max_expansions, bool(transpositions))
+        hit = self._fuzzy_cache.get(key)
+        if hit is not None:
+            return list(hit)
+        if self._terms_arr is not None:
+            lo = int(np.searchsorted(self._terms_arr, prefix))
+            # chr(0x20) sorts just above the \x1f separator and below every
+            # token codepoint, so field+" " is an exclusive field upper bound
+            hi = int(np.searchsorted(self._terms_arr, field + " "))
+            plen = len(prefix)
+            out = [
+                str(t) for t in self._terms_arr[lo:hi]
+                if abs((len(t) - plen) - len(term)) <= fuzzy
+                and edit_distance_leq(str(t)[plen:], term, fuzzy, transpositions)
+            ]
+        else:
+            suffix = F.substring(F.col("term"), len(prefix) + 1, 1_000_000)
+            if not transpositions:
+                cond = F.levenshtein(suffix, F.lit(term)) <= fuzzy
+            elif fuzzy == 1:
+                from ..analysis.text import swap_variants
+
+                cond = F.levenshtein(suffix, F.lit(term)) <= fuzzy
+                swaps = swap_variants(term)
+                if swaps:
+                    cond = cond | suffix.isin(swaps)
+            else:
+                from pyspark.sql.functions import pandas_udf
+
+                @pandas_udf("boolean")
+                def _osa_leq(suffixes: pd.Series) -> pd.Series:
+                    return suffixes.map(
+                        lambda t: edit_distance_leq(t, term, fuzzy, True)
+                    )
+
+                cond = _osa_leq(suffix)
+            rows = (
+                self.spark.read.parquet(self.cat.term_stats)
+                .select("term").distinct()
+                .filter(F.col("term").startswith(prefix) & cond)
+                .collect()
+            )
+            out = sorted(r["term"] for r in rows)
+        out = out[:max_expansions] if max_expansions else out
+        if len(self._fuzzy_cache) > 10_000:
+            self._fuzzy_cache.clear()
+        self._fuzzy_cache[key] = out
+        return list(out)
 
     def search_fields(
         self,

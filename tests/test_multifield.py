@@ -189,6 +189,67 @@ def test_single_field_index_rejects_field_search(spark, index_tiny):
         eng.search_fields(should=[("title", "x")])
 
 
+def test_fuzzy_clause_should(mf_engine, mf_oracle):
+    # Atlas text clause's fuzzy option over a named path: same expansion,
+    # field-scoped — engine slices the prefixed dictionary, oracle scans
+    # the field vocabulary
+    fz = {"field": "body", "query": "melk", "kind": "fuzzy", "fuzzy": 1}
+    exp = _check(mf_engine, mf_oracle, [], [fz], 1)
+    assert exp.total > 0
+
+
+def test_fuzzy_clause_in_must_mix(mf_engine, mf_oracle):
+    # a fuzzy MUST clause (any variant present) combined with a should —
+    # the shape n separate clauses cannot model
+    must = [{"field": "body", "query": "melk", "kind": "fuzzy"}]
+    should = [("title", "the"), ("body", "oil")]
+    _check(mf_engine, mf_oracle, must, should, 1)
+
+
+def test_fuzzy_clause_transpositions(mf_engine, mf_oracle):
+    fz = {"field": "body", "query": "mlik", "kind": "fuzzy", "fuzzy": 1,
+          "transpositions": True}
+    exp = _check(mf_engine, mf_oracle, [], [fz], 1)
+    assert exp.total > 0  # 'mlik' reaches 'milk' only via the swap
+    plain = mf_oracle.search_compound(
+        should=[{"field": "body", "query": "mlik", "kind": "fuzzy"}],
+        minimum_should_match=1,
+    )
+    assert exp.total >= plain.total
+
+
+def test_fuzzy_clause_expansion_is_field_scoped(mf_engine, mf_oracle):
+    for f in ("title", "body"):
+        got = mf_engine._expand_fuzzy_in_field(f, "melk", 1, False, None)
+        sep = mf_engine.field_sep
+        vocab = sorted(t for (ff, t) in mf_oracle.postings if ff == f)
+        from search_engine_spark.analysis.text import edit_distance_leq
+
+        want = [f"{f}{sep}{t}" for t in vocab if edit_distance_leq(t, "melk", 1)]
+        assert got == want, f
+    # distinct fields genuinely expand differently on this fixture OR at
+    # least the keys carry their own field prefix
+    t_keys = mf_engine._expand_fuzzy_in_field("title", "melk", 1, False, None)
+    b_keys = mf_engine._expand_fuzzy_in_field("body", "melk", 1, False, None)
+    assert all(k.startswith("title") for k in t_keys)
+    assert all(k.startswith("body") for k in b_keys)
+
+
+def test_fuzzy_clause_distributed_dictionary(mf_engine, mf_oracle):
+    # above-dict-budget path: prefix-pruned term-stats scan on the suffix
+    cached = mf_engine._expand_fuzzy_in_field("body", "melk", 1, False, None)
+    cached_tr = mf_engine._expand_fuzzy_in_field("body", "mlik", 1, True, None)
+    saved = mf_engine._terms_arr
+    try:
+        mf_engine._terms_arr = None
+        mf_engine._fuzzy_cache.clear()
+        assert mf_engine._expand_fuzzy_in_field("body", "melk", 1, False, None) == cached
+        assert mf_engine._expand_fuzzy_in_field("body", "mlik", 1, True, None) == cached_tr
+    finally:
+        mf_engine._terms_arr = saved
+        mf_engine._fuzzy_cache.clear()
+
+
 def test_multifield_index_rejects_plain_search(mf_engine):
     # bare terms never match "<field><sep><term>" posting keys — plain
     # search() must fail loud instead of silently returning an empty page
