@@ -1284,7 +1284,11 @@ def _mf_index_for(spark, sf_dir: str) -> str:
 
     tag = sf_dir.strip("/").replace("/", "_")
     corpus_dir = os.path.join(tempfile.gettempdir(), "ses_mfcorp_" + tag)
-    index_dir = os.path.join(tempfile.gettempdir(), "ses_mfidx_" + tag)
+    # "mfidxp": positional multi-field layout (the phrase-clause gate reads
+    # positions; the other mf gates prune the column at the scan) — the dir
+    # prefix changed with the layout so stale non-positional caches from
+    # earlier runs can't be picked up
+    index_dir = os.path.join(tempfile.gettempdir(), "ses_mfidxp_" + tag)
     if not os.path.exists(os.path.join(index_dir, "corpus_stats.json")):
         (
             _mf_fields_df(spark, sf_dir)
@@ -1299,6 +1303,7 @@ def _mf_index_for(spark, sf_dir: str) -> str:
         cfg = BuildConfig(
             block_docs=256, target_ranges=64, min_range_docs=256,
             n_partitions=16, waves=2, field_cols=("title", "body"),
+            positions=True,
         )
         build_index(spark, corpus_dir, index_dir, cfg=cfg, id_col="doc_id")
     _MF_ENGINE_CACHE[sf_dir] = index_dir
@@ -1392,6 +1397,59 @@ WITH t AS (
          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ss),
                            (a, b) -> a + b), 6) AS score
   FROM agg
+)
+SELECT doc_id, score, rk
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 20
+"""
+
+
+# field-scoped phrase (the Atlas phrase clause's path option): the analyzed
+# token sequence must appear consecutively WITHIN the field; the match
+# scores as one pseudo-term with the FIELD's docCount/avgdl (Lucene
+# per-field norms).  Positions in a field_cols build are offsets in the
+# field's own token stream, so adjacency is field-local by construction.
+_MF_PH_Q = "part filter"  # 42 body-adjacent docs at sf0.01
+
+
+def engine_multifield_phrase(spark, sf_dir, k=20):
+    """The engine's field-scoped phrase path over the positional mf index."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
+    res = eng.search_field_phrase("body", _MF_PH_Q, k=60)
+    return _engine_page_frame(spark, res, k)
+
+
+_MF_PH_T1, _MF_PH_T2 = _MF_PH_Q.split()
+
+ENGINE_MULTIFIELD_PHRASE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), fdoc AS (
+  SELECT doc_id, toks[{_MF_TITLE_LEN + 1}:] AS body FROM t
+), stats AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE len(body) > 0) AS DOUBLE) AS dc,
+         SUM(CAST(len(body) AS DOUBLE)) FILTER (WHERE len(body) > 0) AS sumdl
+  FROM fdoc
+), per AS (
+  SELECT doc_id, CAST(len(body) AS DOUBLE) AS dl,
+         CAST(len(list_filter(range(1, len(body)),
+                              i -> body[i] = '{_MF_PH_T1}'
+                               AND body[i + 1] = '{_MF_PH_T2}')) AS DOUBLE) AS tf
+  FROM fdoc WHERE len(body) >= 2
+), m AS (
+  SELECT doc_id, dl, tf FROM per WHERE tf > 0
+), dfp AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS df FROM m
+), scored AS (
+  SELECT doc_id,
+         round(ln(1.0 + (dc - df + 0.5) / (df + 0.5)) * tf
+                 / (tf + {K1} * (1.0 - {B} + {B} * dl / (sumdl / dc))), 6)
+           AS score
+  FROM m CROSS JOIN dfp CROSS JOIN stats
 )
 SELECT doc_id, score, rk
 FROM (SELECT doc_id, score,
@@ -1523,7 +1581,6 @@ QUERIES = {
     "ft_engine_bm25_topk": engine_bm25_topk,
     "ft_phrase_topk": phrase_topk,
     "ft_engine_phrase_topk": engine_phrase_topk,
-    "ft_phrase_near_topk": phrase_near_topk,
     "ft_fuzzy_topk": fuzzy_topk,
     "ft_engine_fuzzy_topk": engine_fuzzy_topk,
     "ft_damerau_topk": damerau_topk,
@@ -1537,10 +1594,12 @@ QUERIES = {
     "ft_engine_multifield_topk": engine_multifield_topk,
     "ft_engine_multifield_must": engine_multifield_must,
     "ft_engine_multifield_fuzzy": engine_multifield_fuzzy,
+    "ft_engine_multifield_phrase": engine_multifield_phrase,
     "ft_engine_msm2_topk": engine_msm2_topk,
     # registered last on purpose: with the round-5 window rotation these are
     # the ft gates that fall outside the driver's 50-gate window, and every
     # one is already driver-verified (CORRECTNESS_r04) + CHECKGATE-covered
+    "ft_phrase_near_topk": phrase_near_topk,
     "ft_engine_phrase_near_topk": engine_phrase_near_topk,
     "ft_engine_suggest": engine_suggest,
     "ft_engine_highlight_topk": engine_highlight_topk,
@@ -1583,6 +1642,7 @@ ORACLES = {
     "ft_engine_multifield_topk": ENGINE_MULTIFIELD_TOPK_SQL,
     "ft_engine_multifield_must": ENGINE_MULTIFIELD_MUST_SQL,
     "ft_engine_multifield_fuzzy": ENGINE_MULTIFIELD_FUZZY_SQL,
+    "ft_engine_multifield_phrase": ENGINE_MULTIFIELD_PHRASE_SQL,
     "ft_engine_msm2_topk": ENGINE_MSM2_TOPK_SQL,
     "ft_query_log_replay": QUERY_LOG_REPLAY_SQL,
 }

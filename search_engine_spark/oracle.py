@@ -388,6 +388,7 @@ class OracleMultiFieldIndex:
         self.n_docs = len(rows)
         self.field_len: dict[str, dict[int, int]] = {}
         self.postings: dict[tuple[str, str], dict[int, int]] = {}
+        self.positions: dict[tuple[str, str], dict[int, list[int]]] = {}
         for url, fields in rows:
             d = self.url_to_doc[url]
             for f_name, text in fields.items():
@@ -395,9 +396,12 @@ class OracleMultiFieldIndex:
                 if not toks:
                     continue
                 self.field_len.setdefault(f_name, {})[d] = len(toks)
-                for t in toks:
+                for p, t in enumerate(toks):
                     pl = self.postings.setdefault((f_name, t), {})
                     pl[d] = pl.get(d, 0) + 1
+                    self.positions.setdefault((f_name, t), {}).setdefault(
+                        d, []
+                    ).append(p)
         self.fields = {
             f: (len(lens), sum(lens.values()) / len(lens))
             for f, lens in self.field_len.items()
@@ -469,3 +473,41 @@ class OracleMultiFieldIndex:
         }
         ranked = sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))
         return QueryResult(total=len(ranked), hits=ranked[skip : skip + k])
+
+    def search_phrase_field(
+        self, field: str, keyword: str, k: int = 10, skip: int = 0,
+        max_gap: int = 0,
+    ) -> QueryResult:
+        """Field-scoped exact phrase (Atlas phrase clause with a path): the
+        analyzed token sequence must appear consecutively within ``field``;
+        the match scores as one pseudo-term with the FIELD's docCount/avgdl
+        — the per-field-norm twin of OracleIndex.search_phrase."""
+        terms = tokenize(keyword)
+        keys = [(field, t) for t in terms]
+        if not terms or any(kk not in self.positions for kk in keys):
+            return QueryResult(total=0)
+        docs = set(self.positions[keys[0]])
+        for kk in keys[1:]:
+            docs &= set(self.positions[kk])
+        tfs: dict[int, int] = {}
+        for d in docs:
+            ends = set(self.positions[keys[0]][d])
+            for kk in keys[1:]:
+                ends = {
+                    p for p in self.positions[kk][d]
+                    if any(1 <= p - q <= max_gap + 1 for q in ends)
+                }
+                if not ends:
+                    break
+            if ends:
+                tfs[d] = len(ends)
+        df = len(tfs)
+        if df == 0:
+            return QueryResult(total=0)
+        dc, avgdl = self.fields[field]
+        scores = {
+            d: bm25(tf, df, self.field_len[field][d], dc, avgdl)
+            for d, tf in tfs.items()
+        }
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return QueryResult(total=df, hits=ranked[skip : skip + k])

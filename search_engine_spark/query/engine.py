@@ -1149,6 +1149,28 @@ class SearchEngine:
             match, schema="doc_id long, tf long, dl long, first_pos long"
         )
 
+    def search_field_phrase(
+        self,
+        field: str,
+        keyword: str,
+        k: int = 10,
+        skip: int = 0,
+        force_distributed: bool = False,
+        highlight: bool = False,
+        max_gap: int = 0,
+        with_url: bool = False,
+    ) -> SearchResult:
+        """Field-scoped exact-phrase search (Atlas phrase clause with a
+        ``path``): the analyzed token sequence of ``keyword`` must appear
+        consecutively within ``field``; matches score as one pseudo-term with
+        the FIELD's docCount/avgdl.  Requires a positional multi-field index
+        (``BuildConfig(field_cols=..., positions=True)``).  ``highlight``
+        adds the first phrase start as a FIELD-LOCAL token offset."""
+        return self._phrase_search(
+            keyword, k, skip, False, False, with_url, force_distributed,
+            highlight=highlight, max_gap=max_gap, field=field,
+        )
+
     def _phrase_search(
         self,
         keyword: str,
@@ -1160,6 +1182,7 @@ class SearchEngine:
         force_distributed: bool,
         highlight: bool = False,
         max_gap: int = 0,
+        field: str | None = None,
     ) -> SearchResult:
         """Exact-phrase BM25 top-k (Atlas ``$search.phrase``, the operator the
         reference's platform exposes next to its text/autocomplete clauses).
@@ -1172,7 +1195,27 @@ class SearchEngine:
         ``idf(df_phrase) * tf_norm(tf_phrase, dl)`` with the engine's BM25
         constants.  ``total`` is the exact phrase df at zero extra cost (the
         match IS the count).
+
+        ``field`` (Atlas phrase clause's ``path``, multi-field indexes only):
+        the phrase must appear within THAT field — terms become prefixed
+        posting keys (whose stored positions are offsets in the field's own
+        token stream, so adjacency is field-local by construction) and the
+        pseudo-term scores with the FIELD's docCount/avgdl (Lucene per-field
+        norms).  Doc-level dl%-boosts are doc-global semantics and are
+        rejected with a field (field dl is the wrong operand for them).
         """
+        if field is not None:
+            # field addressing errors first: they are more specific than the
+            # index-layout complaint a non-positional index would raise
+            if not self.fields:
+                raise ValueError(
+                    "field-scoped phrase requires a multi-field index "
+                    "(build with BuildConfig(field_cols=...))"
+                )
+            if field not in self.fields:
+                raise ValueError(
+                    f"unknown field {field!r}; index fields: {sorted(self.fields)}"
+                )
         if "positions" not in self._segments_df.columns:
             raise ValueError(
                 "phrase search requires a positional index "
@@ -1183,7 +1226,18 @@ class SearchEngine:
                 "highlight is not supported with max_gap > 0 (variable gaps "
                 "make the phrase start unrecoverable from the match key)"
             )
-        terms_seq = tokenize(keyword)
+        if field is not None:
+            if constant_boost or avail_boost:
+                raise ValueError(
+                    "doc-level boosts are not supported with a field-scoped "
+                    "phrase (the field dl is the wrong boost operand)"
+                )
+            fs = self.fields[field]
+            n_docs, avgdl = int(fs["doc_count"]), float(fs["avgdl"])
+            terms_seq = [f"{field}{self.field_sep}{t}" for t in tokenize(keyword)]
+        else:
+            n_docs, avgdl = self.n_docs, self.avgdl
+            terms_seq = tokenize(keyword)
         empty = SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
         if not terms_seq:
             return empty
@@ -1201,10 +1255,10 @@ class SearchEngine:
             )
             if uniq.size == 0:
                 return empty
-            w = _math_idf(self.n_docs, int(uniq.size))
+            w = _math_idf(n_docs, int(uniq.size))
             tf = tfs.astype(np.float64)
             dl = dls.astype(np.float64)
-            acc = w * tf / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+            acc = w * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
             if constant_boost:
                 acc = acc + np.where(dls % 37 == 0, CONSTANT_BOOST, 0.0)
             if avail_boost:
@@ -1220,13 +1274,13 @@ class SearchEngine:
             if total == 0:
                 matched.unpersist()
                 return empty
-            w = _math_idf(self.n_docs, int(total))
+            w = _math_idf(n_docs, int(total))
             tfd = F.col("tf").cast("double")
             dld = F.col("dl").cast("double")
             # operand-for-operand the driver path's numpy expression tree
             score = F.lit(w) * tfd / (
                 tfd
-                + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * dld / F.lit(self.avgdl))
+                + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * dld / F.lit(avgdl))
             )
             scored = self._apply_boosts(
                 matched.select(

@@ -49,7 +49,7 @@ def mf_index(spark, mf_rows, tmp_path_factory):
     index_dir = str(tmp_path_factory.mktemp("mf") / "index")
     cfg = BuildConfig(
         block_docs=64, target_ranges=16, min_range_docs=64, n_partitions=8,
-        waves=2, field_cols=("title", "body"),
+        waves=2, field_cols=("title", "body"), positions=True,
     )
     metrics = build_index(spark, corpus, index_dir, cfg=cfg)
     assert metrics["n_docs"] == len(mf_rows)
@@ -248,6 +248,65 @@ def test_fuzzy_clause_distributed_dictionary(mf_engine, mf_oracle):
     finally:
         mf_engine._terms_arr = saved
         mf_engine._fuzzy_cache.clear()
+
+
+def _body_bigram(mf_rows):
+    """A deterministic bigram adjacent in >= 2 docs' BODY streams."""
+    import collections
+
+    c = collections.Counter()
+    for _, f in mf_rows:
+        toks = tokenize(f["body"])
+        c.update({f"{a} {b}" for a, b in zip(toks, toks[1:])})
+    bg, n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert n >= 2
+    return bg
+
+
+def test_field_phrase_rank_identity(mf_engine, mf_oracle, mf_rows):
+    bg = _body_bigram(mf_rows)
+    exp = mf_oracle.search_phrase_field("body", bg, k=15)
+    assert exp.total >= 2
+    for fd in (False, True):
+        res = mf_engine.search_field_phrase("body", bg, k=15, force_distributed=fd)
+        got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
+        assert [g[0] for g in got] == [h[0] for h in exp.hits], fd
+        assert np.allclose(
+            [g[1] for g in got], [h[1] for h in exp.hits], rtol=0, atol=5e-7
+        ), fd
+        assert res.total == exp.total, fd
+
+
+def test_field_phrase_is_field_scoped(mf_engine, mf_oracle, mf_rows):
+    # a bigram straddling the title/body boundary is adjacent in the DOC
+    # token stream but in NEITHER field's stream — the field-scoped phrase
+    # must not match it (positions are field-local by construction)
+    straddle = None
+    for _, f in mf_rows:
+        t, b = tokenize(f["title"]), tokenize(f["body"])
+        if t and b:
+            straddle = f"{t[-1]} {b[0]}"
+            bg = straddle
+            # only usable if this pair is adjacent in no single field stream
+            if (mf_oracle.search_phrase_field("title", bg).total == 0
+                    and mf_oracle.search_phrase_field("body", bg).total == 0):
+                break
+            straddle = None
+    if straddle is None:
+        pytest.skip("no straddling bigram absent from both field streams")
+    for fld in ("title", "body"):
+        res = mf_engine.search_field_phrase(fld, straddle, k=5)
+        assert res.total == 0, (fld, straddle)
+
+
+def test_field_phrase_validation(mf_engine, spark, index_tiny):
+    from search_engine_spark.query.engine import SearchEngine
+
+    with pytest.raises(ValueError, match="unknown field"):
+        mf_engine.search_field_phrase("nope", "a b")
+    single = SearchEngine(spark, index_tiny)
+    with pytest.raises(ValueError, match="multi-field"):
+        single.search_field_phrase("title", "a b")
 
 
 def test_multifield_index_rejects_plain_search(mf_engine):
