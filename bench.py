@@ -208,6 +208,10 @@ def main():
             should=[("title", "scan"), ("body", "scan")], k=10),
         "search_multifield_must": lambda: mf_eng.search_fields(
             must=[("title", "window")], should=[("body", "scan")], k=10),
+        "search_multifield_fuzzy": lambda: mf_eng.search_fields(
+            should=[{"field": "body", "query": "sow", "kind": "fuzzy"}], k=10),
+        "search_multifield_phrase": lambda: mf_eng.search_field_phrase(
+            "body", "part filter", k=10),
         "search_msm2": lambda: eng.search(
             "scan window merge", k=10, min_should_match=2),
     }
