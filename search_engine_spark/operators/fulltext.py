@@ -671,7 +671,17 @@ def damerau_topk(spark, sf_dir, k=20):
     return _fuzzy_disjunction_topk(spark, sf_dir, cond, k)
 
 
-DAMERAU_TOPK_SQL = FUZZY_TOPK_SQL.replace(
+def _replace_exactly(sql: str, needle: str, repl: str) -> str:
+    """str.replace that REFUSES to no-op: a reworded FUZZY_TOPK_SQL filter
+    must break oracle construction loudly, not silently leave the derived
+    oracle running the plain-fuzzy query."""
+    if needle not in sql:
+        raise AssertionError(f"oracle template lost its filter anchor: {needle!r}")
+    return sql.replace(needle, repl)
+
+
+DAMERAU_TOPK_SQL = _replace_exactly(
+    FUZZY_TOPK_SQL,
     f"levenshtein(term, '{_FZ_Q}') <= 1",
     " OR ".join(f"damerau_levenshtein(term, '{q}') <= 1" for q in _DZ_QS),
 )
@@ -742,13 +752,19 @@ _PH_QS = ("grup", "stremm")  # keys G610/S365 -> {group, stream} at sf0.01
 
 
 def _soundex_sql(operand: str) -> str:
-    """The pinned Soundex chain as a DuckDB expression over ``operand``."""
+    """The pinned Soundex chain as a DuckDB expression over ``operand``.
+
+    DuckDB's regex engine is RE2, which SILENTLY ignores backreferences —
+    ``regexp_replace(x, '(.)\\1+', '\\1', 'g')`` returns x unchanged — so
+    the adjacent-duplicate collapse is spelled as one literal-run replace
+    per code digit (the code alphabet is exactly 0-6).  Pinned against the
+    python/Spark forms on dedup-requiring terms in tests/test_phonetic.py.
+    """
     from ..analysis.text import _SOUNDEX_MAP
 
-    dedup = (
-        f"regexp_replace(translate({operand}, 'abcdefghijklmnopqrstuvwxyz', "
-        f"'{_SOUNDEX_MAP}'), '(.)\\1+', '\\1', 'g')"
-    )
+    dedup = f"translate({operand}, 'abcdefghijklmnopqrstuvwxyz', '{_SOUNDEX_MAP}')"
+    for d in sorted(set(_SOUNDEX_MAP)):
+        dedup = f"regexp_replace({dedup}, '{d}{d}+', '{d}', 'g')"
     key = (
         f"upper(({operand})[1]) || substr(rpad(replace(substr({dedup}, 2), "
         f"'0', ''), 3, '0'), 1, 3)"
@@ -769,7 +785,8 @@ def phonetic_topk(spark, sf_dir, k=20):
     )
 
 
-PHONETIC_TOPK_SQL = FUZZY_TOPK_SQL.replace(
+PHONETIC_TOPK_SQL = _replace_exactly(
+    FUZZY_TOPK_SQL,
     f"levenshtein(term, '{_FZ_Q}') <= 1",
     f"{_soundex_sql('term')} IN ("
     + ", ".join(_soundex_sql(f"'{q}'") for q in _PH_QS)

@@ -202,6 +202,32 @@ def predict_wand_decode(
     }
 
 
+def _fuzzy_term_cond(operand, term: str, fuzzy: int, transpositions: bool):
+    """The distributed edit-distance filter over a term (or key-suffix)
+    column — THE three-way dispatch both dictionary-scale expansions share:
+    plain ``levenshtein``; at transpositions+k=1 the exact closed form
+    ``levenshtein <= 1 OR operand IN swap_variants(q)``; and only for the
+    no-closed-form transpositions+k>=2 shape (beyond Lucene's own cap) an
+    Arrow-batched pandas_udf running the banded OSA DP."""
+    if not transpositions:
+        return F.levenshtein(operand, F.lit(term)) <= fuzzy
+    if fuzzy == 1:
+        from ..analysis.text import swap_variants
+
+        cond = F.levenshtein(operand, F.lit(term)) <= fuzzy
+        swaps = swap_variants(term)
+        if swaps:
+            cond = cond | operand.isin(swaps)
+        return cond
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _osa_leq(vals: pd.Series) -> pd.Series:
+        return vals.map(lambda t: edit_distance_leq(t, term, fuzzy, True))
+
+    return _osa_leq(operand)
+
+
 def soundex_key_col(c):
     """``analysis.text.soundex_key`` as a pure-JVM Spark column expression —
     the chain the distributed phonetic expansion and the declarative twins
@@ -322,6 +348,18 @@ class SearchEngine:
             q = q.limit(max_expansions)
         return [r["term"] for r in q.collect()]
 
+    def _require_single_field(self, surface: str) -> None:
+        """Bare-term dictionary surfaces silently match NOTHING against a
+        multi-field index's prefixed keys (and the length prefilter would
+        reject every key anyway) — same fail-loud rule as plain search()."""
+        if self.fields:
+            raise ValueError(
+                f"{surface} addresses the bare term dictionary; this is a "
+                f"multi-field index (fields: {sorted(self.fields)}) — use "
+                "the field-scoped clause forms (search_fields / "
+                "search_field_phrase)"
+            )
+
     def expand_fuzzy(
         self, term: str, fuzzy: int, max_expansions: int | None = None,
         transpositions: bool = False,
@@ -347,6 +385,7 @@ class SearchEngine:
         Results memoize per engine instance (bounded) — repeat misspellings
         skip the scan.
         """
+        self._require_single_field("expand_fuzzy")
         key = (term, int(fuzzy), max_expansions, bool(transpositions))
         hit = self._fuzzy_cache.get(key)
         if hit is not None:
@@ -363,27 +402,12 @@ class SearchEngine:
                 if edit_distance_leq(str(t), term, fuzzy, transpositions)
             ]
         else:
-            stats = self.spark.read.parquet(self.cat.term_stats)
-            if not transpositions:
-                cond = F.levenshtein(F.col("term"), F.lit(term)) <= fuzzy
-            elif fuzzy == 1:
-                from ..analysis.text import swap_variants
-
-                cond = F.levenshtein(F.col("term"), F.lit(term)) <= fuzzy
-                swaps = swap_variants(term)
-                if swaps:
-                    cond = cond | F.col("term").isin(swaps)
-            else:
-                from pyspark.sql.functions import pandas_udf
-
-                @pandas_udf("boolean")
-                def _osa_leq(terms: pd.Series) -> pd.Series:
-                    return terms.map(
-                        lambda t: edit_distance_leq(t, term, fuzzy, True)
-                    )
-
-                cond = _osa_leq(F.col("term"))
-            rows = stats.select("term").distinct().filter(cond).collect()
+            rows = (
+                self.spark.read.parquet(self.cat.term_stats)
+                .select("term").distinct()
+                .filter(_fuzzy_term_cond(F.col("term"), term, fuzzy, transpositions))
+                .collect()
+            )
             out = sorted(r["term"] for r in rows)
         out = out[:max_expansions] if max_expansions else out
         if len(self._fuzzy_cache) > 10_000:
@@ -408,6 +432,7 @@ class SearchEngine:
         """
         from ..analysis.text import prefix_edit_distance_leq
 
+        self._require_single_field("expand_prefix_fuzzy")
         key = ("pf", term, int(fuzzy), max_expansions)
         hit = self._fuzzy_cache.get(key)
         if hit is not None:
@@ -452,6 +477,7 @@ class SearchEngine:
         """
         from ..analysis.text import soundex_key
 
+        self._require_single_field("expand_phonetic")
         key = ("ph", term)
         hit = self._fuzzy_cache.get(key)
         if hit is not None:
@@ -819,29 +845,13 @@ class SearchEngine:
             ]
         else:
             suffix = F.substring(F.col("term"), len(prefix) + 1, 1_000_000)
-            if not transpositions:
-                cond = F.levenshtein(suffix, F.lit(term)) <= fuzzy
-            elif fuzzy == 1:
-                from ..analysis.text import swap_variants
-
-                cond = F.levenshtein(suffix, F.lit(term)) <= fuzzy
-                swaps = swap_variants(term)
-                if swaps:
-                    cond = cond | suffix.isin(swaps)
-            else:
-                from pyspark.sql.functions import pandas_udf
-
-                @pandas_udf("boolean")
-                def _osa_leq(suffixes: pd.Series) -> pd.Series:
-                    return suffixes.map(
-                        lambda t: edit_distance_leq(t, term, fuzzy, True)
-                    )
-
-                cond = _osa_leq(suffix)
             rows = (
                 self.spark.read.parquet(self.cat.term_stats)
                 .select("term").distinct()
-                .filter(F.col("term").startswith(prefix) & cond)
+                .filter(
+                    F.col("term").startswith(prefix)
+                    & _fuzzy_term_cond(suffix, term, fuzzy, transpositions)
+                )
                 .collect()
             )
             out = sorted(r["term"] for r in rows)

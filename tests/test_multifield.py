@@ -316,6 +316,19 @@ def test_multifield_index_rejects_plain_search(mf_engine):
         mf_engine.search("milk")
 
 
+def test_multifield_index_rejects_bare_dictionary_surfaces(mf_engine):
+    # the same silent-empty failure mode exists for every bare-term
+    # dictionary surface: expansion/suggest must fail loud too
+    with pytest.raises(ValueError, match="multi-field"):
+        mf_engine.expand_fuzzy("milk", 1)
+    with pytest.raises(ValueError, match="multi-field"):
+        mf_engine.expand_prefix_fuzzy("mil", 1)
+    with pytest.raises(ValueError, match="multi-field"):
+        mf_engine.expand_phonetic("milk")
+    with pytest.raises(ValueError, match="multi-field"):
+        mf_engine.suggest("milk")
+
+
 def test_field_build_resume(spark, mf_rows, tmp_path_factory, mf_oracle, q_terms):
     """Kill after wave 1, resume: field layout honored, results identical."""
     from search_engine_spark.index.builder import BuildConfig, build_index

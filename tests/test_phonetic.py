@@ -27,7 +27,16 @@ def test_key_parity_three_ways(spark, oracle_tiny):
     from search_engine_spark.operators.fulltext import _soundex_sql
     from search_engine_spark.query.engine import soundex_key_col
 
-    terms = list(oracle_tiny.terms_sorted)
+    # the synthetic fixture vocabulary happens to contain ZERO terms with
+    # adjacent same-code letters, which is exactly the class where DuckDB's
+    # RE2 regexp (no backreferences — '(.)\\1+' silently no-ops) diverged
+    # from python/Spark before the per-digit dedup fix; pin that class
+    # explicitly so fixture luck can never hide it again
+    dedup_needing = [
+        "pfister", "stremm", "aabbcc", "pass", "agg", "rrrr", "hall",
+        "jazz", "pff", "ashcraft", "honeyman", "bookkeeper",
+    ]
+    terms = sorted(set(oracle_tiny.terms_sorted) | set(dedup_needing))
     want = [soundex_key(t) for t in terms]
 
     sdf = spark.createDataFrame([(t,) for t in terms], "term string")
