@@ -155,6 +155,20 @@ def test_r5_expansion_surfaces_at_1m():
     assert s["phonetic_tail"]["expand_s_cold"] <= s["phonetic_teh"]["expand_s_cold"]
 
 
+def test_r5_multifield_at_1m():
+    """The field machinery at 10^6 docs: per-field norms commit correctly
+    and every compound surface serves at ordinary key-set cost."""
+    d = _load(os.path.join(os.path.dirname(ART), "multifield_r5_1m.json"))
+    assert d["n_docs"] >= 1_000_000
+    f = d["fields"]
+    assert f["title"]["avgdl"] <= 8.0 < f["body"]["avgdl"]  # genuinely distinct norms
+    q = d["queries"]
+    assert q["mf_should_head"]["total"] > 0.5 * d["n_docs"]
+    assert q["mf_fuzzy_clause"]["total"] > 0.5 * d["n_docs"]  # teh -> the, field-scoped
+    assert 0 < q["mf_must_should"]["total"] < q["mf_should_head"]["total"]
+    assert q["mf_field_phrase"]["total"] > 0  # head bigram, field-local adjacency
+
+
 def test_r5_wand_crossover_and_dispatch():
     """WAND beats the sort baseline at 8M docs wherever the cost model
     predicts pruning, loses at 1M everywhere, and mode=auto picks the
