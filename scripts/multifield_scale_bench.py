@@ -142,6 +142,48 @@ def main():
         }
         print(f"{name}: {walls} rows={len(res.page)} total={res.total}", flush=True)
 
+    # compound WAND vs sort (the single-field crossover protocol, §3c, on
+    # pure-should compound shapes): pages must be identical, auto must pick
+    # the measured winner, and the rare-dominated shape is where pruning can
+    # win once the corpus clears the crossover scale
+    wand_shapes = {
+        "dense_dense": [("title", "the"), ("body", "the")],
+        "rare_dominated": [("title", "cadbury"), ("body", "the")],
+    }
+    results["wand"] = {}
+    for name, should in wand_shapes.items():
+        legs = {}
+        pages = {}
+        for m in ("sort", "wand"):
+            walls = []
+            res = None
+            for _ in range(args.reps):
+                t0 = time.time()
+                res = (
+                    eng.search_fields(should=should, k=10, mode=m)
+                    if m == "wand"
+                    else eng.search_fields(should=should, k=10, force_distributed=True)
+                )
+                walls.append(round(time.time() - t0, 3))
+            legs[m] = {"walls_s": walls, "min_s": min(walls), "total": int(res.total)}
+            pages[m] = [(int(d), round(float(s), 9))
+                        for d, s in zip(res.page["doc_id"], res.page["score"])]
+        auto = eng.search_fields(should=should, k=10, mode="auto")
+        pages["auto"] = [(int(d), round(float(s), 9))
+                         for d, s in zip(auto.page["doc_id"], auto.page["score"])]
+        ratio = legs["wand"]["min_s"] / legs["sort"]["min_s"]
+        results["wand"][name] = {
+            **legs,
+            "pages_identical": pages["sort"] == pages["wand"] == pages["auto"],
+            "wand_over_sort_ratio": round(ratio, 3),
+            "auto_mode": eng.last_dispatch["mode"],
+            "auto_picked_winner": eng.last_dispatch["mode"]
+            == ("wand" if ratio < 1.0 else "sort"),
+        }
+        print(f"wand/{name}: sort={legs['sort']['min_s']} wand={legs['wand']['min_s']} "
+              f"auto={eng.last_dispatch['mode']} identical={results['wand'][name]['pages_identical']}",
+              flush=True)
+
     results["clock_probe_mips_end"] = clock_probe()
     out = args.out or f"BENCH/multifield_scale_{args.docs}_{args.cpus}.json"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)

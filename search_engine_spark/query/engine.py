@@ -871,6 +871,7 @@ class SearchEngine:
         max_expansions: int | None = None,
         with_url: bool = False,
         force_distributed: bool = False,
+        mode: str = "sort",
     ) -> SearchResult:
         """Compound multi-field search (reference ``$search.compound`` over
         named paths: should over name+barcode for single-term queries,
@@ -886,9 +887,20 @@ class SearchEngine:
         summed per doc in ascending posting-key order (field, then term):
         the same deterministic fold as the single-field engine.
         """
+        if mode not in ("sort", "wand", "auto"):
+            raise ValueError(f"mode must be 'sort', 'wand', or 'auto'; got {mode!r}")
         empty = SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
         must_terms = [self._clause_terms(c, max_expansions) for c in must]
         should_terms = [self._clause_terms(c, max_expansions) for c in should]
+        if mode != "sort" and (must or int(minimum_should_match) > 1 or skip):
+            # WAND's θ-pruning scope on the compound path: pure-should
+            # msm<=1 key disjunctions from page 1 (must/msm>=2 clause
+            # filtering and deep pagination stay on the full-scoring sort
+            # kernel — same restrictions as the single-field dispatch)
+            raise ValueError(
+                "mode='wand'/'auto' on search_fields applies to pure-should "
+                "minimum_should_match<=1 queries with skip=0"
+            )
         msm = int(minimum_should_match)
         if not should_terms:
             msm = 0
@@ -917,7 +929,41 @@ class SearchEngine:
         present_must = [[t for t in ts if t in dfs] for ts in must_terms]
         present_should = [[t for t in ts if t in dfs] for ts in should_terms]
 
-        if not force_distributed and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS:
+        if mode == "auto":
+            # the same metadata-only cost model as the single-field dispatch
+            # (predict_wand_decode reads block bounds keyed by posting key —
+            # prefixed keys are just keys to it)
+            wand_meta = self._wand_meta(present)
+            est = predict_wand_decode(wand_meta, idf, k, self.bound_scale, 0.0)
+            use_wand = (
+                est["total_dc"] > 0
+                and est["predicted_dc"] <= self.WAND_AUTO_FRACTION * est["total_dc"]
+                and est["total_dc"] - est["predicted_dc"] >= self.WAND_AUTO_MIN_SAVED
+            )
+            mode = "wand" if use_wand else "sort"
+            self.last_dispatch = {"mode": mode, **est}
+        if mode == "wand":
+            # pure-should msm<=1 == a plain disjunction over the prefixed key
+            # set; _wand_scored prunes with per-field-sound baked bounds
+            # (θ floor disabled — see _wand_scored) and scores with each
+            # key's field avgdl, bit-identical to the sort kernel's fold
+            scored = self._wand_scored(
+                present, idf, conjunctive=False, constant_boost=False,
+                avail_boost=False, k=k, boost_ceiling=0.0,
+                min_should_match=0, avgdl_map=avgdl_map,
+            )
+            ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            page = (
+                ranked.limit(k).select("doc_id", "score").toPandas()
+                .sort_values(["score", "doc_id"], ascending=[False, True])
+                .reset_index(drop=True)
+            )
+            for df_ in getattr(scored, "_ses_persisted", ()):
+                df_.unpersist()
+            # exact unpruned total: doc-ids-only decode, same as single-field
+            total = self._match_count(present, conjunctive=False)
+            res = SearchResult(total=int(total), page=page)
+        elif not force_distributed and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS:
             res = self._driver_search_fields(
                 present, idf, avgdl_map, present_must, present_should, msm, k, skip
             )
@@ -1692,6 +1738,7 @@ class SearchEngine:
         boost_ceiling: float,
         min_should_match: int = 0,
         meta: pd.DataFrame | None = None,
+        avgdl_map: dict[str, float] | None = None,
     ) -> DataFrame:
         """Distributed block-max WAND over the global doc-id grid.
 
@@ -1704,7 +1751,7 @@ class SearchEngine:
         if meta is None:
             meta = self._wand_meta(terms)
         if meta.empty:
-            return self._scored_docs(terms, idf)
+            return self._scored_docs(terms, idf, avgdl_map=avgdl_map)
         meta["ub"] = meta["term"].map(idf).fillna(0.0) * (meta["mtn"] * self.bound_scale)
         by_range = meta.groupby("sseg").agg(
             ub=("ub", "sum"), dc=("dc", "sum"), nterms=("term", "nunique")
@@ -1730,7 +1777,15 @@ class SearchEngine:
             ach=meta["term"].map(idf).fillna(0.0) * (meta["mtn"] * self.bound_scale)
         ).groupby("sseg")["ach"].max()
         theta_floor = None
-        if not conjunctive and min_should_match <= 1 and len(best_per_range) >= k:
+        if (
+            not conjunctive and min_should_match <= 1
+            and avgdl_map is None  # per-field norms: the baked mtn was
+            # computed at the LARGEST field avgdl, so idf·mtn OVER-estimates
+            # what a smaller-avgdl field's doc can actually score — still a
+            # sound UPPER bound (pruning stays exact) but no longer a sound
+            # achievable FLOOR; compound queries rely on phase-1's exact θ
+            and len(best_per_range) >= k
+        ):
             theta_floor = float(np.sort(best_per_range.to_numpy())[-k])
         by_range = by_range.join(best_per_range.rename("best"))
         # phase 1 targets the ranges CONTAINING the globally best docs (top
@@ -1756,6 +1811,7 @@ class SearchEngine:
             s = self._scored_docs(
                 terms, idf, ssegs=ssegs, theta=theta,
                 boost_ceiling=boost_ceiling, rest_bounds=rest_bounds,
+                avgdl_map=avgdl_map,
             )
             if conjunctive:
                 s = s.filter(F.col("n_terms") == len(terms))

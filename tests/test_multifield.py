@@ -309,6 +309,51 @@ def test_field_phrase_validation(mf_engine, spark, index_tiny):
         single.search_field_phrase("title", "a b")
 
 
+def test_compound_wand_rank_identity(mf_engine, mf_oracle, q_terms):
+    # pure-should msm<=1 compound == a plain disjunction over prefixed keys:
+    # the WAND kernel must be bit-identical to the sort kernel and the
+    # oracle, with per-field avgdl in both the scores and the (now
+    # floor-less) pruning bounds
+    t_title, t_body, both = q_terms
+    shapes = [
+        [("title", t_title), ("body", t_body)],
+        [("title", both), ("body", both)],
+        [{"field": "body", "query": "melk", "kind": "fuzzy"}],
+    ]
+    for should in shapes:
+        exp = mf_oracle.search_compound(should=should, k=15, minimum_should_match=1)
+        srt = mf_engine.search_fields(should=should, k=15, force_distributed=True)
+        wnd = mf_engine.search_fields(should=should, k=15, mode="wand")
+        for res in (srt, wnd):
+            got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
+            assert [g[0] for g in got] == [h[0] for h in exp.hits], should
+            assert np.allclose(
+                [g[1] for g in got], [h[1] for h in exp.hits], rtol=0, atol=1e-12
+            ), should
+            assert res.total == exp.total, should
+
+
+def test_compound_wand_auto_dispatch_and_validation(mf_engine):
+    # auto at fixture scale must pick sort (the measured crossover) and
+    # record its estimate; unsupported shapes must raise, not silently sort
+    res = mf_engine.search_fields(
+        should=[("title", "the"), ("body", "the")], k=10, mode="auto"
+    )
+    assert mf_engine.last_dispatch["mode"] in ("sort", "wand")
+    assert res.total > 0
+    with pytest.raises(ValueError, match="pure-should"):
+        mf_engine.search_fields(
+            must=[("title", "the")], should=[("body", "oil")], mode="wand"
+        )
+    with pytest.raises(ValueError, match="pure-should"):
+        mf_engine.search_fields(
+            should=[("title", "the"), ("body", "the")],
+            minimum_should_match=2, mode="wand",
+        )
+    with pytest.raises(ValueError, match="mode must be"):
+        mf_engine.search_fields(should=[("title", "the")], mode="nope")
+
+
 def test_multifield_index_rejects_plain_search(mf_engine):
     # bare terms never match "<field><sep><term>" posting keys — plain
     # search() must fail loud instead of silently returning an empty page
