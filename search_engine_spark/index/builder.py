@@ -528,7 +528,7 @@ def encode_sorted_arrays(
     tf: np.ndarray,
     dl: np.ndarray,
     pid: np.ndarray | None,
-    avgdl: float,
+    avgdl: float | np.ndarray,
     block_docs: int,
     pos_flat: np.ndarray | None = None,
     pos_offsets: np.ndarray | None = None,
@@ -547,6 +547,12 @@ def encode_sorted_arrays(
     it); the kernel emits one extra ``positions`` varint blob per block
     (codec layout: deltas restarting absolute at each doc/row), sliced from
     the same one-pass varint encode discipline as the postings sections.
+
+    ``avgdl`` may be a scalar (single-field index: one corpus-wide average)
+    or a per-row array (multi-field index: each posting's field avgdl), so
+    the baked ``max_tf_norm`` is the block max of EXACTLY the tf_norm that
+    query-time scoring computes — tight and attained, which is what makes
+    the WAND θ floor sound on compound multi-field queries.
     """
     n = doc.size
     if n == 0:
@@ -642,6 +648,7 @@ def encode_sorted_arrays(
 def make_arrow_encoder(
     avgdl: float, block_docs: int, range_docs: int, term_dict=None, packed=False,
     with_positions: bool = False,
+    field_avgdl: tuple[np.ndarray, np.ndarray] | None = None,
 ):
     """mapInArrow kernel: Arrow batches in, encoded block batches out.
 
@@ -666,6 +673,15 @@ def make_arrow_encoder(
 
     Together with dropping pid the shuffled row shrinks 28 -> 12 fixed
     bytes at sub-2^31-doc scale, 28 -> 20 at full web scale.
+
+    ``field_avgdl`` (multi-field indexes only) is ``(tid_starts, avgdls)``:
+    the sorted first term_id of each field's contiguous id interval and that
+    field's avgdl.  The kernel maps every posting's term_id to its field
+    avgdl with one vectorized searchsorted — O(rows · log #fields), no
+    strings — so ``max_tf_norm`` bakes at the SAME avgdl query-time scoring
+    uses for that field (tight + attained bounds; see encode_sorted_arrays).
+    ``None`` keeps the scalar-avgdl bake (single-field indexes, and resumes
+    of multi-field indexes built before per-field baking existed).
     """
     import pyarrow as pa
 
@@ -722,6 +738,13 @@ def make_arrow_encoder(
             tf_arr = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
             dl_arr = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
         doc_arr = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if field_avgdl is not None:
+            tid_starts, f_avgdls = field_avgdl
+            row_avgdl = f_avgdls[
+                np.searchsorted(tid_starts, codes, side="right") - 1
+            ]
+        else:
+            row_avgdl = avgdl
         pos_flat = pos_offsets = None
         if with_positions:
             la = tbl.column("positions").chunk(0)
@@ -739,7 +762,7 @@ def make_arrow_encoder(
             tf=tf_arr,
             dl=dl_arr,
             pid=pid_arr,
-            avgdl=avgdl,
+            avgdl=row_avgdl,
             block_docs=block_docs,
             pos_flat=pos_flat,
             pos_offsets=pos_offsets,
@@ -916,11 +939,14 @@ def build_index(
                 }
                 for r in frows
             }
-            # bake block-max bounds with the LARGEST per-field avgdl:
-            # tf_norm is monotone increasing in avgdl, so every per-field
-            # query-time score (which uses its field's smaller-or-equal
-            # avgdl) stays <= the baked bound — WAND pruning sound at
-            # bound_scale 1.0, no per-field correction needed
+            # the scalar stat keeps the old "largest per-field avgdl"
+            # convention (any reader of stats["avgdl"] sees a value at which
+            # every baked bound would be sound), but the blocks themselves
+            # are baked per-field below (per_field_mtn): each posting's
+            # tf_norm is computed at ITS field's avgdl — the exact quantity
+            # query-time scoring uses — so block bounds are tight AND
+            # attained, which keeps the WAND θ floor sound on compound
+            # queries instead of merely keeping the upper bound sound.
             avgdl = max(s["avgdl"] for s in field_stats.values())
 
         term_stats = tokens.groupBy("term").agg(
@@ -940,6 +966,35 @@ def build_index(
         dim.write.mode("overwrite").parquet(cat.term_dim)
         ranked_t.unpersist()
         _mark("term_dim")
+        if field_cols:
+            # per-field dense-term-id ranges: term_id is the lexicographic
+            # rank and every posting key is "<field>\x1f<term>", so each
+            # field's terms occupy one contiguous id interval.  The encoder
+            # maps term_id -> field avgdl with one searchsorted over these
+            # starts (works in BOTH dict and id mode — no strings needed
+            # kernel-side).  #fields rows, asserted contiguous + exhaustive.
+            frng = (
+                spark.read.parquet(cat.term_dim)
+                .groupBy(F.substring_index("term", FIELD_SEP, 1).alias("field"))
+                .agg(
+                    F.min("term_id").alias("lo"),
+                    F.max("term_id").alias("hi"),
+                    F.count("*").alias("cnt"),
+                )
+                .collect()
+            )
+            if {r["field"] for r in frng} != set(field_stats):
+                raise AssertionError(
+                    f"term_dim fields {sorted(r['field'] for r in frng)} != "
+                    f"corpus fields {sorted(field_stats)}"
+                )
+            for r in frng:
+                if int(r["hi"]) - int(r["lo"]) + 1 != int(r["cnt"]):
+                    raise AssertionError(
+                        f"field {r['field']!r} term_ids not contiguous: "
+                        f"[{r['lo']}, {r['hi']}] holds {r['cnt']} terms"
+                    )
+                field_stats[r["field"]]["tid_lo"] = int(r["lo"])
         range_docs = max(cfg.min_range_docs, -(-n_docs // cfg.target_ranges))
         cat.write_corpus_stats(
             {
@@ -958,6 +1013,11 @@ def build_index(
                         "field_cols": list(field_cols),
                         "field_sep": FIELD_SEP,
                         "fields": field_stats,
+                        # block bounds bake at each posting's OWN field avgdl
+                        # (tight + attained) — the engine may use the per-
+                        # range achievable θ floor on compound queries.
+                        # Absent on pre-r5 multi-field indexes (scalar bake).
+                        "per_field_mtn": True,
                     }
                     if field_cols
                     else {}
@@ -1061,6 +1121,27 @@ def build_index(
     # docs.  12 fixed bytes/row here instead of 28.
     max_dl = int(stats.get("max_dl", 1 << 30))
     packed = 0 < max_dl < 4096
+    # multi-field per-field bound bake: (sorted field tid starts, avgdls)
+    # for the encoder's term_id -> field-avgdl searchsorted.  Requires the
+    # tid_lo ranges written by THIS builder version; a resume of an older
+    # multi-field index falls back to the scalar bake its existing segments
+    # used (stats["avgdl"] = max field avgdl, sound at bound_scale 1.0).
+    field_avgdl = None
+    fstats = stats.get("fields") or {}
+    if fstats and stats.get("per_field_mtn") and all(
+        "tid_lo" in v for v in fstats.values()
+    ):
+        pairs = sorted(
+            (int(v["tid_lo"]), float(v["avgdl"])) for v in fstats.values()
+        )
+        if pairs[0][0] != 0:
+            raise AssertionError(
+                f"field term_id intervals do not start at 0: {pairs}"
+            )
+        field_avgdl = (
+            np.array([p[0] for p in pairs], dtype=np.int64),
+            np.array([p[1] for p in pairs], dtype=np.float64),
+        )
     doc32 = int(stats["n_docs"]) < (1 << 31)
     doc_col = F.col("doc_id").cast("int").alias("doc_id") if doc32 else F.col("doc_id")
     val_cols = (
@@ -1082,12 +1163,14 @@ def build_index(
         encoder = make_arrow_encoder(
             avgdl=avgdl, block_docs=block_docs, range_docs=int(range_docs),
             term_dict=dict_b, packed=packed, with_positions=use_pos,
+            field_avgdl=field_avgdl,
         )
     else:
         keyed = tokens.join(term_dim_df, "term").select(*base_cols, *val_cols)
         encoder = make_arrow_encoder(
             avgdl=avgdl, block_docs=block_docs, range_docs=int(range_docs),
             term_dict=None, packed=packed, with_positions=use_pos,
+            field_avgdl=field_avgdl,
         )
     sseg_key = F.expr(f"CAST(doc_id DIV {int(range_docs)} AS INT)")
 

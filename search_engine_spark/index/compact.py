@@ -108,6 +108,19 @@ def compact_index(
     cat = IndexCatalog(index_dir)
     out = IndexCatalog(out_dir)
     stats = cat.read_corpus_stats()
+    if stats.get("fields"):
+        # a multi-field index carries per-field df/avgdl stats and per-field
+        # baked block bounds that this rewrite would silently drop (the
+        # output stats below have no "fields" key and re-bake at one scalar
+        # avgdl) — refuse rather than emit an index whose prefixed posting
+        # keys no plain query can ever match.  Multi-field indexes are
+        # batch-built (builder.field_cols), never generational, so they
+        # have nothing to compact anyway.
+        raise ValueError(
+            "compact_index does not support multi-field indexes "
+            f"(fields={sorted(stats['fields'])}); rebuild with "
+            "build_index(field_cols=...) instead"
+        )
     cuts = list(stats["term_cuts"])
     range_docs, block_docs = int(stats["range_docs"]), int(stats["block_docs"])
     n_partitions = int(stats["n_partitions"])

@@ -169,7 +169,11 @@ def predict_wand_decode(
     every remaining (term, range) cell whose range bound + boost ceiling
     reaches θ_lb.  θ_lb ≤ θ and the per-cell mtn aggregates over that
     range's blocks, so the estimate only OVER-predicts decode — auto never
-    picks WAND on an optimistic guess.
+    picks WAND on an optimistic guess.  ("Attained" assumes bounds baked at
+    the avgdl scoring uses: always true single-field, true multi-field only
+    under the per-field bake (stats per_field_mtn); a pre-r5 multi-field
+    index inflates θ_lb here and the prediction can run optimistic — a
+    dispatch-quality issue only, result correctness never depends on it.)
 
     Returns {total_dc, predicted_dc, theta_lb, n_ranges}.
     """
@@ -177,7 +181,14 @@ def predict_wand_decode(
         return {"total_dc": 0, "predicted_dc": 0, "theta_lb": 0.0, "n_ranges": 0}
     m = meta.copy()
     m["ub"] = m["term"].map(idf).fillna(0.0) * (m["mtn"] * bound_scale)
-    rng = m.groupby("sseg").agg(ub=("ub", "sum"), dc=("dc", "sum"), best=("ub", "max"))
+    # θ_lb must be ATTAINED, so it uses the unscaled baked mtn (what the
+    # block-max doc actually scored at bake time; its current tf_norm only
+    # grew with avgdl) — mirroring _wand_scored's floor.  ub keeps the scale:
+    # it is the sound upper bound the alive-set test prunes against.
+    m["ach"] = m["term"].map(idf).fillna(0.0) * m["mtn"]
+    rng = m.groupby("sseg").agg(
+        ub=("ub", "sum"), dc=("dc", "sum"), best=("ach", "max")
+    )
     total_dc = int(rng["dc"].sum())
     best_sorted = np.sort(rng["best"].to_numpy())
     if best_sorted.size < k:
@@ -286,6 +297,13 @@ class SearchEngine:
         # search_utils.py:79-97,181-203).  Empty dict = single-field index.
         self.fields: dict[str, dict] = dict(self.stats.get("fields") or {})
         self.field_sep: str = str(self.stats.get("field_sep", "\x1f"))
+        # True when block bounds were baked at each posting's OWN field
+        # avgdl (builder per-field bake): bounds are then attained — the
+        # exact quantity query-time scoring computes — so the per-range
+        # achievable θ floor is sound on multi-field compound queries too.
+        # Pre-r5 multi-field indexes baked at max field avgdl (sound upper
+        # bound only) and carry no flag → floor stays disabled for them.
+        self.per_field_mtn = bool(self.stats.get("per_field_mtn", False))
         self._segments_df = spark.read.parquet(self.cat.segments)
         # small term dicts: one-time sorted load, then O(log V) lookups with
         # zero Spark jobs per query (the reference's Atlas term dictionary is
@@ -945,7 +963,8 @@ class SearchEngine:
         if mode == "wand":
             # pure-should msm<=1 == a plain disjunction over the prefixed key
             # set; _wand_scored prunes with per-field-sound baked bounds
-            # (θ floor disabled — see _wand_scored) and scores with each
+            # (θ floor active when the index baked per-field mtn — see
+            # _wand_scored / engine.per_field_mtn) and scores with each
             # key's field avgdl, bit-identical to the sort kernel's fold
             scored = self._wand_scored(
                 present, idf, conjunctive=False, constant_boost=False,
@@ -1773,17 +1792,27 @@ class SearchEngine:
         # docs: phase-1's own θ over the 2 top-ub ranges was 2.89 while the
         # floor was 3.44 — without the floor, 942/976 ranges survived and
         # phase 2 decoded 7.7M rows for nothing.)
+        # NOTE the floor deliberately uses the UNSCALED baked mtn: bound_scale
+        # inflates bounds to stay a sound UPPER bound on generational indexes
+        # whose avgdl grew after baking, but an inflated value is not
+        # attained by any doc — a floor built on it could exceed the true θ
+        # and prune a top-k range.  The unscaled mtn is what the block-max
+        # doc scored at bake time, and its CURRENT tf_norm only went up with
+        # avgdl, so idf·mtn stays achievable on every index layout.
         best_per_range = meta.assign(
-            ach=meta["term"].map(idf).fillna(0.0) * (meta["mtn"] * self.bound_scale)
+            ach=meta["term"].map(idf).fillna(0.0) * meta["mtn"]
         ).groupby("sseg")["ach"].max()
         theta_floor = None
         if (
             not conjunctive and min_should_match <= 1
-            and avgdl_map is None  # per-field norms: the baked mtn was
-            # computed at the LARGEST field avgdl, so idf·mtn OVER-estimates
-            # what a smaller-avgdl field's doc can actually score — still a
-            # sound UPPER bound (pruning stays exact) but no longer a sound
-            # achievable FLOOR; compound queries rely on phase-1's exact θ
+            # per-field norms: sound only when the index baked each
+            # posting's mtn at its OWN field avgdl (per_field_mtn — idf·mtn
+            # is then attained by the block-max doc).  A pre-r5 multi-field
+            # index baked at the LARGEST field avgdl, so idf·mtn
+            # OVER-estimates what a smaller-avgdl field's doc can actually
+            # score — still a sound UPPER bound (pruning stays exact) but
+            # not an achievable FLOOR; those rely on phase-1's exact θ.
+            and (avgdl_map is None or self.per_field_mtn)
             and len(best_per_range) >= k
         ):
             theta_floor = float(np.sort(best_per_range.to_numpy())[-k])
@@ -1843,6 +1872,15 @@ class SearchEngine:
         rest = by_range.index[n1:]
         if theta is not None:
             rest = [s for s in rest if by_range.loc[s, "ub_total"] >= theta]
+        # bench/test introspection (mirrors last_dispatch): which θ pruned
+        # and how much of the range set survived it
+        self.last_wand = {
+            "theta_floor": theta_floor,
+            "theta": theta,
+            "n_ranges": int(len(by_range)),
+            "n_phase1": int(n1),
+            "n_rest_alive": int(len(rest)),
+        }
         if len(rest) == 0:
             out = p1
         else:

@@ -227,6 +227,16 @@ def ingest_batch(
             f"index at {index_dir} was frozen with with_positions={use_pos}; "
             f"ingest cfg.positions={cfg.positions} does not match"
         )
+    if cat.has_corpus_stats() and cat.read_corpus_stats().get("fields"):
+        # a multi-field index keys postings as "<field><sep><term>" with
+        # per-field stats and per-field-baked bounds; this single-text-column
+        # ingest would write unprefixed keys no field clause can match and
+        # scalar-baked bounds under a per_field_mtn flag — fail loud
+        raise ValueError(
+            f"index at {index_dir} is multi-field "
+            "(builder.BuildConfig.field_cols); incremental ingest supports "
+            "single-field indexes only — rebuild with build_index"
+        )
 
     docs = with_extracted_text(batch_df)
 

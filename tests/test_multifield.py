@@ -312,8 +312,8 @@ def test_field_phrase_validation(mf_engine, spark, index_tiny):
 def test_compound_wand_rank_identity(mf_engine, mf_oracle, q_terms):
     # pure-should msm<=1 compound == a plain disjunction over prefixed keys:
     # the WAND kernel must be bit-identical to the sort kernel and the
-    # oracle, with per-field avgdl in both the scores and the (now
-    # floor-less) pruning bounds
+    # oracle, with per-field avgdl in both the scores and the pruning
+    # bounds (θ floor active: per-field-baked mtn is attained)
     t_title, t_body, both = q_terms
     shapes = [
         [("title", t_title), ("body", t_body)],
@@ -441,3 +441,73 @@ def test_min_should_match_validation(spark, index_tiny):
         eng.search("a b", min_should_match=1, conjunctive=True)
     with pytest.raises(ValueError, match="plain term"):
         eng.search("a b", min_should_match=1, fuzzy=1)
+
+
+# ------------------------- per-field bound baking --------------------------
+
+
+def test_per_field_mtn_baked(spark, mf_engine, mf_index):
+    """Every block's max_tf_norm equals the max tf_norm recomputed at ITS
+    field's avgdl (tight + attained), and the smaller-avgdl field's bounds
+    are strictly tighter than the old max-avgdl bake somewhere."""
+    from search_engine_spark.index.builder import B, K1
+    from search_engine_spark.index.codec import decode_postings
+
+    assert mf_engine.per_field_mtn is True
+    sep = mf_engine.field_sep
+    avgdl = {f: float(v["avgdl"]) for f, v in mf_engine.fields.items()}
+    amax = max(avgdl.values())
+    rows = (
+        spark.read.parquet(os.path.join(mf_index, "segments"))
+        .select("term", "max_tf_norm", "postings")
+        .collect()
+    )
+    assert rows
+    tighter = 0
+    for r in rows:
+        field = r["term"].split(sep, 1)[0]
+        _, tf, dl = decode_postings(r["postings"])
+        tf = tf.astype(np.float64)
+        dl = dl.astype(np.float64)
+        want = float(np.max(tf / (tf + K1 * (1.0 - B + B * dl / avgdl[field]))))
+        assert r["max_tf_norm"] == pytest.approx(want, rel=1e-12), r["term"]
+        scalar = float(np.max(tf / (tf + K1 * (1.0 - B + B * dl / amax))))
+        if want < scalar - 1e-12:
+            tighter += 1
+    assert tighter > 0
+
+
+def test_wand_theta_floor_active_multifield(mf_engine, mf_oracle, q_terms):
+    """With per-field-baked bounds the per-range achievable θ floor engages
+    on compound disjunctions — and stays rank-identical to the oracle."""
+    _, _, both = q_terms
+    should = [("title", both), ("body", both)]
+    exp = mf_oracle.search_compound(should=should, k=2, minimum_should_match=1)
+    res = mf_engine.search_fields(should=should, k=2, mode="wand")
+    lw = mf_engine.last_wand
+    assert lw["theta_floor"] is not None and lw["theta_floor"] > 0
+    assert lw["theta"] is not None and lw["theta"] >= lw["theta_floor"] - 1e-12
+    got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
+    assert [g[0] for g in got] == [h[0] for h in exp.hits]
+    assert np.allclose(
+        [g[1] for g in got], [h[1] for h in exp.hits], rtol=0, atol=1e-12
+    )
+    assert res.total == exp.total
+
+
+def test_compact_rejects_multifield(spark, mf_index, tmp_path_factory):
+    from search_engine_spark.index.compact import compact_index
+
+    out = str(tmp_path_factory.mktemp("mfc") / "out")
+    with pytest.raises(ValueError, match="multi-field"):
+        compact_index(spark, mf_index, out)
+
+
+def test_ingest_rejects_multifield(spark, mf_index):
+    from search_engine_spark.streaming.ingest import ingest_batch
+
+    batch = spark.createDataFrame(
+        [("u://x", "some text")], "url string, text string"
+    )
+    with pytest.raises(ValueError, match="multi-field"):
+        ingest_batch(spark, batch, mf_index, epoch=99)

@@ -71,6 +71,22 @@ def test_conservative_vs_true_theta():
         prev = est["theta_lb"]
 
 
+def test_theta_lb_unscaled_under_bound_scale():
+    # bound_scale inflates the sound UPPER bounds (generational indexes whose
+    # avgdl grew after baking) but an inflated value is attained by no doc —
+    # theta_lb must come from the UNSCALED baked mtn, or the predictor turns
+    # optimistic exactly when the engine's own floor would over-prune
+    rows = []
+    for s in range(20):
+        rows.append(("a", s, 0.5 + 0.01 * s, 100))
+    idf = {"a": 2.0}
+    base = predict_wand_decode(_meta(rows), idf, k=5, bound_scale=1.0)
+    scaled = predict_wand_decode(_meta(rows), idf, k=5, bound_scale=1.5)
+    assert scaled["theta_lb"] == pytest.approx(base["theta_lb"])
+    # scaled bounds only keep MORE ranges alive against the same theta_lb
+    assert scaled["predicted_dc"] >= base["predicted_dc"]
+
+
 def test_auto_mode_rank_identity(spark, index_tiny, oracle_tiny):
     from search_engine_spark.query.engine import SearchEngine
 
