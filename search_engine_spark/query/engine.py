@@ -671,21 +671,34 @@ class SearchEngine:
     # distributed WAND path takes over when Σ df of the matched terms exceeds
     # this; at web scale every head-term query does.
     SMALL_QUERY_POSTINGS = 2_000_000
-    # mode="auto" picks WAND only when BOTH hold (BENCH §3c calibration):
-    # - the predicted decode falls below this fraction of the candidate
-    #   postings (relative: pruning must actually bite), AND
-    # - the predicted SAVED postings exceed this absolute floor — WAND's
-    #   fixed cost is ~2 extra Spark jobs (block-metadata aggregate + the
-    #   phase-1 θ probe), which at local[32] measures worth ~2M decoded
-    #   postings; saving less than that loses even when the ratio looks
-    #   great (measured at 10^6 docs: 90% pruning, still slower).  At
-    #   cluster scale the same structure holds with a larger floor (more
-    #   executors amortize decode faster than they amortize job latency).
-    WAND_AUTO_FRACTION = 0.5
+    # mode="auto" picks WAND iff total_dc - RATIO*predicted_dc >= MIN_SAVED:
+    # a WAND-decoded posting costs ~RATIO sort-pipeline postings (WAND adds
+    # per-range python-kernel dispatch, ub bookkeeping, and a two-phase
+    # union the sort path's straight-line decode+TakeOrdered never pays;
+    # interleaved A/B across ten (query, scale, field-layout) points —
+    # BENCH §3c + the compound 8M A/B — measures the marginal ratio at
+    # 2-6x, and RATIO=3 classifies all ten measured winners correctly
+    # where savings-only misdispatched both compound 8M shapes), and
+    # MIN_SAVED covers WAND's fixed cost of ~2 extra Spark jobs (the
+    # block-metadata aggregate + phase-1 θ probe, worth ~2M decoded
+    # postings at local[32]; at 10^6 docs 90% pruning still lost).  At
+    # cluster scale the same structure holds with a larger floor (more
+    # executors amortize decode faster than they amortize job latency).
+    WAND_DECODE_COST_RATIO = 3.0
     WAND_AUTO_MIN_SAVED = 2_000_000
     # populated by the last mode="auto" dispatch: {"mode", "total_dc",
     # "predicted_dc", "theta_lb", "n_ranges"} — bench/test introspection
     last_dispatch: dict | None = None
+
+    def _pick_wand(self, est: dict) -> bool:
+        """The auto-dispatch decision: cost-ratio rule over the metadata-only
+        estimate (see WAND_DECODE_COST_RATIO).  One definition for both the
+        single-field and compound dispatch sites."""
+        return (
+            est["total_dc"] > 0
+            and est["total_dc"] - self.WAND_DECODE_COST_RATIO * est["predicted_dc"]
+            >= self.WAND_AUTO_MIN_SAVED
+        )
 
     def _driver_search(
         self,
@@ -953,12 +966,7 @@ class SearchEngine:
             # prefixed keys are just keys to it)
             wand_meta = self._wand_meta(present)
             est = predict_wand_decode(wand_meta, idf, k, self.bound_scale, 0.0)
-            use_wand = (
-                est["total_dc"] > 0
-                and est["predicted_dc"] <= self.WAND_AUTO_FRACTION * est["total_dc"]
-                and est["total_dc"] - est["predicted_dc"] >= self.WAND_AUTO_MIN_SAVED
-            )
-            mode = "wand" if use_wand else "sort"
+            mode = "wand" if self._pick_wand(est) else "sort"
             self.last_dispatch = {"mode": mode, **est}
         if mode == "wand":
             # pure-should msm<=1 == a plain disjunction over the prefixed key
@@ -1590,9 +1598,9 @@ class SearchEngine:
 
         # mode="auto": metadata-only cost model (predict_wand_decode) picks
         # the physical strategy.  WAND pays an extra Spark job + a two-branch
-        # union, so it must earn its keep by actually pruning; the measured
-        # crossover (BENCH §3c) sits where the predicted decode falls below
-        # ~half the candidate postings.
+        # union AND a ~3x per-posting decode premium, so it must earn its
+        # keep by pruning hard; the measured crossover (BENCH §3c + the
+        # compound A/B) sits where total - 3*predicted clears the fixed cost.
         wand_meta = None
         if mode == "auto":
             if skip != 0 or group_by:
@@ -1602,12 +1610,7 @@ class SearchEngine:
                 est = predict_wand_decode(
                     wand_meta, idf, k, self.bound_scale, boost_ceiling
                 )
-                use_wand = (
-                    est["total_dc"] > 0
-                    and est["predicted_dc"] <= self.WAND_AUTO_FRACTION * est["total_dc"]
-                    and est["total_dc"] - est["predicted_dc"] >= self.WAND_AUTO_MIN_SAVED
-                )
-                mode = "wand" if use_wand else "sort"
+                mode = "wand" if self._pick_wand(est) else "sort"
                 self.last_dispatch = {"mode": mode, **est}
 
         # grouped rollup needs every doc's exact score (a group's winner can

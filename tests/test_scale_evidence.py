@@ -184,3 +184,21 @@ def test_r5_wand_crossover_and_dispatch():
     assert m1["queries"]["rare_dominated"]["wand_over_sort_ratio"] > 1.0
     assert m8["queries"]["rare_dominated"]["wand_over_sort_ratio"] < 1.0
     assert m8["queries"]["dense_dense"]["wand_over_sort_ratio"] < 1.0
+
+
+def test_r5_compound_wand_ab_and_dispatch():
+    """The interleaved compound A/B (per-field-baked 1M and 8M indexes):
+    WAND loses every rep on every compound shape — head-heavy clause sets
+    prune too little to cover the ~3x decode premium — and the recalibrated
+    cost model keeps every row on sort with pages identical and the
+    per-field θ floor engaged (attained bounds, not the pre-r5 disabled
+    state)."""
+    for leg in ("mf_wand_ab_1m.json", "mf_wand_ab_8m.json"):
+        d = _load(os.path.join(os.path.dirname(ART), leg))
+        for name, q in d["shapes"].items():
+            assert q["pages_identical"], (leg, name)
+            assert q["per_rep_wand_wins"] == 0, (leg, name)
+            assert q["wand_over_sort_ratio"] > 1.0, (leg, name)
+            assert q["auto_mode"] == "sort", (leg, name)
+            assert q["last_wand"]["theta_floor"] is not None, (leg, name)
+            assert q["last_wand"]["theta"] >= q["last_wand"]["theta_floor"]

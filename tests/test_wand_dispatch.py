@@ -112,3 +112,30 @@ def test_auto_mode_skip_routes_to_sort(spark, index_tiny):
     a = eng.search("cadbury dairy milk", k=5, skip=3, mode="auto", force_distributed=True)
     b = eng.search("cadbury dairy milk", k=5, skip=3, mode="sort", force_distributed=True)
     assert list(a.page["doc_id"]) == list(b.page["doc_id"])
+
+
+def test_cost_ratio_rule_matches_measured_winners():
+    """The dispatch rule (total - RATIO*predicted >= MIN_SAVED) must classify
+    every interleaved-A/B-measured (query, scale, field-layout) point from
+    BENCH §3c + the compound 8M A/B — the savings-only rule misdispatched
+    both compound 8M shapes (WAND 1.7-2.1x slower while 'saving' 7.4M and
+    0.1M rows)."""
+    from search_engine_spark.query.engine import SearchEngine
+
+    # (total_dc, predicted_dc, measured winner)
+    measured = [
+        (1_057_241, 86_571, "sort"),      # 1M the+oil
+        (1_007_360, 75_887, "sort"),      # 1M the+dairy
+        (1_003_059, 160_676, "sort"),     # 1M the+cadbury
+        (2_692_399, 2_274_964, "sort"),   # 1M the+of+in+cadbury
+        (8_457_687, 112_529, "wand"),     # 8M the+oil
+        (8_047_294, 82_705, "wand"),      # 8M the+dairy
+        (8_026_885, 84_521, "wand"),      # 8M the+cadbury
+        (21_478_660, 15_775_323, "sort"), # 8M the+of+in+cadbury
+        (13_109_638, 5_668_355, "sort"),  # 8M compound title:the+body:the
+        (7_928_136, 7_790_116, "sort"),   # 8M compound title:cadbury+body:the
+    ]
+    for total, pred, winner in measured:
+        est = {"total_dc": total, "predicted_dc": pred}
+        picked = "wand" if SearchEngine._pick_wand(SearchEngine, est) else "sort"
+        assert picked == winner, (total, pred, winner, picked)
