@@ -151,6 +151,7 @@ def predict_wand_decode(
     k: int,
     bound_scale: float = 1.0,
     boost_ceiling: float = 0.0,
+    floor_scale: float = 1.0,
 ) -> dict:
     """Metadata-only estimate of the postings WAND will actually decode.
 
@@ -181,11 +182,16 @@ def predict_wand_decode(
         return {"total_dc": 0, "predicted_dc": 0, "theta_lb": 0.0, "n_ranges": 0}
     m = meta.copy()
     m["ub"] = m["term"].map(idf).fillna(0.0) * (m["mtn"] * bound_scale)
-    # θ_lb must be ATTAINED, so it uses the unscaled baked mtn (what the
-    # block-max doc actually scored at bake time; its current tf_norm only
-    # grew with avgdl) — mirroring _wand_scored's floor.  ub keeps the scale:
-    # it is the sound upper bound the alive-set test prunes against.
-    m["ach"] = m["term"].map(idf).fillna(0.0) * m["mtn"]
+    # θ_lb must be ATTAINED, so it uses the baked mtn times floor_scale —
+    # mirroring _wand_scored's floor.  floor_scale is 1.0 on batch indexes
+    # (mtn is exactly what the block-max doc scores); on generational
+    # indexes whose cumulative avgdl SHRANK below a generation's build-time
+    # avgdl, mtn·min_g(avgdl_now/avgdl_g) is the attained lower bound
+    # (tf_norm(a1) >= tf_norm(a0)·a1/a0 for a1 < a0).  Never bound_scale:
+    # that inflates bounds to stay a sound UPPER bound and no doc attains
+    # the inflated value.  ub keeps bound_scale: it is the sound upper
+    # bound the alive-set test prunes against.
+    m["ach"] = m["term"].map(idf).fillna(0.0) * (m["mtn"] * floor_scale)
     rng = m.groupby("sseg").agg(
         ub=("ub", "sum"), dc=("dc", "sum"), best=("ach", "max")
     )
@@ -291,6 +297,23 @@ class SearchEngine:
         # avgdl1/avgdl0 for avgdl1 > avgdl0); batch indexes carry 1.0 and
         # x * 1.0 == x leaves their plans bit-identical.
         self.bound_scale = float(self.stats.get("wand_bound_scale", 1.0))
+        # dual correction for the θ achievable floor: min_g(avgdl_now /
+        # avgdl_build_g, 1).  1.0 on batch indexes (mtn is exactly what the
+        # block-max doc scores today) and on incremental indexes whose
+        # avgdl only grew; < 1 when a generation baked at a LARGER avgdl
+        # than the current corpus — its mtn is then attained by NO doc and
+        # an uncorrected floor could exceed the true θ and prune a top-k
+        # range.  The attained correction is the linear shrink bound
+        # tf_norm(a1) >= tf_norm(a0)·a1/a0 for a1 < a0.  An incremental
+        # index whose stats predate the key gives no per-generation data to
+        # rule shrink out, so the floor is disabled outright (0.0 — every
+        # θ candidate then comes from phase-1's exact scores, always sound).
+        if "wand_floor_scale" in self.stats:
+            self.floor_scale = float(self.stats["wand_floor_scale"])
+        elif self.stats.get("corpus_path") == "incremental":
+            self.floor_scale = 0.0
+        else:
+            self.floor_scale = 1.0
         # multi-field index (builder.BuildConfig.field_cols): posting keys are
         # "<field><sep><term>" and each field carries its own doc_count/avgdl
         # (Lucene per-field norms; reference clauses address named paths,
@@ -689,6 +712,11 @@ class SearchEngine:
     # populated by the last mode="auto" dispatch: {"mode", "total_dc",
     # "predicted_dc", "theta_lb", "n_ranges"} — bench/test introspection
     last_dispatch: dict | None = None
+    # populated by the last _wand_scored call that built a full plan:
+    # {"theta_floor", "theta", "n_ranges", "n_phase1", "n_rest_alive"};
+    # reset to None on entry so early-exit WAND paths (empty metadata,
+    # clause-filtered range set) never leave a previous query's numbers
+    last_wand: dict | None = None
 
     def _pick_wand(self, est: dict) -> bool:
         """The auto-dispatch decision: cost-ratio rule over the metadata-only
@@ -960,14 +988,31 @@ class SearchEngine:
         present_must = [[t for t in ts if t in dfs] for ts in must_terms]
         present_should = [[t for t in ts if t in dfs] for ts in should_terms]
 
+        wand_meta = None
         if mode == "auto":
-            # the same metadata-only cost model as the single-field dispatch
-            # (predict_wand_decode reads block bounds keyed by posting key —
-            # prefixed keys are just keys to it)
-            wand_meta = self._wand_meta(present)
-            est = predict_wand_decode(wand_meta, idf, k, self.bound_scale, 0.0)
-            mode = "wand" if self._pick_wand(est) else "sort"
-            self.last_dispatch = {"mode": mode, **est}
+            # mirror the single-field ordering: a driver-eligible query
+            # (Σdf <= SMALL_QUERY_POSTINGS) can never clear the cost rule —
+            # total_dc <= Σdf <= MIN_SAVED — so skip the distributed
+            # metadata job it would pay just to be told "sort"
+            if not force_distributed and sum(dfs.values()) <= min(
+                self.SMALL_QUERY_POSTINGS, self.WAND_AUTO_MIN_SAVED
+            ):
+                mode = "sort"
+                self.last_dispatch = {
+                    "mode": "sort", "total_dc": int(sum(dfs.values())),
+                    "predicted_dc": 0, "theta_lb": 0.0, "n_ranges": 0,
+                }
+            else:
+                # the same metadata-only cost model as the single-field
+                # dispatch (predict_wand_decode reads block bounds keyed by
+                # posting key — prefixed keys are just keys to it)
+                wand_meta = self._wand_meta(present)
+                est = predict_wand_decode(
+                    wand_meta, idf, k, self.bound_scale, 0.0,
+                    floor_scale=self.floor_scale,
+                )
+                mode = "wand" if self._pick_wand(est) else "sort"
+                self.last_dispatch = {"mode": mode, **est}
         if mode == "wand":
             # pure-should msm<=1 == a plain disjunction over the prefixed key
             # set; _wand_scored prunes with per-field-sound baked bounds
@@ -977,7 +1022,7 @@ class SearchEngine:
             scored = self._wand_scored(
                 present, idf, conjunctive=False, constant_boost=False,
                 avail_boost=False, k=k, boost_ceiling=0.0,
-                min_should_match=0, avgdl_map=avgdl_map,
+                min_should_match=0, avgdl_map=avgdl_map, meta=wand_meta,
             )
             ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
             page = (
@@ -1608,7 +1653,8 @@ class SearchEngine:
             else:
                 wand_meta = self._wand_meta(present)
                 est = predict_wand_decode(
-                    wand_meta, idf, k, self.bound_scale, boost_ceiling
+                    wand_meta, idf, k, self.bound_scale, boost_ceiling,
+                    floor_scale=self.floor_scale,
                 )
                 mode = "wand" if self._pick_wand(est) else "sort"
                 self.last_dispatch = {"mode": mode, **est}
@@ -1770,6 +1816,7 @@ class SearchEngine:
         ranges exactly to establish θ = kth best score; phase 2 scores only
         ranges whose bound ≥ θ, with per-block pruning inside.
         """
+        self.last_wand = None
         if meta is None:
             meta = self._wand_meta(terms)
         if meta.empty:
@@ -1795,13 +1842,17 @@ class SearchEngine:
         # docs: phase-1's own θ over the 2 top-ub ranges was 2.89 while the
         # floor was 3.44 — without the floor, 942/976 ranges survived and
         # phase 2 decoded 7.7M rows for nothing.)
-        # NOTE the floor deliberately uses the UNSCALED baked mtn: bound_scale
-        # inflates bounds to stay a sound UPPER bound on generational indexes
-        # whose avgdl grew after baking, but an inflated value is not
-        # attained by any doc — a floor built on it could exceed the true θ
-        # and prune a top-k range.  The unscaled mtn is what the block-max
-        # doc scored at bake time, and its CURRENT tf_norm only went up with
-        # avgdl, so idf·mtn stays achievable on every index layout.
+        # NOTE the floor uses the baked mtn times floor_scale, NEVER
+        # bound_scale: bound_scale inflates bounds to stay a sound UPPER
+        # bound on generational indexes whose avgdl grew after baking, but
+        # an inflated value is not attained by any doc — a floor built on
+        # it could exceed the true θ and prune a top-k range.  floor_scale
+        # is 1.0 on batch indexes (mtn is exactly today's block-max score)
+        # and min_g(avgdl_now/avgdl_g, 1) on incremental ones: when the
+        # cumulative avgdl SHRANK below a generation's build-time avgdl the
+        # baked mtn itself is unattained, and mtn·(avgdl_now/avgdl_g) is
+        # the attained correction (tf_norm(a1) >= tf_norm(a0)·a1/a0 for
+        # a1 < a0); 0.0 (stats predating the key) disables the floor.
         best_per_range = meta.assign(
             ach=meta["term"].map(idf).fillna(0.0) * meta["mtn"]
         ).groupby("sseg")["ach"].max()
@@ -1817,8 +1868,11 @@ class SearchEngine:
             # not an achievable FLOOR; those rely on phase-1's exact θ.
             and (avgdl_map is None or self.per_field_mtn)
             and len(best_per_range) >= k
+            and self.floor_scale > 0.0
         ):
-            theta_floor = float(np.sort(best_per_range.to_numpy())[-k])
+            theta_floor = float(
+                np.sort(best_per_range.to_numpy())[-k] * self.floor_scale
+            )
         by_range = by_range.join(best_per_range.rename("best"))
         # phase 1 targets the ranges CONTAINING the globally best docs (top
         # achievable), not the fattest total bounds — its θ then approaches

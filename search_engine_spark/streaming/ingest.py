@@ -538,6 +538,16 @@ def _refresh_corpus_stats(spark: SparkSession, cat: IndexCatalog) -> dict:
     scale = max(
         [1.0] + [avgdl / float(r["avgdl_build"]) for r in gens if r["avgdl_build"] > 0]
     )
+    # dual of wand_bound_scale for the θ achievable FLOOR: when cumulative
+    # avgdl SHRANK below a generation's build-time avgdl, that generation's
+    # baked mtn is no longer attained by its block-max doc — but
+    # tf_norm(a1) >= tf_norm(a0) * a1/a0 for a1 < a0 (the same linear bound,
+    # shrink direction), so idf·mtn·min_g(avgdl_now/avgdl_g) IS attained.
+    # 1.0 whenever avgdl only grew (the common case: ingest adds docs drawn
+    # from the same distribution).
+    floor_scale = min(
+        [1.0] + [avgdl / float(r["avgdl_build"]) for r in gens if r["avgdl_build"] > 0]
+    )
     stats = {
         "n_docs": n_docs,
         "avgdl": avgdl,
@@ -552,6 +562,7 @@ def _refresh_corpus_stats(spark: SparkSession, cat: IndexCatalog) -> dict:
         "max_dl": max([0] + [int(r["max_dl"]) for r in gens]),
         "corpus_path": "incremental",
         "wand_bound_scale": float(scale),
+        "wand_floor_scale": float(floor_scale),
         "generations": [int(r["gen"]) for r in gens],
         "with_positions": bool(frozen.get("with_positions", False)),
     }

@@ -355,3 +355,63 @@ def test_tokenizer_frozen_at_gen0(spark, corpora):
     r = ingest_batch(spark, spark.read.parquet(waves[1]), idx, 1,
                      cfg=BuildConfig(**_CFG))
     assert not r.skipped and r.n_docs == 200
+
+
+def test_shrunk_avgdl_floor_scale_sound(spark, corpora, tmp_path_factory):
+    """A generation of SHORT docs shrinks cumulative avgdl below gen 0's
+    build-time avgdl: gen-0's baked mtn is then attained by no doc, so the
+    θ floor must shrink by min_g(avgdl_now/avgdl_g) (wand_floor_scale) —
+    uncorrected it could exceed the true θ and prune a top-k range.  WAND
+    must stay rank- AND score-identical to sort and to a batch rebuild over
+    the union corpus, with the (corrected) floor still engaged."""
+    tbl, _ = corpora
+    base = str(tmp_path_factory.mktemp("shrink"))
+    long_dir = os.path.join(base, "wave_long")
+    os.makedirs(long_dir)
+    pq.write_table(tbl.slice(0, 400), os.path.join(long_dir, "part-0.parquet"))
+
+    import pandas as pd
+
+    short = pd.DataFrame({
+        "url": [f"zz://short/{i:05d}" for i in range(600)],
+        "text": [
+            ["milk oil", "the milk", "oil rice belt", "the oil oil",
+             "milk milk rice"][i % 5]
+            for i in range(600)
+        ],
+    })
+    short_dir = os.path.join(base, "wave_short")
+    spark.createDataFrame(short).write.mode("overwrite").parquet(short_dir)
+
+    idx = os.path.join(base, "idx")
+    for e, w in enumerate((long_dir, short_dir)):
+        r = ingest_batch(spark, spark.read.parquet(w), idx, e, cfg=BuildConfig(**_CFG))
+        assert not r.skipped and r.n_docs > 0
+    eng = SearchEngine(spark, idx)
+
+    assert eng.stats["wand_floor_scale"] < 1.0
+    assert eng.floor_scale == eng.stats["wand_floor_scale"]
+    assert eng.bound_scale == 1.0  # avgdl only shrank -> upper bounds keep
+
+    union_dir = os.path.join(base, "union")
+    spark.read.parquet(long_dir).select("url", "text").unionByName(
+        spark.read.parquet(short_dir)
+    ).write.mode("overwrite").parquet(union_dir)
+    full_idx = os.path.join(base, "full")
+    build_index(spark, union_dir, full_idx, BuildConfig(**_CFG, waves=1))
+    full = SearchEngine(spark, full_idx)
+    assert eng.avgdl == full.avgdl
+
+    floor_seen = False
+    for kw in ("milk oil", "the oil", "milk", "rice belt"):
+        s = eng.search(kw, k=10, mode="sort", force_distributed=True)
+        w = eng.search(kw, k=10, mode="wand", force_distributed=True)
+        f = full.search(kw, k=10, mode="sort", force_distributed=True)
+        assert list(s.page["doc_id"]) == list(w.page["doc_id"]) == list(f.page["doc_id"]), kw
+        assert list(s.page["score"]) == list(w.page["score"]) == list(f.page["score"]), kw
+        assert s.total == w.total == f.total, kw
+        lw = eng.last_wand
+        if lw is not None and lw.get("theta_floor"):
+            floor_seen = True
+            assert lw["theta"] >= lw["theta_floor"] - 1e-12
+    assert floor_seen  # the corrected floor engages, not just disabled
