@@ -171,10 +171,12 @@ def predict_wand_decode(
     reaches θ_lb.  θ_lb ≤ θ and the per-cell mtn aggregates over that
     range's blocks, so the estimate only OVER-predicts decode — auto never
     picks WAND on an optimistic guess.  ("Attained" assumes bounds baked at
-    the avgdl scoring uses: always true single-field, true multi-field only
-    under the per-field bake (stats per_field_mtn); a pre-r5 multi-field
-    index inflates θ_lb here and the prediction can run optimistic — a
-    dispatch-quality issue only, result correctness never depends on it.)
+    the avgdl scoring uses: always true single-field batch, true multi-field
+    only under the per-field bake (stats per_field_mtn), and true on
+    incremental indexes after multiplying by ``floor_scale`` =
+    min_g(avgdl_now/avgdl_g, 1) — a pre-r5 multi-field index inflates θ_lb
+    here and the prediction can run optimistic, a dispatch-quality issue
+    only; result correctness never depends on it.)
 
     Returns {total_dc, predicted_dc, theta_lb, n_ranges}.
     """
