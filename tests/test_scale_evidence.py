@@ -202,3 +202,14 @@ def test_r5_compound_wand_ab_and_dispatch():
             assert q["auto_mode"] == "sort", (leg, name)
             assert q["last_wand"]["theta_floor"] is not None, (leg, name)
             assert q["last_wand"]["theta"] >= q["last_wand"]["theta_floor"]
+
+
+def test_r5_build_scaling_efficiency():
+    """The north rule's N->4N criterion on final round-5 code: 1M-doc build
+    at taskset-pinned 1 vs 4 cores, 3 runs/leg, efficiency >= 0.8 on both
+    the best-leg and mean statistics."""
+    d = _load(os.path.join(os.path.dirname(ART), "scaling_r5_1to4.json"))
+    assert d["docs"] >= 1_000_000 and d["runs_per_leg"] >= 3
+    assert d["4n_cores"] == 4 * d["n_cores"]
+    assert d["efficiency_best"] >= 0.8
+    assert d["efficiency_mean"] >= 0.8
