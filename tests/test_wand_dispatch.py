@@ -139,3 +139,18 @@ def test_cost_ratio_rule_matches_measured_winners():
         est = {"total_dc": total, "predicted_dc": pred}
         picked = "wand" if SearchEngine._pick_wand(SearchEngine, est) else "sort"
         assert picked == winner, (total, pred, winner, picked)
+
+
+def test_theta_lb_scales_with_floor_scale():
+    # shrunk-avgdl generational index: the attained floor (and hence the
+    # predictor's theta_lb) shrinks linearly with wand_floor_scale, and
+    # floor_scale=0 (legacy incremental stats) predicts no pruning at all
+    rows = [("a", s, 0.5 + 0.01 * s, 100) for s in range(20)]
+    idf = {"a": 2.0}
+    full = predict_wand_decode(_meta(rows), idf, k=5, floor_scale=1.0)
+    half = predict_wand_decode(_meta(rows), idf, k=5, floor_scale=0.5)
+    off = predict_wand_decode(_meta(rows), idf, k=5, floor_scale=0.0)
+    assert half["theta_lb"] == pytest.approx(0.5 * full["theta_lb"])
+    assert off["theta_lb"] == 0.0
+    assert off["predicted_dc"] >= half["predicted_dc"] >= full["predicted_dc"]
+    assert off["predicted_dc"] == off["total_dc"]  # nothing prunes
