@@ -696,21 +696,27 @@ class SearchEngine:
     # distributed WAND path takes over when Σ df of the matched terms exceeds
     # this; at web scale every head-term query does.
     SMALL_QUERY_POSTINGS = 2_000_000
-    # mode="auto" picks WAND iff total_dc - RATIO*predicted_dc >= MIN_SAVED:
-    # a WAND-decoded posting costs ~RATIO sort-pipeline postings (WAND adds
-    # per-range python-kernel dispatch, ub bookkeeping, and a two-phase
-    # union the sort path's straight-line decode+TakeOrdered never pays;
-    # interleaved A/B across ten (query, scale, field-layout) points —
-    # BENCH §3c + the compound 8M A/B — measures the marginal ratio at
-    # 2-6x, and RATIO=3 classifies all ten measured winners correctly
-    # where savings-only misdispatched both compound 8M shapes), and
-    # MIN_SAVED covers WAND's fixed cost of ~2 extra Spark jobs (the
-    # block-metadata aggregate + phase-1 θ probe, worth ~2M decoded
-    # postings at local[32]; at 10^6 docs 90% pruning still lost).  At
-    # cluster scale the same structure holds with a larger floor (more
-    # executors amortize decode faster than they amortize job latency).
+    # mode="auto" picks WAND iff total_dc - RATIO*predicted_dc >= MIN_SAVED.
+    # Both constants are FIT TO INTERLEAVED A/B MEASUREMENT (BENCH §3c:
+    # sf_wand_ab/mf_wand_ab, 14 (query, scale, layout) rows at 1M/8M docs,
+    # single- and multi-field — WAND lost every row, so the rule's job is
+    # to stay on sort throughout the measured regime while extrapolating
+    # the fixed-vs-linear cost structure beyond it):
+    # - RATIO: a WAND-decoded posting costs ~3 sort-pipeline postings
+    #   (marginal slope from the A/B: sort 0.077 s/M rows, WAND 0.18-0.20
+    #   s/M — per-range python-kernel dispatch, ub bookkeeping, two-phase
+    #   union vs the sort path's straight-line decode+TakeOrdered).
+    # - MIN_SAVED: WAND's FIXED overhead (block-metadata aggregate, θ
+    #   probe, two extra job barriers) measures 2.1-2.3 s at the 8M index —
+    #   27-30M sort-pipeline-row equivalents at the measured sort slope;
+    #   30M is the conservative (sort-preferring) round-up.  The miss cost
+    #   is bounded (~seconds) while a wrong WAND pick measured up to 2.1x.
+    # At cluster scale the structure, not the constants, is the claim: the
+    # fixed term stays ~seconds of job overhead while an unpruned head-term
+    # decode at 10^12 docs is 10^10+ rows — hours of CPU — so any strongly
+    # prunable query clears MIN_SAVED by orders of magnitude there.
     WAND_DECODE_COST_RATIO = 3.0
-    WAND_AUTO_MIN_SAVED = 2_000_000
+    WAND_AUTO_MIN_SAVED = 30_000_000
     # populated by the last mode="auto" dispatch: {"mode", "total_dc",
     # "predicted_dc", "theta_lb", "n_ranges"} — bench/test introspection
     last_dispatch: dict | None = None

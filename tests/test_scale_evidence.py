@@ -169,21 +169,23 @@ def test_r5_multifield_at_1m():
     assert q["mf_field_phrase"]["total"] > 0  # head bigram, field-local adjacency
 
 
-def test_r5_wand_crossover_and_dispatch():
-    """WAND beats the sort baseline at 8M docs wherever the cost model
-    predicts pruning, loses at 1M everywhere, and mode=auto picks the
-    measured winner on every (query, scale) row — both sides of the
-    crossover."""
+def test_r5_wand_ab_sort_wins_measured_regime():
+    """The throttle-immune interleaved A/B on the single-field 8M index
+    (BENCH/sf_wand_ab_8m.json): WAND loses EVERY rep on every §3c query up
+    to 21.5M candidate postings, pages identical.  This supersedes the
+    sequential wand_crossover_r5_* artifacts, whose 8M WAND 'wins' were
+    host-drift (refuted by re-running both that era's code and HEAD
+    interleaved on the same index — BENCH §3c).  The 1M sequential
+    artifact's conclusion (sort wins everywhere) still stands."""
     m1 = _load(os.path.join(os.path.dirname(ART), "wand_crossover_r5_1m.json"))
-    m8 = _load(os.path.join(os.path.dirname(ART), "wand_crossover_r5_8m.json"))
-    for d in (m1, m8):
-        for q in d["queries"].values():
-            assert q["pages_identical"]
-            assert q["auto_picked_winner"], q["keyword"]
-    # the crossover itself: rare-dominated flips between scales
-    assert m1["queries"]["rare_dominated"]["wand_over_sort_ratio"] > 1.0
-    assert m8["queries"]["rare_dominated"]["wand_over_sort_ratio"] < 1.0
-    assert m8["queries"]["dense_dense"]["wand_over_sort_ratio"] < 1.0
+    for q in m1["queries"].values():
+        assert q["pages_identical"]
+        assert q["wand_over_sort_ratio"] > 1.0, q["keyword"]
+    ab = _load(os.path.join(os.path.dirname(ART), "sf_wand_ab_8m.json"))
+    for q in ab["queries"].values():
+        assert q["pages_identical"], q["keyword"]
+        assert q["per_rep_wand_wins"] == 0, q["keyword"]
+        assert q["wand_over_sort_ratio"] > 1.0, q["keyword"]
 
 
 def test_r5_compound_wand_ab_and_dispatch():

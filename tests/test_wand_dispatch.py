@@ -115,30 +115,42 @@ def test_auto_mode_skip_routes_to_sort(spark, index_tiny):
 
 
 def test_cost_ratio_rule_matches_measured_winners():
-    """The dispatch rule (total - RATIO*predicted >= MIN_SAVED) must classify
-    every interleaved-A/B-measured (query, scale, field-layout) point from
-    BENCH §3c + the compound 8M A/B — the savings-only rule misdispatched
-    both compound 8M shapes (WAND 1.7-2.1x slower while 'saving' 7.4M and
-    0.1M rows)."""
+    """The dispatch rule (total - RATIO*predicted >= MIN_SAVED) must pick
+    sort on EVERY interleaved-A/B-measured (query, scale, field-layout)
+    point — WAND lost all 12 measured rows up to 21.5M candidate postings
+    (BENCH/sf_wand_ab_8m.json, mf_wand_ab_{1m,8m}.json; the sequential
+    wand_crossover_r5 artifacts that showed 8M single-field WAND wins were
+    host-drift artifacts, refuted by re-running BOTH that era's code and
+    HEAD interleaved on the same index)."""
     from search_engine_spark.query.engine import SearchEngine
 
-    # (total_dc, predicted_dc, measured winner)
+    # (total_dc, predicted_dc) — measured winner was sort on every row
     measured = [
-        (1_057_241, 86_571, "sort"),      # 1M the+oil
-        (1_007_360, 75_887, "sort"),      # 1M the+dairy
-        (1_003_059, 160_676, "sort"),     # 1M the+cadbury
-        (2_692_399, 2_274_964, "sort"),   # 1M the+of+in+cadbury
-        (8_457_687, 112_529, "wand"),     # 8M the+oil
-        (8_047_294, 82_705, "wand"),      # 8M the+dairy
-        (8_026_885, 84_521, "wand"),      # 8M the+cadbury
-        (21_478_660, 15_775_323, "sort"), # 8M the+of+in+cadbury
-        (13_109_638, 5_668_355, "sort"),  # 8M compound title:the+body:the
-        (7_928_136, 7_790_116, "sort"),   # 8M compound title:cadbury+body:the
+        (1_057_241, 86_571),       # 1M the+oil
+        (1_007_360, 75_887),       # 1M the+dairy
+        (1_003_059, 160_676),      # 1M the+cadbury
+        (2_692_399, 2_274_964),    # 1M the+of+in+cadbury
+        (8_456_919, 112_715),      # 8M the+oil (interleaved: wand 1.37x)
+        (8_047_099, 82_479),       # 8M the+dairy (1.24x)
+        (8_027_877, 82_263),       # 8M the+cadbury (1.24x)
+        (21_483_711, 15_782_553),  # 8M the+of+in+cadbury (1.85x)
+        (13_109_638, 5_668_355),   # 8M compound title:the+body:the (1.57x)
+        (7_928_136, 7_790_116),    # 8M compound title:cadbury+body:the (1.87x)
+        (1_639_139, 671_659),      # 1M compound title:the+body:the (1.90x)
+        (990_942, 990_942),        # 1M compound title:cadbury+body:the (2.19x)
     ]
-    for total, pred, winner in measured:
+    for total, pred in measured:
         est = {"total_dc": total, "predicted_dc": pred}
-        picked = "wand" if SearchEngine._pick_wand(SearchEngine, est) else "sort"
-        assert picked == winner, (total, pred, winner, picked)
+        assert not SearchEngine._pick_wand(SearchEngine, est), (total, pred)
+    # extrapolation shape (unmeasured regime, structural claim only): a
+    # strongly-prunable query far above the fixed-cost gap picks WAND, and
+    # poor pruning keeps sort no matter the scale
+    assert SearchEngine._pick_wand(
+        SearchEngine, {"total_dc": 100_000_000, "predicted_dc": 5_000_000}
+    )
+    assert not SearchEngine._pick_wand(
+        SearchEngine, {"total_dc": 100_000_000, "predicted_dc": 40_000_000}
+    )
 
 
 def test_theta_lb_scales_with_floor_scale():
