@@ -698,25 +698,35 @@ class SearchEngine:
     SMALL_QUERY_POSTINGS = 2_000_000
     # mode="auto" picks WAND iff total_dc - RATIO*predicted_dc >= MIN_SAVED.
     # Both constants are FIT TO INTERLEAVED A/B MEASUREMENT (BENCH §3c:
-    # sf_wand_ab/mf_wand_ab, 14 (query, scale, layout) rows at 1M/8M docs,
-    # single- and multi-field — WAND lost every row, so the rule's job is
-    # to stay on sort throughout the measured regime while extrapolating
-    # the fixed-vs-linear cost structure beyond it):
+    # sf_wand_ab/mf_wand_ab — 16 (query, scale, layout) rows at 1M/8M/24M
+    # docs, single- and multi-field.  The 24M rows are the first measured
+    # WAND WINS, so the rule now brackets the crossover instead of only
+    # extrapolating it):
     # - RATIO: a WAND-decoded posting costs ~3 sort-pipeline postings
-    #   (marginal slope from the A/B: sort 0.077 s/M rows, WAND 0.18-0.20
-    #   s/M — per-range python-kernel dispatch, ub bookkeeping, two-phase
-    #   union vs the sort path's straight-line decode+TakeOrdered).
-    # - MIN_SAVED: WAND's FIXED overhead (block-metadata aggregate, θ
-    #   probe, two extra job barriers) measures 2.1-2.3 s at the 8M index —
-    #   27-30M sort-pipeline-row equivalents at the measured sort slope;
-    #   30M is the conservative (sort-preferring) round-up.  The miss cost
-    #   is bounded (~seconds) while a wrong WAND pick measured up to 2.1x.
+    #   (marginal slope from the A/B: sort 0.077-0.154 s/M rows, WAND
+    #   0.18-0.20 s/M — per-range python-kernel dispatch, ub bookkeeping,
+    #   two-phase union vs the sort path's straight-line
+    #   decode+TakeOrdered).
+    # - MIN_SAVED: the interpolated break-even between the two measured
+    #   brackets at ~976 ranges (sf_wand_ab_8m/24m.json, interleaved):
+    #   at saved=8.1M rows sort wins by 1.0 s ("the oil", 8M docs); at
+    #   saved=24.4M WAND wins by 0.27 s, 5/5 reps ("the oil", 24M docs,
+    #   range_docs grown 4x so the range COUNT — WAND's fixed term — holds
+    #   at ~1000, the shape a cluster operator scales).  Linear in saved,
+    #   the margin crosses zero at ~21M.  The 24M rows also show the
+    #   ±5% INDIFFERENCE ZONE around the threshold: "the dairy"
+    #   (saved=23.4M) won 5/5 for WAND while "the cadbury" (saved=23.2M)
+    #   lost 4/5 by 9% — structurally identical plans (1 probe + ~10 alive
+    #   ranges of 976) whose outcomes at the break-even are noise-level,
+    #   so a near-threshold mis-pick costs <10% either way; the expensive
+    #   mistake (a wrong WAND pick far below threshold measured up to
+    #   2.1x) stays excluded.
     # At cluster scale the structure, not the constants, is the claim: the
     # fixed term stays ~seconds of job overhead while an unpruned head-term
     # decode at 10^12 docs is 10^10+ rows — hours of CPU — so any strongly
     # prunable query clears MIN_SAVED by orders of magnitude there.
     WAND_DECODE_COST_RATIO = 3.0
-    WAND_AUTO_MIN_SAVED = 30_000_000
+    WAND_AUTO_MIN_SAVED = 21_000_000
     # populated by the last mode="auto" dispatch: {"mode", "total_dc",
     # "predicted_dc", "theta_lb", "n_ranges"} — bench/test introspection
     last_dispatch: dict | None = None

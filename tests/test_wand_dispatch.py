@@ -116,12 +116,23 @@ def test_auto_mode_skip_routes_to_sort(spark, index_tiny):
 
 def test_cost_ratio_rule_matches_measured_winners():
     """The dispatch rule (total - RATIO*predicted >= MIN_SAVED) must pick
-    sort on EVERY interleaved-A/B-measured (query, scale, field-layout)
-    point — WAND lost all 12 measured rows up to 21.5M candidate postings
+    the interleaved-A/B-measured winner on BOTH sides of the crossover:
+    sort on all 12 rows up to 21.5M candidate postings at 1M/8M docs
     (BENCH/sf_wand_ab_8m.json, mf_wand_ab_{1m,8m}.json; the sequential
     wand_crossover_r5 artifacts that showed 8M single-field WAND wins were
     host-drift artifacts, refuted by re-running BOTH that era's code and
-    HEAD interleaved on the same index)."""
+    HEAD interleaved on the same index), and WAND on the 24M-doc rows
+    where it first measurably won — range_docs grown 4x so the range
+    count (WAND's fixed term) held at ~976 while per-query candidate
+    postings tripled (two interleaved runs, BENCH/sf_wand_ab_24m.json +
+    _run1.json: "the oil" 9/10 reps across runs, 0.945-0.953x;
+    "the dairy" 9/10, 0.967-0.996x).  "the cadbury" at saved=23.2M is
+    the documented indifference zone made visible: sort won it 4/5 in
+    run 1 and WAND won it 3/5 (0.931x) in the final run, with a plan
+    structurally identical to "the dairy"'s at saved=23.4M — the rule
+    picks WAND there and the test pins that a near-threshold pick costs
+    <10% either way, unlike a wrong WAND pick far below threshold
+    (measured up to 2.1x)."""
     from search_engine_spark.query.engine import SearchEngine
 
     # (total_dc, predicted_dc) — measured winner was sort on every row
@@ -142,6 +153,29 @@ def test_cost_ratio_rule_matches_measured_winners():
     for total, pred in measured:
         est = {"total_dc": total, "predicted_dc": pred}
         assert not SearchEngine._pick_wand(SearchEngine, est), (total, pred)
+    # measured WAND wins at 24M docs / 976 ranges (sf_wand_ab_24m.json) —
+    # the rule must pick WAND on the winning side of the crossover
+    measured_wand = [
+        (25_371_638, 312_238),     # 24M the+oil (0.945-0.953x, 9/10 reps)
+        (24_142_188, 247_480),     # 24M the+dairy (0.967-0.996x, 9/10)
+    ]
+    for total, pred in measured_wand:
+        est = {"total_dc": total, "predicted_dc": pred}
+        assert SearchEngine._pick_wand(SearchEngine, est), (total, pred)
+    # 24M the+of+in+cadbury (1.28-1.36x, sort won 10/10): pruning too
+    # weak — saved is NEGATIVE at the 3x decode premium, so scale alone
+    # never flips it
+    assert not SearchEngine._pick_wand(
+        SearchEngine, {"total_dc": 64_451_634, "predicted_dc": 28_198_265}
+    )
+    # 24M the+cadbury: the indifference zone (saved=23.2M vs the
+    # threshold's 21M; sort won run 1 4/5, WAND won the final run 3/5 at
+    # 0.931x with a structurally identical plan) — the rule picks WAND
+    # and a pick either way costs <10% here, unlike a wrong WAND pick
+    # far below threshold (measured up to 2.1x)
+    assert SearchEngine._pick_wand(
+        SearchEngine, {"total_dc": 24_084_045, "predicted_dc": 296_106}
+    )
     # extrapolation shape (unmeasured regime, structural claim only): a
     # strongly-prunable query far above the fixed-cost gap picks WAND, and
     # poor pruning keeps sort no matter the scale
