@@ -96,7 +96,7 @@ def worker_main(args):
         shuffle_partitions=args.shuffle_partitions,
         extra_conf={"spark.scheduler.mode": "FAIR"},
     )
-    eng = SearchEngine(spark, f"/tmp/query_scale_idx_{args.docs}")
+    eng = SearchEngine(spark, args.index or f"/tmp/query_scale_idx_{args.docs}")
     workload = [make_query(i) for i in range(lo, hi)]
     seen = set()
     for k, fn in workload:  # warmup outside the timed window
@@ -150,7 +150,7 @@ def coordinator_main(args):
                     "--threads", str(args.threads),
                     "--shuffle-partitions", str(args.shuffle_partitions),
                     "--worker", f"{lo}:{hi}:{ready}:{go_file}",
-                ],
+                ] + (["--index", args.index] if args.index else []),
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             )
         )
@@ -200,6 +200,11 @@ def main():
         "against the same on-disk index — the shared-nothing query-frontend "
         "architecture a cluster-scale serving tier uses",
     )
+    ap.add_argument(
+        "--index", default=None,
+        help="serve an EXISTING index dir (skips corpus gen + build; --docs "
+        "becomes a label only) — used for the 24M crossover-scale index",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument("--reuse-index", action="store_true")
     ap.add_argument("--shuffle-partitions", type=int, default=32)
@@ -212,7 +217,8 @@ def main():
         return coordinator_main(args)
 
     corpus = f"/tmp/webtext_{args.docs // 1000}k"
-    if not os.path.exists(os.path.join(corpus, "part-00000.parquet")):
+    if args.index is None and not os.path.exists(
+            os.path.join(corpus, "part-00000.parquet")):
         from search_engine_spark.fixtures.webtext import write_webtext_parquet_parallel
 
         write_webtext_parquet_parallel(corpus, args.docs, procs=16)
@@ -242,8 +248,9 @@ def main():
         "clock_probe_mips": clock_probe(),
     }
 
-    index_dir = f"/tmp/query_scale_idx_{args.docs}"
-    if not (args.reuse_index and os.path.exists(os.path.join(index_dir, "corpus_stats.json"))):
+    index_dir = args.index or f"/tmp/query_scale_idx_{args.docs}"
+    if args.index is None and not (
+            args.reuse_index and os.path.exists(os.path.join(index_dir, "corpus_stats.json"))):
         if not os.path.exists(os.path.join(index_dir, "corpus_stats.json")):
             shutil.rmtree(index_dir, ignore_errors=True)
             cfg = BuildConfig(
