@@ -168,6 +168,24 @@ def test_cost_ratio_rule_matches_measured_winners():
     assert not SearchEngine._pick_wand(
         SearchEngine, {"total_dc": 64_451_634, "predicted_dc": 28_198_265}
     )
+    # 16M midpoint (sf_wand_ab_16m.json, range_docs grown to 16384 so
+    # n_ranges held at 976): saved = 15.6-16.1M sits just BELOW the 21M
+    # break-even and the measured outcome is parity — ratios 0.962/1.032/
+    # 0.996 on the three pair queries, rep wins split 2/5-1/5-2/5.  The
+    # rule picks sort on all four rows; on the two rows where WAND's
+    # median was nominally faster (≤3.8%) that is the indifference zone,
+    # not a wrong pick.  The midpoint validates the interpolated
+    # break-even with a measurement BETWEEN the brackets, not just at
+    # the endpoints.
+    measured_16m = [
+        (16_914_742, 277_528),     # 16M the+oil (0.962x, parity)
+        (16_094_517, 164_877),     # 16M the+dairy (1.032x)
+        (16_056_104, 164_484),     # 16M the+cadbury (0.996x, parity)
+        (42_966_984, 21_042_157),  # 16M the+of+in+cadbury (1.594x)
+    ]
+    for total, pred in measured_16m:
+        est = {"total_dc": total, "predicted_dc": pred}
+        assert not SearchEngine._pick_wand(SearchEngine, est), (total, pred)
     # 24M the+cadbury: the indifference zone (saved=23.2M vs the
     # threshold's 21M; sort won run 1 4/5, WAND won the final run 3/5 at
     # 0.931x with a structurally identical plan) — the rule picks WAND
