@@ -215,3 +215,48 @@ def test_r5_build_scaling_efficiency():
     assert d["4n_cores"] == 4 * d["n_cores"]
     assert d["efficiency_best"] >= 0.8
     assert d["efficiency_mean"] >= 0.8
+
+
+def test_r5_wand_crossover_measured_at_24m():
+    """The measured crossover (BENCH/sf_wand_ab_24m.json + _run1.json,
+    BENCH §3c-2): at 24M docs with the range count held at ~976 (range_docs
+    grown 4x — the variable a cluster operator scales), block-max WAND
+    beats the unpruned sort baseline on the two dense disjunctions in BOTH
+    interleaved runs, pages identical everywhere, and the refit dispatch
+    picks the measured winner on every row of the final run."""
+    final = _load(os.path.join(os.path.dirname(ART), "sf_wand_ab_24m.json"))
+    run1 = _load(os.path.join(os.path.dirname(ART), "sf_wand_ab_24m_run1.json"))
+    for d in (final, run1):
+        assert d["range_docs"] == 24_576
+        for q in d["queries"].values():
+            assert q["pages_identical"], q["keyword"]
+            assert q["dispatch"]["n_ranges"] == 976
+        # WAND wins the dense disjunctions in both runs (9/10 reps each
+        # across the two runs)
+        for name in ("dense_dense", "mid_rare"):
+            assert d["queries"][name]["wand_over_sort_ratio"] < 1.0, name
+        # poor pruning (saved negative at the 3x premium) never flips
+        assert d["queries"]["multi_stop_rare"]["wand_over_sort_ratio"] > 1.0
+    # the refit dispatch chose the measured winner on every final-run row
+    for q in final["queries"].values():
+        assert q["auto_picked_winner"], q["keyword"]
+
+
+def test_r5_wand_16m_midpoint_is_parity():
+    """The 16M midpoint (BENCH/sf_wand_ab_16m.json, BENCH §3c-3): saved
+    sits at 15.6-16.1M — just below the fitted 21M break-even — and the
+    measured outcome is parity on all three pair queries (|ratio-1| <= 4%),
+    while the unprunable multi-stop row stays a decisive sort win.  This
+    probes the interpolated break-even BETWEEN the 8M/24M brackets."""
+    d = _load(os.path.join(os.path.dirname(ART), "sf_wand_ab_16m.json"))
+    assert d["range_docs"] == 16_384
+    for name in ("dense_dense", "mid_rare", "rare_dominated"):
+        q = d["queries"][name]
+        assert q["pages_identical"], name
+        assert abs(q["wand_over_sort_ratio"] - 1.0) <= 0.04, name
+        saved = q["dispatch"]["total_dc"] - 3 * q["dispatch"]["predicted_dc"]
+        assert 10_000_000 < saved < 21_000_000, name  # below the break-even
+        assert q["dispatch"]["mode"] == "sort", name
+    ms = d["queries"]["multi_stop_rare"]
+    assert ms["wand_over_sort_ratio"] > 1.5
+    assert ms["dispatch"]["mode"] == "sort"
