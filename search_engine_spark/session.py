@@ -20,8 +20,12 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
-    ``cpus`` controls local parallelism (``local[cpus]``); on a real cluster the
-    master is taken from the environment and this arg is ignored by Spark.
+    ``cpus`` controls local parallelism (``local[cpus]``) when no master was
+    supplied externally.  Under ``spark-submit --master yarn/k8s`` the submit
+    flag populates ``spark.master`` in the JVM system properties *before* this
+    code runs, and we must NOT call ``.master()`` then: properties set in
+    application code take precedence over spark-submit flags, so hard-coding
+    ``local[N]`` here would silently collapse a cluster job onto the driver.
     """
     # numpy's BLAS must not self-parallelize inside python workers: N
     # concurrent workers x M BLAS threads oversubscribes the box (measured:
@@ -44,9 +48,20 @@ def get_spark(
         # stage); AQE coalesces the excess when partitions run small.
         shuffle_partitions = max(3 * cpus, 24)
 
+    # Respect a master provided by spark-submit; fall back to local[N] only
+    # for plain `python x.py` runs.  Measured on this pyspark build: before
+    # the gateway attaches, SparkConf() is an empty pure-Python conf and sees
+    # nothing of --master, but spark-submit's PythonRunner exports
+    # PYSPARK_GATEWAY_PORT (the JVM already holds the submit-time master) and
+    # bin/spark-submit exports MASTER.  Either signal means the master is
+    # external and calling .master() here would override it (code-level conf
+    # outranks submit flags) — collapsing a cluster job onto the driver.
+    external_master = os.environ.get("PYSPARK_GATEWAY_PORT") or os.environ.get("MASTER")
+    builder = SparkSession.builder
+    if not external_master:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -260,3 +260,23 @@ def test_r5_wand_16m_midpoint_is_parity():
     ms = d["queries"]["multi_stop_rare"]
     assert ms["wand_over_sort_ratio"] > 1.5
     assert ms["dispatch"]["mode"] == "sort"
+
+
+def test_r5_spark_submit_run_path():
+    """The north rule's run-path clause, evidenced (BENCH/spark_submit_smoke.json):
+    the same pipeline ran via `spark-submit --py-files` with the package served
+    ONLY from the zip (script + cwd outside the repo), the submit-time master
+    respected (get_spark skips .master() when PYSPARK_GATEWAY_PORT/MASTER is
+    set), a re-run resuming every completed segment from the manifest, and a
+    BM25 query returning a ranked page off the submitted build."""
+    d = _load(os.path.join(os.path.dirname(ART), "spark_submit_smoke.json"))
+    assert "--py-files" in d["invocation"]["build"]
+    cold, res = d["cold_build"], d["resume"]
+    assert cold["n_docs"] == res["n_docs"] == 20_000
+    assert cold["partitions_built"] == 16 and cold["partitions_skipped"] == 0
+    assert res["partitions_built"] == 0 and res["partitions_skipped"] == 16
+    assert res["total_bytes"] == cold["total_bytes"]  # resume rebuilt nothing
+    q = d["query"]
+    scores = [h["score"] for h in q["top"]]
+    assert scores == sorted(scores, reverse=True) and len(q["top"]) == 5
+    assert q["total"] > 0
