@@ -55,7 +55,10 @@ def main():
         {
             "wall_sec": round(wall, 2),
             "docs_per_sec": round(metrics["n_docs"] / wall, 1),
-            "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            # the session's real parallelism — honest under spark-submit too,
+            # where the master (and thus core count) comes from the launcher,
+            # not SPARK_GRAFT_CPUS
+            "cores": spark.sparkContext.defaultParallelism,
         }
     )
     print(json.dumps(metrics))
