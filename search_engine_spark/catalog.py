@@ -3,11 +3,15 @@
 At cluster scale these tables are Iceberg (the manifest commit becomes an
 Iceberg ``MERGE INTO``, mirroring the reference's upsert-sink pattern,
 reference lamda/inventory_sync.py:87-109).  The Iceberg runtime jar is not in
-this image, so the default backend is parquet directories with a driver-side
-atomic manifest: manifest rows are written to a temp file and ``os.rename``d
-into place (rename is atomic on POSIX), which gives the same crash-safety the
-resume protocol needs.  Set ``SPARK_GRAFT_ICEBERG=1`` with the runtime jar on
-the classpath to route through an Iceberg catalog instead.
+this image, so the backend is parquet directories with a driver-side atomic
+manifest: manifest rows are written to a temp file and ``os.rename``d into
+place (rename is atomic on POSIX), which gives the same crash-safety the
+resume protocol needs.  The Iceberg mapping is a deploy-time swap, not a
+flag implemented here: ``append_parquet_atomic`` on the manifest becomes
+``MERGE INTO manifest USING staged ON segment_id WHEN NOT MATCHED THEN
+INSERT``, the query-log append becomes a plain Iceberg append, and readers
+(``read_manifest``/``read_query_log``) become ``spark.table(...)`` scans —
+the schemas below are the table DDL either way.
 """
 
 from __future__ import annotations
