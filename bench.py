@@ -218,6 +218,11 @@ def main():
             should=[{"field": "body", "query": "sow", "kind": "fuzzy"}], k=10),
         "search_multifield_phrase": lambda: mf_eng.search_field_phrase(
             "body", "part filter", k=10),
+        "search_multifield_mustnot": lambda: mf_eng.search_fields(
+            must=[("title", "window")], must_not=[("body", "scan")], k=10),
+        "search_multifield_boost": lambda: mf_eng.search_fields(
+            should=[{"field": "title", "query": "scan", "boost": 3.0},
+                    ("body", "scan")], k=10),
         "search_msm2": lambda: eng.search(
             "scan window merge", k=10, min_should_match=2),
     }

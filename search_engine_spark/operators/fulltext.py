@@ -1264,11 +1264,11 @@ _MF_CTES_TMPL = f"""t AS (
   SELECT doc_id,
          round(
            (CASE WHEN tfb > 0 THEN
-              ln(1.0 + (dcb - dfb + 0.5) / (dfb + 0.5)) * tfb
+              {{bb}} * ln(1.0 + (dcb - dfb + 0.5) / (dfb + 0.5)) * tfb
                 / (tfb + {K1} * (1.0 - {B} + {B} * dlb / (sumb / dcb)))
             ELSE 0.0 END)
            + (CASE WHEN tft > 0 THEN
-              ln(1.0 + (dct - dft + 0.5) / (dft + 0.5)) * tft
+              {{bt}} * ln(1.0 + (dct - dft + 0.5) / (dft + 0.5)) * tft
                 / (tft + {K1} * (1.0 - {B} + {B} * dlt / (sumt / dct)))
             ELSE 0.0 END), 6) AS score
   FROM fdoc CROSS JOIN stats
@@ -1286,7 +1286,7 @@ WHERE rk <= 20
 )
 
 MULTIFIELD_TOPK_SQL = _MF_TOPK_SQL_TMPL.format(
-    tt=_MF_Q, tb=_MF_Q, cond="tft > 0 OR tfb > 0"
+    tt=_MF_Q, tb=_MF_Q, cond="tft > 0 OR tfb > 0", bt="1.0", bb="1.0"
 )
 
 _MF_ENGINE_CACHE: dict[str, str] = {}
@@ -1360,7 +1360,59 @@ def engine_multifield_must(spark, sf_dir, k=20):
 
 
 ENGINE_MULTIFIELD_MUST_SQL = _MF_TOPK_SQL_TMPL.format(
-    tt=_MF_MUST[0], tb=_MF_MUST[1], cond="tft > 0 AND tfb > 0"
+    tt=_MF_MUST[0], tb=_MF_MUST[1], cond="tft > 0 AND tfb > 0", bt="1.0", bb="1.0"
+)
+
+
+def engine_multifield_mustnot(spark, sf_dir, k=20):
+    """Lucene MUST_NOT / Atlas compound.mustNot through the real engine:
+    must title:<term>, mustNot body:<term> — docs holding the excluded key
+    are dropped and the excluded clause scores NOTHING (the kept docs'
+    scores are the title clause's alone).  Runs force_distributed so the
+    driver verifies the distributed exclusion kernel (the JVM ~arrays_overlap
+    filter over the per-doc matched-key set)."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
+    res = eng.search_fields(
+        must=[("title", _MF_MUST[0])],
+        must_not=[("body", _MF_MUST[1])],
+        k=60,
+        force_distributed=True,
+    )
+    return _engine_page_frame(spark, res, k)
+
+
+# kept docs have tfb = 0, so the body CASE contributes exactly 0.0 — the
+# template's two-clause sum is the mustNot score by construction
+ENGINE_MULTIFIELD_MUSTNOT_SQL = _MF_TOPK_SQL_TMPL.format(
+    tt=_MF_MUST[0], tb=_MF_MUST[1], cond="tft > 0 AND tfb = 0", bt="1.0", bb="1.0"
+)
+
+_MF_BOOST = 3.0
+
+
+def engine_multifield_boost(spark, sf_dir, k=20):
+    """Per-clause boost (Atlas ``score: {boost: {value: 3}}`` on a compound
+    clause): should over (title^3, body) — the title clause's contribution
+    is tripled by folding the boost into its keys' idf, so every physical
+    path scores identically with no special cases."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
+    res = eng.search_fields(
+        should=[
+            {"field": "title", "query": _MF_Q, "boost": _MF_BOOST},
+            ("body", _MF_Q),
+        ],
+        minimum_should_match=1,
+        k=60,
+    )
+    return _engine_page_frame(spark, res, k)
+
+
+ENGINE_MULTIFIELD_BOOST_SQL = _MF_TOPK_SQL_TMPL.format(
+    tt=_MF_Q, tb=_MF_Q, cond="tft > 0 OR tfb > 0", bt=repr(_MF_BOOST), bb="1.0"
 )
 
 
@@ -1590,9 +1642,7 @@ QUERY_LOG_REPLAY_SQL = "\nUNION ALL\n".join(
 
 
 QUERIES = {
-    "ft_term_stats": term_stats,
     "ft_prefix_terms": prefix_terms,
-    "ft_tf_topk": tf_topk,
     "ft_must_should": must_should,
     "ft_bm25_topk": bm25_topk,
     "ft_engine_bm25_topk": engine_bm25_topk,
@@ -1610,12 +1660,18 @@ QUERIES = {
     "ft_multifield_topk": multifield_topk,
     "ft_engine_multifield_topk": engine_multifield_topk,
     "ft_engine_multifield_must": engine_multifield_must,
+    "ft_engine_multifield_mustnot": engine_multifield_mustnot,
+    "ft_engine_multifield_boost": engine_multifield_boost,
     "ft_engine_multifield_fuzzy": engine_multifield_fuzzy,
     "ft_engine_multifield_phrase": engine_multifield_phrase,
     "ft_engine_msm2_topk": engine_msm2_topk,
     # registered last on purpose: with the round-5 window rotation these are
     # the ft gates that fall outside the driver's 50-gate window, and every
-    # one is already driver-verified (CORRECTNESS_r04) + CHECKGATE-covered
+    # one is already driver-verified (CORRECTNESS_r04 — incl. ft_term_stats /
+    # ft_tf_topk, rotated down to make window room for the mustNot/boost
+    # gates) + CHECKGATE-covered
+    "ft_term_stats": term_stats,
+    "ft_tf_topk": tf_topk,
     "ft_phrase_near_topk": phrase_near_topk,
     "ft_engine_phrase_near_topk": engine_phrase_near_topk,
     "ft_engine_suggest": engine_suggest,
@@ -1658,6 +1714,8 @@ ORACLES = {
     "ft_multifield_topk": MULTIFIELD_TOPK_SQL,
     "ft_engine_multifield_topk": ENGINE_MULTIFIELD_TOPK_SQL,
     "ft_engine_multifield_must": ENGINE_MULTIFIELD_MUST_SQL,
+    "ft_engine_multifield_mustnot": ENGINE_MULTIFIELD_MUSTNOT_SQL,
+    "ft_engine_multifield_boost": ENGINE_MULTIFIELD_BOOST_SQL,
     "ft_engine_multifield_fuzzy": ENGINE_MULTIFIELD_FUZZY_SQL,
     "ft_engine_multifield_phrase": ENGINE_MULTIFIELD_PHRASE_SQL,
     "ft_engine_msm2_topk": ENGINE_MSM2_TOPK_SQL,

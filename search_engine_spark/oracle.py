@@ -414,7 +414,18 @@ class OracleMultiFieldIndex:
         k: int = 10,
         skip: int = 0,
         minimum_should_match: int = 1,
+        must_not: list = (),
     ) -> QueryResult:
+        """Lucene BooleanQuery semantics over named fields.
+
+        ``must_not`` clauses are pure filters (Lucene MUST_NOT scores
+        nothing): a doc is dropped when ANY of a must_not clause's keys is
+        present, and the clause contributes zero to the score.  Positive
+        clause dicts may carry ``boost`` (Atlas ``score: {boost: {value}}``):
+        the clause's keys score with ``boost * idf * tf_norm``.  A key named
+        by several positive clauses scores ONCE with the largest boost (the
+        engine dedups keys across clauses; documented dedup rule).
+        """
         def clause_keys(c):
             if isinstance(c, dict):
                 f, q, kind = c["field"], c["query"], c.get("kind", "text")
@@ -437,14 +448,22 @@ class OracleMultiFieldIndex:
                 return [(f, t) for t in sorted(out)]
             raise ValueError(f"unknown clause kind {kind!r}")
 
+        if must_not and not (must or should):
+            raise ValueError("must_not requires at least one must/should clause")
         mt = [clause_keys(c) for c in must]
         st = [clause_keys(c) for c in should]
+        nt = [clause_keys(c) for c in must_not]
         msm = int(minimum_should_match) if st else 0
         if st and not mt:
             msm = max(msm, 1)
         if st and msm > len(st):
             return QueryResult(total=0)
-        all_keys = sorted({ft for ts in mt + st for ft in ts})
+        weight: dict[tuple, float] = {}
+        for c, ts in zip(list(must) + list(should), mt + st):
+            b = float(c.get("boost", 1.0)) if isinstance(c, dict) else 1.0
+            for ft in ts:
+                weight[ft] = max(weight.get(ft, 0.0), b)
+        all_keys = sorted({ft for ts in mt + st + nt for ft in ts})
         scores: dict[int, float] = {}
         has: dict[int, set] = {}
         for f, t in all_keys:  # ascending (field, term) == engine fold order
@@ -453,7 +472,9 @@ class OracleMultiFieldIndex:
                 continue
             dc, avgdl = self.fields[f]
             df = len(pl)
-            idf = math.log(1.0 + (dc - df + 0.5) / (df + 0.5))
+            # must_not-only keys score nothing but still gate membership
+            w = weight.get((f, t), 0.0)
+            idf = w * math.log(1.0 + (dc - df + 0.5) / (df + 0.5))
             for d, tf in pl.items():
                 dl = self.field_len[f][d]
                 scores[d] = scores.get(d, 0.0) + idf * tf / (
@@ -470,6 +491,7 @@ class OracleMultiFieldIndex:
             for d, s in scores.items()
             if all(ok(d, ts) for ts in mt)
             and (not msm or sum(ok(d, ts) for ts in st) >= msm)
+            and not any(ok(d, ts) for ts in nt)
         }
         ranked = sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))
         return QueryResult(total=len(ranked), hits=ranked[skip : skip + k])

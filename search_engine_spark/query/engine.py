@@ -949,6 +949,7 @@ class SearchEngine:
         with_url: bool = False,
         force_distributed: bool = False,
         mode: str = "sort",
+        must_not: list = (),
     ) -> SearchResult:
         """Compound multi-field search (reference ``$search.compound`` over
         named paths: should over name+barcode for single-term queries,
@@ -956,24 +957,34 @@ class SearchEngine:
         search_utils.py:79-97,181-203, app.py:472-486).
 
         Semantics (Lucene BooleanQuery): a doc matches when EVERY must
-        clause matches and at least ``minimum_should_match`` should clauses
+        clause matches, at least ``minimum_should_match`` should clauses
         match (with no must clauses, at least 1 should clause must match
-        regardless).  Every present query term contributes
-        ``idf_field(term) * tf_norm(tf, dl_field, avgdl_field)`` — idf from
-        the FIELD's doc_count/df, the norm from the FIELD's length stats —
-        summed per doc in ascending posting-key order (field, then term):
-        the same deterministic fold as the single-field engine.
+        regardless), and NO ``must_not`` clause matches (Lucene MUST_NOT /
+        Atlas ``compound.mustNot`` — a pure filter that scores nothing).
+        Every present positive query term contributes ``boost *
+        idf_field(term) * tf_norm(tf, dl_field, avgdl_field)`` — idf from
+        the FIELD's doc_count/df, the norm from the FIELD's length stats,
+        boost the clause's optional multiplier (Atlas ``score: {boost:
+        {value}}``; a key named by several clauses scores once with the
+        largest boost) — summed per doc in ascending posting-key order
+        (field, then term): the same deterministic fold as the single-field
+        engine.  Boosts fold into the per-key idf, so every physical path
+        (driver, sort, WAND — whose block bounds scale by the same idf) is
+        bit-identical without special cases.
         """
         if mode not in ("sort", "wand", "auto"):
             raise ValueError(f"mode must be 'sort', 'wand', or 'auto'; got {mode!r}")
+        if must_not and not (must or should):
+            raise ValueError("must_not requires at least one must/should clause")
         empty = SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
         must_terms = [self._clause_terms(c, max_expansions) for c in must]
         should_terms = [self._clause_terms(c, max_expansions) for c in should]
-        if mode != "sort" and (must or int(minimum_should_match) > 1 or skip):
+        must_not_terms = [self._clause_terms(c, max_expansions) for c in must_not]
+        if mode != "sort" and (must or must_not or int(minimum_should_match) > 1 or skip):
             # WAND's θ-pruning scope on the compound path: pure-should
-            # msm<=1 key disjunctions from page 1 (must/msm>=2 clause
-            # filtering and deep pagination stay on the full-scoring sort
-            # kernel — same restrictions as the single-field dispatch)
+            # msm<=1 key disjunctions from page 1 (must/must_not/msm>=2
+            # clause filtering and deep pagination stay on the full-scoring
+            # sort kernel — same restrictions as the single-field dispatch)
             raise ValueError(
                 "mode='wand'/'auto' on search_fields applies to pure-should "
                 "minimum_should_match<=1 queries with skip=0"
@@ -985,7 +996,17 @@ class SearchEngine:
             msm = max(msm, 1)
         if msm > len(should_terms):
             return empty
-        all_terms = sorted({t for ts in must_terms + should_terms for t in ts})
+        # per-key boost = max over the positive clauses naming the key
+        weight: dict[str, float] = {}
+        for c, ts in zip(list(must) + list(should), must_terms + should_terms):
+            b = float(c.get("boost", 1.0)) if isinstance(c, dict) else 1.0
+            if b < 0.0:
+                raise ValueError(f"clause boost must be >= 0, got {b}")
+            for t in ts:
+                weight[t] = max(weight.get(t, 0.0), b)
+        all_terms = sorted(
+            {t for ts in must_terms + should_terms + must_not_terms for t in ts}
+        )
         if not all_terms:
             return empty
         dfs = self.term_dfs(all_terms)
@@ -1001,10 +1022,17 @@ class SearchEngine:
         avgdl_map: dict[str, float] = {}
         for t in present:
             fs = self.fields[t.split(sep, 1)[0]]
-            idf[t] = _math_idf(int(fs["doc_count"]), dfs[t])
+            # must_not-only keys carry weight 0.0: decoded for membership,
+            # contributing exactly nothing to the fold (Lucene MUST_NOT)
+            idf[t] = weight.get(t, 0.0) * _math_idf(int(fs["doc_count"]), dfs[t])
             avgdl_map[t] = float(fs["avgdl"])
         present_must = [[t for t in ts if t in dfs] for ts in must_terms]
         present_should = [[t for t in ts if t in dfs] for ts in should_terms]
+        present_must_not = [
+            [t for t in ts if t in dfs] for ts in must_not_terms if any(
+                t in dfs for t in ts
+            )
+        ]
 
         wand_meta = None
         if mode == "auto":
@@ -1055,11 +1083,13 @@ class SearchEngine:
             res = SearchResult(total=int(total), page=page)
         elif not force_distributed and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS:
             res = self._driver_search_fields(
-                present, idf, avgdl_map, present_must, present_should, msm, k, skip
+                present, idf, avgdl_map, present_must, present_should, msm, k, skip,
+                must_not_terms=present_must_not,
             )
         else:
             res = self._dist_search_fields(
-                present, idf, avgdl_map, present_must, present_should, msm, k, skip
+                present, idf, avgdl_map, present_must, present_should, msm, k, skip,
+                must_not_terms=present_must_not,
             )
         if with_url and len(res.page):
             ids = [int(d) for d in res.page["doc_id"]]
@@ -1075,7 +1105,8 @@ class SearchEngine:
         return res
 
     def _driver_search_fields(
-        self, present, idf, avgdl_map, must_terms, should_terms, msm, k, skip
+        self, present, idf, avgdl_map, must_terms, should_terms, msm, k, skip,
+        must_not_terms=(),
     ) -> SearchResult:
         """Driver-side compound evaluation (small candidate sets)."""
         rows = self._candidate_segments(present).select("term", "postings").collect()
@@ -1120,6 +1151,8 @@ class SearchEngine:
             for ts in should_terms:
                 n_should += clause_ok(ts).astype(np.int64)
             keep &= n_should >= msm
+        for ts in must_not_terms:  # Lucene MUST_NOT: any hit excludes the doc
+            keep &= ~clause_ok(ts)
         uniq, acc = uniq[keep], acc[keep]
         if uniq.size == 0:
             return empty
@@ -1130,7 +1163,8 @@ class SearchEngine:
         )
 
     def _dist_search_fields(
-        self, present, idf, avgdl_map, must_terms, should_terms, msm, k, skip
+        self, present, idf, avgdl_map, must_terms, should_terms, msm, k, skip,
+        must_not_terms=(),
     ) -> SearchResult:
         """Distributed compound evaluation: one decode+score pass, clause
         logic as JVM array expressions over the per-doc matched-key set."""
@@ -1153,6 +1187,8 @@ class SearchEngine:
                 (clause_ok(ts).cast("int") for ts in should_terms), F.lit(0)
             )
             cond = cond & (n_should >= msm)
+        for ts in must_not_terms:  # Lucene MUST_NOT: any hit excludes the doc
+            cond = cond & ~clause_ok(ts)
         kept = agg.filter(cond).select("doc_id", "score").persist()
         ranked = kept.orderBy(F.desc("score"), F.asc("doc_id"))
         page_df = ranked.offset(skip).limit(k) if skip else ranked.limit(k)

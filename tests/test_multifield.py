@@ -84,14 +84,16 @@ def q_terms(mf_oracle):
     return t_title, t_body, both[0]
 
 
-def _check(eng, oracle, must, should, msm, k=15, skip=0):
+def _check(eng, oracle, must, should, msm, k=15, skip=0, must_not=()):
     exp = oracle.search_compound(
-        must=must, should=should, k=k, skip=skip, minimum_should_match=msm
+        must=must, should=should, k=k, skip=skip, minimum_should_match=msm,
+        must_not=must_not,
     )
     for fd in (False, True):
         res = eng.search_fields(
             must=must, should=should, k=k, skip=skip,
             minimum_should_match=msm, force_distributed=fd,
+            must_not=must_not,
         )
         got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
         assert [g[0] for g in got] == [h[0] for h in exp.hits], (must, should, msm, fd)
@@ -100,6 +102,108 @@ def _check(eng, oracle, must, should, msm, k=15, skip=0):
         ), (must, should, msm, fd)
         assert res.total == exp.total, (must, should, msm, fd, res.total, exp.total)
     return exp
+
+
+def test_must_not_excludes(mf_engine, mf_oracle, q_terms):
+    t_title, t_body, _ = q_terms
+    base = _check(mf_engine, mf_oracle, [("title", t_title)], [], 0)
+    exp = _check(
+        mf_engine, mf_oracle, [("title", t_title)], [], 0,
+        must_not=[("body", t_body)],
+    )
+    assert 0 < exp.total < base.total  # something survived, something dropped
+    # MUST_NOT scores nothing: every surviving doc keeps its positive-only
+    # score bit-for-bit
+    base_scores = dict(base.hits)
+    for d, s in exp.hits:
+        if d in base_scores:
+            assert s == base_scores[d], d
+    # and every excluded doc really contains the excluded key
+    kept = {d for d, _ in exp.hits}
+    pl = mf_oracle.postings[("body", t_body)]
+    for d, _ in base.hits:
+        if d not in kept:
+            assert d in pl, d
+
+
+def test_must_not_absent_term_is_noop(mf_engine, mf_oracle, q_terms):
+    t_title = q_terms[0]
+    base = _check(mf_engine, mf_oracle, [("title", t_title)], [], 0)
+    res = mf_engine.search_fields(
+        must=[("title", t_title)], must_not=[("body", "zzzzznotaterm")], k=15
+    )
+    assert res.total == base.total
+    assert [int(d) for d in res.page["doc_id"]] == [h[0] for h in base.hits]
+
+
+def test_must_not_requires_positive_clause(mf_engine, mf_oracle, q_terms):
+    t_body = q_terms[1]
+    with pytest.raises(ValueError, match="must_not requires"):
+        mf_engine.search_fields(must_not=[("body", t_body)], k=5)
+    with pytest.raises(ValueError, match="must_not requires"):
+        mf_oracle.search_compound(must_not=[("body", t_body)], k=5)
+
+
+def test_must_not_wand_mode_raises(mf_engine, q_terms):
+    t_title, t_body, _ = q_terms
+    with pytest.raises(ValueError, match="pure-should"):
+        mf_engine.search_fields(
+            should=[("title", t_title)], must_not=[("body", t_body)], mode="wand"
+        )
+
+
+def test_clause_boost_rank_and_score_identity(mf_engine, mf_oracle, q_terms):
+    _, _, both = q_terms
+    boosted = [
+        {"field": "title", "query": both, "boost": 3.0},
+        ("body", both),
+    ]
+    exp = _check(mf_engine, mf_oracle, [], boosted, 1)
+    plain = _check(mf_engine, mf_oracle, [], [("title", both), ("body", both)], 1)
+    assert exp.total == plain.total  # boost rescores, never filters
+    # the boost genuinely moved scores (title contribution tripled)
+    assert any(
+        abs(s1 - s2) > 1e-9
+        for (_, s1), (_, s2) in zip(exp.hits, plain.hits)
+    )
+
+
+def test_clause_boost_zero_kills_contribution(mf_engine, mf_oracle, q_terms):
+    t_title, t_body, _ = q_terms
+    # boost=0: the clause still gates matching but scores nothing —
+    # results equal the other clause's scores over the intersection
+    exp = _check(
+        mf_engine, mf_oracle,
+        [{"field": "title", "query": t_title, "boost": 0.0}, ("body", t_body)],
+        [], 0,
+    )
+    assert exp.total > 0
+    with pytest.raises(ValueError, match="boost must be >= 0"):
+        mf_engine.search_fields(
+            must=[{"field": "title", "query": t_title, "boost": -1.0}], k=5
+        )
+
+
+def test_clause_boost_wand_parity(mf_engine, mf_oracle, q_terms):
+    # boosts fold into per-key idf, so WAND's block bounds scale with them:
+    # wand == sort == oracle on a boosted pure-should disjunction
+    _, _, both = q_terms
+    boosted = [
+        {"field": "title", "query": both, "boost": 2.5},
+        {"field": "body", "query": both, "boost": 0.5},
+    ]
+    exp = mf_oracle.search_compound(should=boosted, k=15, minimum_should_match=1)
+    for mode in ("sort", "wand"):
+        res = mf_engine.search_fields(
+            should=boosted, k=15, minimum_should_match=1, mode=mode,
+            force_distributed=(mode == "sort"),
+        )
+        got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
+        assert [g[0] for g in got] == [h[0] for h in exp.hits], mode
+        assert np.allclose(
+            [g[1] for g in got], [h[1] for h in exp.hits], rtol=0, atol=1e-12
+        ), mode
+        assert res.total == exp.total, mode
 
 
 def test_field_stats_match_oracle(mf_engine, mf_oracle):
