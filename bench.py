@@ -202,6 +202,7 @@ def main():
         "search_phrase_near": lambda: pos_eng.search(
             "table hash", k=10, phrase=True, max_gap=2),
         "search_fuzzy": lambda: eng.search("sow", k=10, fuzzy=1),
+        "search_wildcard": lambda: eng.search("s?a*", k=10, wildcard=True),
         "search_damerau": lambda: eng.search(
             "tabel jion", k=10, fuzzy=1, fuzzy_transpositions=True
         ),

@@ -217,3 +217,34 @@ def _banded_dp_leq(
     if prefix:
         return min(prev) <= k  # best prefix of b, any length in the band
     return prev[lb] <= k
+
+
+_WILDCARD_CHARS_RE = re.compile(r"^[0-9a-z*?]+$")
+
+
+def wildcard_pattern_parts(pattern: str) -> tuple[str, str]:
+    """Validate a Lucene/Atlas wildcard pattern and compile it once for all
+    stacks: returns ``(fixed_prefix, anchored_regex)``.
+
+    ``*`` matches any (possibly empty) run, ``?`` exactly one character —
+    the Lucene wildcard operator's two metacharacters (no ``[...]``
+    classes).  Patterns are restricted to the analyzer's lowercase
+    alphanumeric token alphabet plus the two wildcards, so the python
+    ``re`` form, Spark's Java ``rlike`` form, and DuckDB's ``LIKE`` mapping
+    (``*``->``%``, ``?``->``_``) are character-for-character equivalent —
+    one definition in three stacks, like soundex_key.  The fixed prefix
+    (chars before the first wildcard) bounds the dictionary range scan;
+    an all-wildcard pattern has an empty prefix and scans the whole
+    dictionary (cap with max_expansions).
+    """
+    p = pattern.strip().lower()
+    if not p or not _WILDCARD_CHARS_RE.match(p):
+        raise ValueError(
+            "wildcard pattern must be non-empty [0-9a-z*?]+ "
+            f"(the analyzed-term alphabet), got {pattern!r}"
+        )
+    fixed = re.match(r"[0-9a-z]*", p).group(0)
+    regex = "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else c for c in p
+    ) + "$"
+    return fixed, regex

@@ -551,13 +551,18 @@ def _fuzzy_disjunction_topk(spark, sf_dir, vocab_cond, k=20):
     )
 
 
-FUZZY_TOPK_SQL = f"""
+def _disj_topk_sql(vocab_cond: str) -> str:
+    """DuckDB twin of ``_fuzzy_disjunction_topk``: filter the vocabulary
+    with ``vocab_cond``, score the variants as one BM25 disjunction
+    (per-variant idf, ascending-term fold) — shared by every
+    term-expansion gate (fuzzy, wildcard, ...)."""
+    return f"""
 WITH tok AS (
   SELECT doc_id, unnest({TOKENS_SQL}) AS term,
          CAST(len({TOKENS_SQL}) AS DOUBLE) AS dl
   FROM documents
 ), exp AS (
-  SELECT DISTINCT term FROM tok WHERE levenshtein(term, '{_FZ_Q}') <= 1
+  SELECT DISTINCT term FROM tok WHERE {vocab_cond}
 ), per AS (
   SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf,
          ANY_VALUE(t.dl) AS dl
@@ -589,6 +594,9 @@ WHERE rk <= 20
 """
 
 
+FUZZY_TOPK_SQL = _disj_topk_sql(f"levenshtein(term, '{_FZ_Q}') <= 1")
+
+
 def engine_fuzzy_topk(spark, sf_dir, k=20):
     """The real engine's fuzzy path: dictionary expansion + disjunction."""
     from ..query.engine import SearchEngine
@@ -598,6 +606,41 @@ def engine_fuzzy_topk(spark, sf_dir, k=20):
 
 
 ENGINE_FUZZY_TOPK_SQL = FUZZY_TOPK_SQL
+
+
+# --------------------------------------------------------------------------
+# wildcard matching (the Atlas/Lucene `wildcard` operator): the unanalyzed
+# pattern (`*` = any run, `?` = one char) expands against the dictionary —
+# fixed-prefix range scan + the shared anchored regex — and the expansion
+# scores as the usual disjunction.  's?a*' -> {scan, small, spark} at
+# sf0.01: a 3-variant fold exercising both metacharacters.  The DuckDB twin
+# maps the pattern to LIKE ('*'->'%', '?'->'_'), exactly equivalent on the
+# [0-9a-z] term alphabet wildcard_pattern_parts pins.
+# --------------------------------------------------------------------------
+
+_WC_Q = "s?a*"
+_WC_LIKE = _WC_Q.replace("*", "%").replace("?", "_")
+
+
+def wildcard_topk(spark, sf_dir, k=20):
+    return _fuzzy_disjunction_topk(
+        spark, sf_dir, F.col("term").like(_WC_LIKE), k
+    )
+
+
+WILDCARD_TOPK_SQL = _disj_topk_sql(f"term LIKE '{_WC_LIKE}'")
+
+
+def engine_wildcard_topk(spark, sf_dir, k=20):
+    """The real engine's wildcard path: prefix-bounded dictionary range
+    scan + regex filter, then the shared disjunction fold."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    return _engine_page_frame(spark, eng.search(_WC_Q, k=60, wildcard=True), k)
+
+
+ENGINE_WILDCARD_TOPK_SQL = WILDCARD_TOPK_SQL
 
 
 # --------------------------------------------------------------------------
@@ -1642,14 +1685,14 @@ QUERY_LOG_REPLAY_SQL = "\nUNION ALL\n".join(
 
 
 QUERIES = {
-    "ft_prefix_terms": prefix_terms,
     "ft_must_should": must_should,
     "ft_bm25_topk": bm25_topk,
     "ft_engine_bm25_topk": engine_bm25_topk,
     "ft_phrase_topk": phrase_topk,
     "ft_engine_phrase_topk": engine_phrase_topk,
-    "ft_fuzzy_topk": fuzzy_topk,
     "ft_engine_fuzzy_topk": engine_fuzzy_topk,
+    "ft_wildcard_topk": wildcard_topk,
+    "ft_engine_wildcard_topk": engine_wildcard_topk,
     "ft_damerau_topk": damerau_topk,
     "ft_engine_damerau_topk": engine_damerau_topk,
     "ft_engine_suggest_damerau": engine_suggest_damerau,
@@ -1668,10 +1711,12 @@ QUERIES = {
     # registered last on purpose: with the round-5 window rotation these are
     # the ft gates that fall outside the driver's 50-gate window, and every
     # one is already driver-verified (CORRECTNESS_r04 — incl. ft_term_stats /
-    # ft_tf_topk, rotated down to make window room for the mustNot/boost
-    # gates) + CHECKGATE-covered
+    # ft_tf_topk / ft_prefix_terms, rotated down to make window room for the
+    # mustNot/boost/wildcard gates) + CHECKGATE-covered
     "ft_term_stats": term_stats,
     "ft_tf_topk": tf_topk,
+    "ft_prefix_terms": prefix_terms,
+    "ft_fuzzy_topk": fuzzy_topk,
     "ft_phrase_near_topk": phrase_near_topk,
     "ft_engine_phrase_near_topk": engine_phrase_near_topk,
     "ft_engine_suggest": engine_suggest,
@@ -1697,6 +1742,8 @@ ORACLES = {
     "ft_engine_phrase_near_topk": ENGINE_PHRASE_NEAR_TOPK_SQL,
     "ft_fuzzy_topk": FUZZY_TOPK_SQL,
     "ft_engine_fuzzy_topk": ENGINE_FUZZY_TOPK_SQL,
+    "ft_wildcard_topk": WILDCARD_TOPK_SQL,
+    "ft_engine_wildcard_topk": ENGINE_WILDCARD_TOPK_SQL,
     "ft_engine_suggest": ENGINE_SUGGEST_SQL,
     "ft_damerau_topk": DAMERAU_TOPK_SQL,
     "ft_engine_damerau_topk": ENGINE_DAMERAU_TOPK_SQL,

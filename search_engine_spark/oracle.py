@@ -179,6 +179,31 @@ class OracleIndex:
         want = soundex_key(term)
         return [t for t in self.terms_sorted if soundex_key(t) == want]
 
+    def expand_wildcard(self, pattern: str) -> list[str]:
+        """Dictionary terms matching a ``*``/``?`` wildcard pattern
+        (ascending) — the shared compiled form from wildcard_pattern_parts."""
+        import re
+
+        from .analysis.text import wildcard_pattern_parts
+
+        _, regex = wildcard_pattern_parts(pattern)
+        rx = re.compile(regex)
+        return [t for t in self.terms_sorted if rx.match(t)]
+
+    def search_wildcard(
+        self, pattern: str, k: int = 10, skip: int = 0,
+        constant_boost: bool = False, avail_boost: bool = False,
+    ) -> QueryResult:
+        """Atlas/Lucene ``wildcard`` operator: the (unanalyzed) pattern
+        expands against the dictionary and the expansion scores as one
+        disjunction, each variant with its own idf — the same blending rule
+        as the fuzzy/prefix/phonetic surfaces."""
+        expanded = self.expand_wildcard(pattern)
+        if not expanded:
+            return QueryResult(total=0)
+        scores = self._score_terms(expanded, conjunctive=False)
+        return self._rank_page(scores, k, skip, constant_boost, avail_boost)
+
     def search_phonetic(
         self, keyword: str, k: int = 10, skip: int = 0,
         constant_boost: bool = False, avail_boost: bool = False,
@@ -446,6 +471,15 @@ class OracleMultiFieldIndex:
                         and edit_distance_leq(t, qt, n, tr)
                     )
                 return [(f, t) for t in sorted(out)]
+            if kind == "wildcard":
+                import re
+
+                from .analysis.text import wildcard_pattern_parts
+
+                _, regex = wildcard_pattern_parts(c["query"])
+                rx = re.compile(regex)
+                vocab = sorted(t for (ff, t) in self.postings if ff == f)
+                return [(f, t) for t in vocab if rx.match(t)]
             raise ValueError(f"unknown clause kind {kind!r}")
 
         if must_not and not (must or should):

@@ -30,6 +30,7 @@ JVM-side deterministic fold, immune to shuffle/partition ordering.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -37,7 +38,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis.text import edit_distance_leq, preprocess_query, tokenize
+from ..analysis.text import (
+    edit_distance_leq,
+    preprocess_query,
+    tokenize,
+    wildcard_pattern_parts,
+)
 from ..catalog import IndexCatalog
 from ..index.codec import decode_position_lists, decode_postings
 from ..numerics import round_half_away
@@ -458,6 +464,73 @@ class SearchEngine:
         self._fuzzy_cache[key] = out
         return list(out)
 
+    def expand_wildcard(
+        self, pattern: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Dictionary terms matching a Lucene/Atlas ``wildcard`` pattern
+        (``*`` = any run, ``?`` = one char); the expansion scores as a
+        disjunction like every other term-expansion surface.
+
+        Cached-dictionary path: the pattern's fixed prefix bounds a range
+        scan (the same bound Lucene's term enumeration seeks to) and the
+        shared anchored regex filters the slice; above the cache budget the
+        SAME regex runs JVM-side (``rlike``) over the distributed term
+        stats, prefix-pruned by ``startswith``.  ``max_expansions`` keeps
+        the first N ascending — the deterministic cap every oracle twin
+        reproduces.
+        """
+        self._require_single_field("expand_wildcard")
+        fixed, regex = wildcard_pattern_parts(pattern)
+        if self._terms_arr is not None:
+            lo = np.searchsorted(self._terms_arr, fixed)
+            hi = np.searchsorted(self._terms_arr, fixed + "\U0010ffff")
+            rx = re.compile(regex)
+            out = [str(t) for t in self._terms_arr[lo:hi] if rx.match(str(t))]
+        else:
+            q = (
+                self.spark.read.parquet(self.cat.term_stats)
+                .select("term").distinct()
+                .filter(
+                    F.col("term").startswith(fixed) & F.col("term").rlike(regex)
+                )
+                .orderBy("term")
+            )
+            if max_expansions:
+                q = q.limit(max_expansions)
+            out = [r["term"] for r in q.collect()]
+        return out[:max_expansions] if max_expansions else out
+
+    def _expand_wildcard_in_field(
+        self, field: str, pattern: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Wildcard expansion scoped to one field's vocabulary (the Atlas
+        ``wildcard`` operator's ``path``): the fixed prefix extends the
+        field's contiguous key range, the regex matches the key SUFFIX.
+        Returns prefixed keys, ascending."""
+        fixed, regex = wildcard_pattern_parts(pattern)
+        sep = self.field_sep
+        kpfx = f"{field}{sep}{fixed}"
+        if self._terms_arr is not None:
+            lo = np.searchsorted(self._terms_arr, kpfx)
+            hi = np.searchsorted(self._terms_arr, kpfx + "\U0010ffff")
+            rx = re.compile(regex)
+            plen = len(field) + len(sep)
+            out = [
+                str(t) for t in self._terms_arr[lo:hi] if rx.match(str(t)[plen:])
+            ]
+        else:
+            suffix = F.substring(F.col("term"), len(field) + len(sep) + 1, 1_000_000)
+            q = (
+                self.spark.read.parquet(self.cat.term_stats)
+                .select("term").distinct()
+                .filter(F.col("term").startswith(kpfx) & suffix.rlike(regex))
+                .orderBy("term")
+            )
+            if max_expansions:
+                q = q.limit(max_expansions)
+            return [r["term"] for r in q.collect()]
+        return out[:max_expansions] if max_expansions else out
+
     def expand_prefix_fuzzy(
         self, term: str, fuzzy: int, max_expansions: int | None = None
     ) -> list[str]:
@@ -852,7 +925,11 @@ class SearchEngine:
           neighborhood WITHIN the field's vocabulary (options ``fuzzy``
           (default 1) and ``transpositions`` (default False) on the clause
           dict).  The clause matches when ANY variant is present, exactly
-          like a plain text clause over the expanded term set.
+          like a plain text clause over the expanded term set;
+        - ``wildcard``: the Atlas ``wildcard`` operator over a named path —
+          the raw query is a ``*``/``?`` pattern expanded against the
+          field's vocabulary (``_expand_wildcard_in_field``), then scored
+          as the usual disjunction.
         """
         if isinstance(clause, (tuple, list)):
             field, query, kind = clause[0], clause[1], "text"
@@ -887,6 +964,13 @@ class SearchEngine:
                     field, tk, n, transpositions, max_expansions
                 ))
             return sorted(out)
+        if kind == "wildcard":
+            # the raw query IS the pattern (never analyzed — metacharacters
+            # would be stripped); expansion is field-scoped like every
+            # other clause kind
+            return self._expand_wildcard_in_field(
+                field, clause["query"], max_expansions
+            )
         raise ValueError(f"unknown clause kind {kind!r}")
 
     def _expand_fuzzy_in_field(
@@ -1546,6 +1630,7 @@ class SearchEngine:
         min_should_match: int = 0,
         prefix_fuzzy: int = 0,
         phonetic: bool = False,
+        wildcard: bool = False,
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
 
@@ -1573,9 +1658,16 @@ class SearchEngine:
         if fuzzy_transpositions and not fuzzy:
             raise ValueError("fuzzy_transpositions requires fuzzy >= 1")
         if phonetic and (fuzzy or prefix_fuzzy or conjunctive or phrase
-                         or min_should_match):
+                         or min_should_match or wildcard):
             raise ValueError(
                 "phonetic is its own expansion surface (not combinable with "
+                "fuzzy/prefix_fuzzy/conjunctive/phrase/min_should_match/"
+                "wildcard)"
+            )
+        if wildcard and (fuzzy or prefix_fuzzy or conjunctive or phrase
+                         or min_should_match):
+            raise ValueError(
+                "wildcard is its own expansion surface (not combinable with "
                 "fuzzy/prefix_fuzzy/conjunctive/phrase/min_should_match)"
             )
         msm = int(min_should_match)
@@ -1608,11 +1700,17 @@ class SearchEngine:
                 keyword, k, skip, constant_boost, avail_boost, with_url,
                 force_distributed, highlight=highlight, max_gap=max_gap,
             )
-        terms = preprocess_query(keyword)
-        if not terms:
+        # wildcard keywords ARE the pattern: the analyzer would strip the
+        # metacharacters, so the pattern bypasses preprocess_query (Lucene
+        # wildcard queries are not analyzed either)
+        terms = preprocess_query(keyword) if not wildcard else []
+        if not wildcard and not terms:
             return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
         single = len(terms) == 1
-        if prefix_fuzzy:
+        if wildcard:
+            match_terms = self.expand_wildcard(keyword, max_expansions)
+            conj = False
+        elif prefix_fuzzy:
             # Atlas autocomplete + fuzzy: a single-term surface (the
             # reference only ever autocompletes 1-term keywords,
             # search_utils.py:182-186); the expansion scores as the usual

@@ -184,6 +184,31 @@ def test_clause_boost_zero_kills_contribution(mf_engine, mf_oracle, q_terms):
         )
 
 
+def test_wildcard_clause_field_scoped(mf_engine, mf_oracle, q_terms):
+    t_body = q_terms[1]
+    pattern = t_body[0] + "*"
+    clause = [{"field": "body", "query": pattern, "kind": "wildcard"}]
+    exp = _check(mf_engine, mf_oracle, [], clause, 1)
+    assert exp.total > 0
+    # the expansion is scoped to the BODY vocabulary: every expanded key is
+    # body-prefixed and matches the pattern
+    keys = mf_engine._clause_terms(clause[0])
+    sep = mf_engine.field_sep
+    assert keys and all(k.startswith(f"body{sep}{t_body[0]}") for k in keys)
+    want = sorted(
+        f"body{sep}{t}" for (f, t) in mf_oracle.postings
+        if f == "body" and t.startswith(t_body[0])
+    )
+    assert keys == want
+    # distributed dictionary path: startswith + suffix-rlike over term stats
+    saved = mf_engine._terms_arr
+    try:
+        mf_engine._terms_arr = None
+        assert mf_engine._clause_terms(clause[0]) == want
+    finally:
+        mf_engine._terms_arr = saved
+
+
 def test_clause_boost_wand_parity(mf_engine, mf_oracle, q_terms):
     # boosts fold into per-key idf, so WAND's block bounds scale with them:
     # wand == sort == oracle on a boosted pure-should disjunction
