@@ -221,6 +221,9 @@ def main():
             "body", "part filter", k=10),
         "search_multifield_mustnot": lambda: mf_eng.search_fields(
             must=[("title", "window")], must_not=[("body", "scan")], k=10),
+        "search_multifield_filter": lambda: mf_eng.search_fields(
+            filter=[("title", "window")], should=[("body", "scan")],
+            minimum_should_match=0, k=10),
         "search_multifield_boost": lambda: mf_eng.search_fields(
             should=[{"field": "title", "query": "scan", "boost": 3.0},
                     ("body", "scan")], k=10),

@@ -1432,6 +1432,29 @@ ENGINE_MULTIFIELD_MUSTNOT_SQL = _MF_TOPK_SQL_TMPL.format(
     tt=_MF_MUST[0], tb=_MF_MUST[1], cond="tft > 0 AND tfb = 0", bt="1.0", bb="1.0"
 )
 
+def engine_multifield_filter(spark, sf_dir, k=20):
+    """Lucene FILTER / Atlas compound.filter through the real engine:
+    filter title:<term> + should body:<term> with msm=0 — the filter clause
+    gates matching exactly like must but scores NOTHING, so the kept doc
+    set equals the must+should gate's while every score is the body
+    clause's alone."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
+    res = eng.search_fields(
+        filter=[("title", _MF_MUST[0])],
+        should=[("body", _MF_MUST[1])],
+        minimum_should_match=0,
+        k=60,
+    )
+    return _engine_page_frame(spark, res, k)
+
+
+# bt=0.0 zeroes the title CASE exactly like the engine's weight-0 fold
+ENGINE_MULTIFIELD_FILTER_SQL = _MF_TOPK_SQL_TMPL.format(
+    tt=_MF_MUST[0], tb=_MF_MUST[1], cond="tft > 0", bt="0.0", bb="1.0"
+)
+
 _MF_BOOST = 3.0
 
 
@@ -1690,7 +1713,6 @@ QUERIES = {
     "ft_engine_bm25_topk": engine_bm25_topk,
     "ft_phrase_topk": phrase_topk,
     "ft_engine_phrase_topk": engine_phrase_topk,
-    "ft_engine_fuzzy_topk": engine_fuzzy_topk,
     "ft_wildcard_topk": wildcard_topk,
     "ft_engine_wildcard_topk": engine_wildcard_topk,
     "ft_damerau_topk": damerau_topk,
@@ -1705,6 +1727,7 @@ QUERIES = {
     "ft_engine_multifield_must": engine_multifield_must,
     "ft_engine_multifield_mustnot": engine_multifield_mustnot,
     "ft_engine_multifield_boost": engine_multifield_boost,
+    "ft_engine_multifield_filter": engine_multifield_filter,
     "ft_engine_multifield_fuzzy": engine_multifield_fuzzy,
     "ft_engine_multifield_phrase": engine_multifield_phrase,
     "ft_engine_msm2_topk": engine_msm2_topk,
@@ -1717,6 +1740,7 @@ QUERIES = {
     "ft_tf_topk": tf_topk,
     "ft_prefix_terms": prefix_terms,
     "ft_fuzzy_topk": fuzzy_topk,
+    "ft_engine_fuzzy_topk": engine_fuzzy_topk,
     "ft_phrase_near_topk": phrase_near_topk,
     "ft_engine_phrase_near_topk": engine_phrase_near_topk,
     "ft_engine_suggest": engine_suggest,
@@ -1763,6 +1787,7 @@ ORACLES = {
     "ft_engine_multifield_must": ENGINE_MULTIFIELD_MUST_SQL,
     "ft_engine_multifield_mustnot": ENGINE_MULTIFIELD_MUSTNOT_SQL,
     "ft_engine_multifield_boost": ENGINE_MULTIFIELD_BOOST_SQL,
+    "ft_engine_multifield_filter": ENGINE_MULTIFIELD_FILTER_SQL,
     "ft_engine_multifield_fuzzy": ENGINE_MULTIFIELD_FUZZY_SQL,
     "ft_engine_multifield_phrase": ENGINE_MULTIFIELD_PHRASE_SQL,
     "ft_engine_msm2_topk": ENGINE_MSM2_TOPK_SQL,

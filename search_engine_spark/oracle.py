@@ -440,16 +440,20 @@ class OracleMultiFieldIndex:
         skip: int = 0,
         minimum_should_match: int = 1,
         must_not: list = (),
+        filter: list = (),
     ) -> QueryResult:
         """Lucene BooleanQuery semantics over named fields.
 
         ``must_not`` clauses are pure filters (Lucene MUST_NOT scores
         nothing): a doc is dropped when ANY of a must_not clause's keys is
-        present, and the clause contributes zero to the score.  Positive
-        clause dicts may carry ``boost`` (Atlas ``score: {boost: {value}}``):
-        the clause's keys score with ``boost * idf * tf_norm``.  A key named
-        by several positive clauses scores ONCE with the largest boost (the
-        engine dedups keys across clauses; documented dedup rule).
+        present, and the clause contributes zero to the score.  ``filter``
+        clauses are Lucene FILTER / Atlas ``compound.filter``: required like
+        must, scoring nothing — together with must/should/must_not that is
+        all four BooleanQuery occur types.  Positive clause dicts may carry
+        ``boost`` (Atlas ``score: {boost: {value}}``): the clause's keys
+        score with ``boost * idf * tf_norm``.  A key named by several
+        positive clauses scores ONCE with the largest boost (the engine
+        dedups keys across clauses; documented dedup rule).
         """
         def clause_keys(c):
             if isinstance(c, dict):
@@ -482,13 +486,16 @@ class OracleMultiFieldIndex:
                 return [(f, t) for t in vocab if rx.match(t)]
             raise ValueError(f"unknown clause kind {kind!r}")
 
-        if must_not and not (must or should):
-            raise ValueError("must_not requires at least one must/should clause")
+        if must_not and not (must or should or filter):
+            raise ValueError(
+                "must_not requires at least one must/should/filter clause"
+            )
         mt = [clause_keys(c) for c in must]
         st = [clause_keys(c) for c in should]
         nt = [clause_keys(c) for c in must_not]
+        ft_ = [clause_keys(c) for c in filter]
         msm = int(minimum_should_match) if st else 0
-        if st and not mt:
+        if st and not mt and not ft_:
             msm = max(msm, 1)
         if st and msm > len(st):
             return QueryResult(total=0)
@@ -497,7 +504,7 @@ class OracleMultiFieldIndex:
             b = float(c.get("boost", 1.0)) if isinstance(c, dict) else 1.0
             for ft in ts:
                 weight[ft] = max(weight.get(ft, 0.0), b)
-        all_keys = sorted({ft for ts in mt + st + nt for ft in ts})
+        all_keys = sorted({ft for ts in mt + st + nt + ft_ for ft in ts})
         scores: dict[int, float] = {}
         has: dict[int, set] = {}
         for f, t in all_keys:  # ascending (field, term) == engine fold order
@@ -524,6 +531,7 @@ class OracleMultiFieldIndex:
             d: s
             for d, s in scores.items()
             if all(ok(d, ts) for ts in mt)
+            and all(ok(d, ts) for ts in ft_)
             and (not msm or sum(ok(d, ts) for ts in st) >= msm)
             and not any(ok(d, ts) for ts in nt)
         }

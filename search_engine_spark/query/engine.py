@@ -1034,6 +1034,7 @@ class SearchEngine:
         force_distributed: bool = False,
         mode: str = "sort",
         must_not: list = (),
+        filter: list = (),
     ) -> SearchResult:
         """Compound multi-field search (reference ``$search.compound`` over
         named paths: should over name+barcode for single-term queries,
@@ -1042,8 +1043,12 @@ class SearchEngine:
 
         Semantics (Lucene BooleanQuery): a doc matches when EVERY must
         clause matches, at least ``minimum_should_match`` should clauses
-        match (with no must clauses, at least 1 should clause must match
-        regardless), and NO ``must_not`` clause matches (Lucene MUST_NOT /
+        match (with no must/filter clauses, at least 1 should clause must
+        match regardless), EVERY ``filter`` clause matches (Lucene FILTER /
+        Atlas ``compound.filter`` — required like must, scoring nothing:
+        a must clause whose keys carry weight 0; together with
+        must/should/must_not that is all four BooleanQuery occur types),
+        and NO ``must_not`` clause matches (Lucene MUST_NOT /
         Atlas ``compound.mustNot`` — a pure filter that scores nothing).
         Every present positive query term contributes ``boost *
         idf_field(term) * tf_norm(tf, dl_field, avgdl_field)`` — idf from
@@ -1058,17 +1063,22 @@ class SearchEngine:
         """
         if mode not in ("sort", "wand", "auto"):
             raise ValueError(f"mode must be 'sort', 'wand', or 'auto'; got {mode!r}")
-        if must_not and not (must or should):
-            raise ValueError("must_not requires at least one must/should clause")
+        if must_not and not (must or should or filter):
+            raise ValueError(
+                "must_not requires at least one must/should/filter clause"
+            )
         empty = SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
         must_terms = [self._clause_terms(c, max_expansions) for c in must]
         should_terms = [self._clause_terms(c, max_expansions) for c in should]
         must_not_terms = [self._clause_terms(c, max_expansions) for c in must_not]
-        if mode != "sort" and (must or must_not or int(minimum_should_match) > 1 or skip):
+        filter_terms = [self._clause_terms(c, max_expansions) for c in filter]
+        if mode != "sort" and (must or must_not or filter
+                               or int(minimum_should_match) > 1 or skip):
             # WAND's θ-pruning scope on the compound path: pure-should
-            # msm<=1 key disjunctions from page 1 (must/must_not/msm>=2
-            # clause filtering and deep pagination stay on the full-scoring
-            # sort kernel — same restrictions as the single-field dispatch)
+            # msm<=1 key disjunctions from page 1 (must/must_not/filter/
+            # msm>=2 clause filtering and deep pagination stay on the
+            # full-scoring sort kernel — same restrictions as the
+            # single-field dispatch)
             raise ValueError(
                 "mode='wand'/'auto' on search_fields applies to pure-should "
                 "minimum_should_match<=1 queries with skip=0"
@@ -1076,7 +1086,8 @@ class SearchEngine:
         msm = int(minimum_should_match)
         if not should_terms:
             msm = 0
-        elif not must_terms:
+        elif not must_terms and not filter_terms:
+            # Lucene: with no required clause, at least one SHOULD must match
             msm = max(msm, 1)
         if msm > len(should_terms):
             return empty
@@ -1088,14 +1099,16 @@ class SearchEngine:
                 raise ValueError(f"clause boost must be >= 0, got {b}")
             for t in ts:
                 weight[t] = max(weight.get(t, 0.0), b)
-        all_terms = sorted(
-            {t for ts in must_terms + should_terms + must_not_terms for t in ts}
-        )
+        all_terms = sorted({
+            t
+            for ts in must_terms + should_terms + must_not_terms + filter_terms
+            for t in ts
+        })
         if not all_terms:
             return empty
         dfs = self.term_dfs(all_terms)
-        # a must clause with no present term can never match
-        for ts in must_terms:
+        # a must/filter clause with no present term can never match
+        for ts in must_terms + filter_terms:
             if not any(t in dfs for t in ts):
                 return empty
         present = sorted(dfs)
@@ -1110,7 +1123,11 @@ class SearchEngine:
             # contributing exactly nothing to the fold (Lucene MUST_NOT)
             idf[t] = weight.get(t, 0.0) * _math_idf(int(fs["doc_count"]), dfs[t])
             avgdl_map[t] = float(fs["avgdl"])
-        present_must = [[t for t in ts if t in dfs] for ts in must_terms]
+        # filter clauses ARE must clauses whose keys carry weight 0 (scoring
+        # is governed entirely by the weight fold), so they merge here
+        present_must = [
+            [t for t in ts if t in dfs] for ts in must_terms + filter_terms
+        ]
         present_should = [[t for t in ts if t in dfs] for ts in should_terms]
         present_must_not = [
             [t for t in ts if t in dfs] for ts in must_not_terms if any(

@@ -84,16 +84,16 @@ def q_terms(mf_oracle):
     return t_title, t_body, both[0]
 
 
-def _check(eng, oracle, must, should, msm, k=15, skip=0, must_not=()):
+def _check(eng, oracle, must, should, msm, k=15, skip=0, must_not=(), filter=()):
     exp = oracle.search_compound(
         must=must, should=should, k=k, skip=skip, minimum_should_match=msm,
-        must_not=must_not,
+        must_not=must_not, filter=filter,
     )
     for fd in (False, True):
         res = eng.search_fields(
             must=must, should=should, k=k, skip=skip,
             minimum_should_match=msm, force_distributed=fd,
-            must_not=must_not,
+            must_not=must_not, filter=filter,
         )
         got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
         assert [g[0] for g in got] == [h[0] for h in exp.hits], (must, should, msm, fd)
@@ -181,6 +181,63 @@ def test_clause_boost_zero_kills_contribution(mf_engine, mf_oracle, q_terms):
     with pytest.raises(ValueError, match="boost must be >= 0"):
         mf_engine.search_fields(
             must=[{"field": "title", "query": t_title, "boost": -1.0}], k=5
+        )
+
+
+def test_filter_clause_matches_like_must_scores_nothing(mf_engine, mf_oracle, q_terms):
+    t_title, t_body, _ = q_terms
+    # same doc set as the must form, but the filter clause's contribution is
+    # gone from every score — only the should clause scores
+    as_must = _check(
+        mf_engine, mf_oracle, [("title", t_title)], [("body", t_body)], 0
+    )
+    as_filter = _check(
+        mf_engine, mf_oracle, [], [("body", t_body)], 0,
+        filter=[("title", t_title)],
+    )
+    assert as_filter.total == as_must.total > 0
+    assert [d for d, _ in as_filter.hits] != [] and all(
+        fs <= ms + 1e-12
+        for (_, fs), (_, ms) in zip(
+            sorted(as_filter.hits), sorted(h for h in as_must.hits
+                                           if h[0] in {d for d, _ in as_filter.hits})
+        )
+    )
+
+
+def test_filter_only_query_scores_zero(mf_engine, mf_oracle, q_terms):
+    t_title = q_terms[0]
+    exp = _check(mf_engine, mf_oracle, [], [], 0, filter=[("title", t_title)])
+    assert exp.total > 0
+    assert all(s == 0.0 for _, s in exp.hits)
+    # ranked purely by the doc_id tiebreak
+    ids = [d for d, _ in exp.hits]
+    assert ids == sorted(ids)
+
+
+def test_filter_with_should_msm_zero_is_optional(mf_engine, mf_oracle, q_terms):
+    t_title, t_body, _ = q_terms
+    # Lucene: with a required (filter) clause present, shoulds at msm=0 are
+    # pure scoring — the total equals the filter clause's match count
+    only_filter = _check(mf_engine, mf_oracle, [], [], 0,
+                         filter=[("title", t_title)])
+    both = _check(mf_engine, mf_oracle, [], [("body", t_body)], 0,
+                  filter=[("title", t_title)])
+    assert both.total == only_filter.total
+
+
+def test_filter_satisfies_must_not_positivity(mf_engine, mf_oracle, q_terms):
+    t_title, t_body, _ = q_terms
+    exp = _check(mf_engine, mf_oracle, [], [], 0,
+                 filter=[("title", t_title)], must_not=[("body", t_body)])
+    assert exp.total >= 0  # parity checked by _check; no ValueError raised
+
+
+def test_filter_wand_mode_raises(mf_engine, q_terms):
+    t_title, t_body, _ = q_terms
+    with pytest.raises(ValueError, match="pure-should"):
+        mf_engine.search_fields(
+            should=[("body", t_body)], filter=[("title", t_title)], mode="wand"
         )
 
 
