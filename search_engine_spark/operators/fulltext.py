@@ -644,6 +644,46 @@ ENGINE_WILDCARD_TOPK_SQL = WILDCARD_TOPK_SQL
 
 
 # --------------------------------------------------------------------------
+# MoreLikeThis (Lucene MLT / Atlas moreLikeThis): the supplied text's most
+# characteristic terms — tf_text * idf, rounded to 6, term-asc tiebreak, top
+# max_query_terms — searched as the standard disjunction.  The gate text
+# is pre-analyzed (lowercase, space-separated) so DuckDB's string_split is
+# the analyzer; repeated terms make tf matter, and max_query_terms=5 over
+# ~10 candidates makes the selection cutoff real.
+# --------------------------------------------------------------------------
+
+_MLT_TEXT = "the fast scan scan window merge stream the slow data"
+_MLT_MAXT = 5
+
+
+def engine_mlt_topk(spark, sf_dir, k=20):
+    """The real engine's MoreLikeThis: tf-idf term selection + disjunction."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    res = eng.more_like_this(_MLT_TEXT, k=60, max_query_terms=_MLT_MAXT)
+    return _engine_page_frame(spark, res, k)
+
+
+# the exp CTE's cond is a correlated-free subquery running the same
+# selection: qtf from the literal text, df/n from the corpus, round-6
+# tf*idf, top max_query_terms by (score desc, term asc)
+ENGINE_MLT_TOPK_SQL = _disj_topk_sql(f"""term IN (
+    SELECT term FROM (
+      SELECT q.term,
+             round(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6) AS sc
+      FROM (SELECT u.term, CAST(COUNT(*) AS DOUBLE) AS qtf
+            FROM unnest(string_split('{_MLT_TEXT}', ' ')) AS u(term)
+            GROUP BY u.term) q
+      JOIN (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM tok GROUP BY term) d USING (term)
+      CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents) s
+      ORDER BY sc DESC, q.term ASC LIMIT {_MLT_MAXT}
+    )
+  )""")
+
+
+# --------------------------------------------------------------------------
 # spelling suggestion ("did you mean"): best fuzzy neighbor by document
 # frequency (df desc, term asc) — the suggestion surface a search platform
 # exposes next to its fuzzy option.
@@ -1711,7 +1751,6 @@ QUERIES = {
     "ft_must_should": must_should,
     "ft_bm25_topk": bm25_topk,
     "ft_engine_bm25_topk": engine_bm25_topk,
-    "ft_phrase_topk": phrase_topk,
     "ft_engine_phrase_topk": engine_phrase_topk,
     "ft_wildcard_topk": wildcard_topk,
     "ft_engine_wildcard_topk": engine_wildcard_topk,
@@ -1728,6 +1767,7 @@ QUERIES = {
     "ft_engine_multifield_mustnot": engine_multifield_mustnot,
     "ft_engine_multifield_boost": engine_multifield_boost,
     "ft_engine_multifield_filter": engine_multifield_filter,
+    "ft_engine_mlt_topk": engine_mlt_topk,
     "ft_engine_multifield_fuzzy": engine_multifield_fuzzy,
     "ft_engine_multifield_phrase": engine_multifield_phrase,
     "ft_engine_msm2_topk": engine_msm2_topk,
@@ -1741,6 +1781,7 @@ QUERIES = {
     "ft_prefix_terms": prefix_terms,
     "ft_fuzzy_topk": fuzzy_topk,
     "ft_engine_fuzzy_topk": engine_fuzzy_topk,
+    "ft_phrase_topk": phrase_topk,
     "ft_phrase_near_topk": phrase_near_topk,
     "ft_engine_phrase_near_topk": engine_phrase_near_topk,
     "ft_engine_suggest": engine_suggest,
@@ -1788,6 +1829,7 @@ ORACLES = {
     "ft_engine_multifield_mustnot": ENGINE_MULTIFIELD_MUSTNOT_SQL,
     "ft_engine_multifield_boost": ENGINE_MULTIFIELD_BOOST_SQL,
     "ft_engine_multifield_filter": ENGINE_MULTIFIELD_FILTER_SQL,
+    "ft_engine_mlt_topk": ENGINE_MLT_TOPK_SQL,
     "ft_engine_multifield_fuzzy": ENGINE_MULTIFIELD_FUZZY_SQL,
     "ft_engine_multifield_phrase": ENGINE_MULTIFIELD_PHRASE_SQL,
     "ft_engine_msm2_topk": ENGINE_MSM2_TOPK_SQL,

@@ -190,6 +190,33 @@ class OracleIndex:
         rx = re.compile(regex)
         return [t for t in self.terms_sorted if rx.match(t)]
 
+    def more_like_this(
+        self, text: str, k: int = 10, skip: int = 0,
+        max_query_terms: int = 25, min_term_freq: int = 1,
+        min_doc_freq: int = 1,
+        constant_boost: bool = False, avail_boost: bool = False,
+    ) -> QueryResult:
+        """Lucene MoreLikeThis twin: tf·idf term selection (rounded to 6,
+        term-asc tiebreak, top max_query_terms) then the plain disjunction."""
+        from .numerics import round_half_away
+
+        tf: dict[str, int] = {}
+        for t in tokenize(text):
+            tf[t] = tf.get(t, 0) + 1
+        sel: dict[str, float] = {}
+        for t, c in tf.items():
+            pl = self.postings.get(t)
+            if c < int(min_term_freq) or not pl or len(pl) < max(int(min_doc_freq), 1):
+                continue
+            df = len(pl)
+            idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            sel[t] = float(round_half_away(c * idf, 6))
+        if not sel:
+            return QueryResult(total=0)
+        selected = sorted(sel, key=lambda t: (-sel[t], t))[: int(max_query_terms)]
+        scores = self._score_terms(selected, conjunctive=False)
+        return self._rank_page(scores, k, skip, constant_boost, avail_boost)
+
     def search_wildcard(
         self, pattern: str, k: int = 10, skip: int = 0,
         constant_boost: bool = False, avail_boost: bool = False,

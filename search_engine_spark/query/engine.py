@@ -1625,6 +1625,55 @@ class SearchEngine:
             ])
         return res
 
+    def more_like_this(
+        self,
+        text: str,
+        k: int = 10,
+        skip: int = 0,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 1,
+        **kwargs,
+    ) -> SearchResult:
+        """Lucene MoreLikeThis (Atlas ``moreLikeThis``), Spark-first: pick
+        the caller-supplied text's most characteristic terms and search them
+        as the standard disjunction.
+
+        Selection is Lucene MLT's tf·idf rule made deterministic across
+        stacks: analyze ``text``, drop terms below ``min_term_freq`` (in
+        the text) or ``min_doc_freq`` (in the corpus), score each candidate
+        ``tf_text * idf`` (this engine's BM25 idf — one idf definition
+        everywhere, a documented divergence from classic MLT's ln(N/df)),
+        round to 6 decimals (the shared tie policy), and keep the top
+        ``max_query_terms`` by (score desc, term asc).  The selected terms
+        then ride the ordinary disjunction path (sort/driver dispatch,
+        pagination, boosts via ``**kwargs``), so results stay
+        rank-identical to the oracle on every physical path.  No forward
+        index is needed: the caller supplies the text, term stats come
+        from the dictionary — O(distinct terms) lookups, corpus-scale
+        nothing.
+        """
+        self._require_single_field("more_like_this")
+        tf: dict[str, int] = {}
+        for t in tokenize(text):
+            tf[t] = tf.get(t, 0) + 1
+        cand0 = sorted(t for t, c in tf.items() if c >= int(min_term_freq))
+        empty = SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
+        if not cand0:
+            return empty
+        dfs = self.term_dfs(cand0)
+        cand = [t for t in cand0 if dfs.get(t, 0) >= max(int(min_doc_freq), 1)]
+        if not cand:
+            return empty
+        sel = {
+            t: float(round_half_away(tf[t] * _math_idf(self.n_docs, dfs[t]), 6))
+            for t in cand
+        }
+        selected = sorted(cand, key=lambda t: (-sel[t], t))[: int(max_query_terms)]
+        return self.search(
+            " ".join(selected), k=k, skip=skip, exact_terms=selected, **kwargs
+        )
+
     def _search_impl(
         self,
         keyword: str,
@@ -1648,6 +1697,7 @@ class SearchEngine:
         prefix_fuzzy: int = 0,
         phonetic: bool = False,
         wildcard: bool = False,
+        exact_terms: list | None = None,
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
 
@@ -1717,14 +1767,28 @@ class SearchEngine:
                 keyword, k, skip, constant_boost, avail_boost, with_url,
                 force_distributed, highlight=highlight, max_gap=max_gap,
             )
+        if exact_terms is not None and (
+            wildcard or fuzzy or prefix_fuzzy or phonetic or phrase
+        ):
+            raise ValueError(
+                "exact_terms is a pre-analyzed term list (no expansion "
+                "surface applies)"
+            )
         # wildcard keywords ARE the pattern: the analyzer would strip the
         # metacharacters, so the pattern bypasses preprocess_query (Lucene
-        # wildcard queries are not analyzed either)
-        terms = preprocess_query(keyword) if not wildcard else []
-        if not wildcard and not terms:
+        # wildcard queries are not analyzed either); exact_terms callers
+        # (more_like_this) did their own analysis
+        raw = wildcard or exact_terms is not None
+        terms = preprocess_query(keyword) if not raw else []
+        if not raw and not terms:
             return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
         single = len(terms) == 1
-        if wildcard:
+        if exact_terms is not None:
+            # a plain disjunction (or conjunction) over a caller-analyzed
+            # term list — no length dispatch, no prefix expansion
+            match_terms = sorted(set(exact_terms))
+            conj = conjunctive
+        elif wildcard:
             match_terms = self.expand_wildcard(keyword, max_expansions)
             conj = False
         elif prefix_fuzzy:

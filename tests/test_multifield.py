@@ -558,6 +558,10 @@ def test_multifield_index_rejects_bare_dictionary_surfaces(mf_engine):
         mf_engine.expand_phonetic("milk")
     with pytest.raises(ValueError, match="multi-field"):
         mf_engine.suggest("milk")
+    with pytest.raises(ValueError, match="multi-field"):
+        mf_engine.expand_wildcard("m?lk")
+    with pytest.raises(ValueError, match="multi-field"):
+        mf_engine.more_like_this("milk oil")
 
 
 def test_field_build_resume(spark, mf_rows, tmp_path_factory, mf_oracle, q_terms):
