@@ -280,3 +280,31 @@ def test_r5_spark_submit_run_path():
     scores = [h["score"] for h in q["top"]]
     assert scores == sorted(scores, reverse=True) and len(q["top"]) == 5
     assert q["total"] > 0
+
+
+def test_r5late_surfaces_at_1m():
+    """The late-round surfaces at 10^6 docs (BENCH/r5late_1m.json, BENCH §9):
+    wildcard's worst-case dictionary walk is milliseconds (the serve is the
+    only real cost), MLT costs what its disjunction costs, the occur types
+    add nothing over the must+should baseline, and the three compound totals
+    satisfy the exact partition identity filter = must_should + mustnot."""
+    d = _load(os.path.join(os.path.dirname(ART), "r5late_1m.json"))
+    assert d["n_docs"] == 1_000_000
+    q = d["queries"]
+    # dictionary work is never the cost: whole-dict regex walk in < 0.25 s
+    assert q["wildcard_all_capped"]["expand_s_cold"] < 0.25
+    assert q["wildcard_all_capped"]["expansions"] == 50  # cap honored
+    assert q["wildcard_tail"]["expansions"] == 29
+    assert q["wildcard_head"]["expansions"] == 1  # 'th*' -> exactly 'the'
+    # every surface serves interactively at 1M docs
+    for name, row in q.items():
+        assert min(row["walls_s"]) < 10.0, name
+    # occur types sit at/under the baseline (loose 2x band for host noise)
+    base = min(q["mf_must_should"]["walls_s"])
+    for name in ("mf_mustnot", "mf_filter", "mf_boost"):
+        assert min(q[name]["walls_s"]) <= 2.0 * base + 0.5, name
+    # the exact partition identity across three independent 1M-doc queries
+    assert (
+        q["mf_filter"]["total"]
+        == q["mf_must_should"]["total"] + q["mf_mustnot"]["total"]
+    )
