@@ -203,6 +203,8 @@ def main():
             "table hash", k=10, phrase=True, max_gap=2),
         "search_fuzzy": lambda: eng.search("sow", k=10, fuzzy=1),
         "search_wildcard": lambda: eng.search("s?a*", k=10, wildcard=True),
+        "search_regex": lambda: eng.search(
+            "s(can|low)|gr.up", k=10, regex=True),
         "search_more_like_this": lambda: eng.more_like_this(
             "the fast scan scan window merge stream the slow data",
             k=10, max_query_terms=5),

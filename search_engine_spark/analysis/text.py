@@ -248,3 +248,44 @@ def wildcard_pattern_parts(pattern: str) -> tuple[str, str]:
         ".*" if c == "*" else "." if c == "?" else c for c in p
     ) + "$"
     return fixed, regex
+
+
+_REGEX_CHARS_RE = re.compile(r"^[0-9a-z.*+?()\[\]|-]+$")
+
+
+def regex_pattern_parts(pattern: str) -> tuple[str, str]:
+    """Validate an Atlas/Lucene ``regex``-operator pattern against the
+    dialect-safe subset and return ``(fixed_prefix, pattern)``.
+
+    Accepted: lowercase-alnum literals, ``.``, quantifiers ``* + ?``,
+    character classes ``[abc]`` / ``[a-z]``, grouping ``( )``, and top-level
+    alternation ``|``.  Rejected: backslash escapes, ``^ $ { }``, special
+    groups ``(?...)``, uppercase, and anything python ``re`` won't compile —
+    exactly the territory where python re, Java ``rlike``, and DuckDB's RE2
+    agree character-for-character on the pinned [0-9a-z] term alphabet
+    (no backreferences or lookarounds are expressible, so RE2's omissions
+    cannot bite).  Full-match anchoring is each stack's job
+    (``fullmatch`` / ``^...$`` / ``regexp_full_match``).  The fixed literal
+    prefix (empty as soon as a metacharacter or top-level ``|`` is possible)
+    bounds the dictionary range scan like the wildcard operator's.
+    """
+    p = pattern.strip()
+    if not p or not _REGEX_CHARS_RE.match(p):
+        raise ValueError(
+            "regex pattern must be non-empty over [0-9a-z.*+?()[]|-] "
+            f"(the dialect-safe subset), got {pattern!r}"
+        )
+    if "(?" in p:
+        raise ValueError(f"special groups '(?' are outside the safe subset: {pattern!r}")
+    try:
+        re.compile(p)
+    except re.error as e:
+        raise ValueError(f"invalid regex {pattern!r}: {e}") from None
+    fixed = ""
+    if "|" not in p:
+        fixed = re.match(r"[0-9a-z]*", p).group(0)
+        # a quantifier on the last literal makes it optional/repeating —
+        # it is not a fixed prefix char then
+        if fixed and len(fixed) < len(p) and p[len(fixed)] in "*?+":
+            fixed = fixed[:-1]
+    return fixed, p

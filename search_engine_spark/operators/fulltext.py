@@ -644,6 +644,41 @@ ENGINE_WILDCARD_TOPK_SQL = WILDCARD_TOPK_SQL
 
 
 # --------------------------------------------------------------------------
+# regex matching (the Atlas/Lucene `regex` operator, wildcard's general
+# form): full-term matching with the dialect-safe subset regex_pattern_parts
+# pins — this gate makes the three-dialect agreement claim MEASURED: the
+# Spark twin runs the pattern through Java rlike, the engine through python
+# re, and the oracle through DuckDB's RE2 regexp_full_match, all three over
+# the same corpus.  's(can|low)|gr.up' -> {scan, slow, group}: alternation,
+# grouping, and '.' in one pattern.
+# --------------------------------------------------------------------------
+
+_RX_Q = "s(can|low)|gr.up"
+
+
+def regex_topk(spark, sf_dir, k=20):
+    return _fuzzy_disjunction_topk(
+        spark, sf_dir, F.col("term").rlike(f"^(?:{_RX_Q})$"), k
+    )
+
+
+REGEX_TOPK_SQL = _disj_topk_sql(f"regexp_full_match(term, '{_RX_Q}')")
+
+
+def engine_regex_topk(spark, sf_dir, k=20):
+    """The real engine's regex path: prefix-bounded dictionary scan (empty
+    prefix here — top-level alternation) + python-re fullmatch, then the
+    shared disjunction fold."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    return _engine_page_frame(spark, eng.search(_RX_Q, k=60, regex=True), k)
+
+
+ENGINE_REGEX_TOPK_SQL = REGEX_TOPK_SQL
+
+
+# --------------------------------------------------------------------------
 # MoreLikeThis (Lucene MLT / Atlas moreLikeThis): the supplied text's most
 # characteristic terms — tf_text * idf, rounded to 6, term-asc tiebreak, top
 # max_query_terms — searched as the standard disjunction.  The gate text
@@ -1748,8 +1783,6 @@ QUERY_LOG_REPLAY_SQL = "\nUNION ALL\n".join(
 
 
 QUERIES = {
-    "ft_must_should": must_should,
-    "ft_bm25_topk": bm25_topk,
     "ft_engine_bm25_topk": engine_bm25_topk,
     "ft_engine_phrase_topk": engine_phrase_topk,
     "ft_wildcard_topk": wildcard_topk,
@@ -1768,6 +1801,8 @@ QUERIES = {
     "ft_engine_multifield_boost": engine_multifield_boost,
     "ft_engine_multifield_filter": engine_multifield_filter,
     "ft_engine_mlt_topk": engine_mlt_topk,
+    "ft_regex_topk": regex_topk,
+    "ft_engine_regex_topk": engine_regex_topk,
     "ft_engine_multifield_fuzzy": engine_multifield_fuzzy,
     "ft_engine_multifield_phrase": engine_multifield_phrase,
     "ft_engine_msm2_topk": engine_msm2_topk,
@@ -1778,6 +1813,8 @@ QUERIES = {
     # mustNot/boost/wildcard gates) + CHECKGATE-covered
     "ft_term_stats": term_stats,
     "ft_tf_topk": tf_topk,
+    "ft_must_should": must_should,
+    "ft_bm25_topk": bm25_topk,
     "ft_prefix_terms": prefix_terms,
     "ft_fuzzy_topk": fuzzy_topk,
     "ft_engine_fuzzy_topk": engine_fuzzy_topk,
@@ -1830,6 +1867,8 @@ ORACLES = {
     "ft_engine_multifield_boost": ENGINE_MULTIFIELD_BOOST_SQL,
     "ft_engine_multifield_filter": ENGINE_MULTIFIELD_FILTER_SQL,
     "ft_engine_mlt_topk": ENGINE_MLT_TOPK_SQL,
+    "ft_regex_topk": REGEX_TOPK_SQL,
+    "ft_engine_regex_topk": ENGINE_REGEX_TOPK_SQL,
     "ft_engine_multifield_fuzzy": ENGINE_MULTIFIELD_FUZZY_SQL,
     "ft_engine_multifield_phrase": ENGINE_MULTIFIELD_PHRASE_SQL,
     "ft_engine_msm2_topk": ENGINE_MSM2_TOPK_SQL,

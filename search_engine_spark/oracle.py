@@ -190,6 +190,28 @@ class OracleIndex:
         rx = re.compile(regex)
         return [t for t in self.terms_sorted if rx.match(t)]
 
+    def expand_regex(self, pattern: str) -> list[str]:
+        """Dictionary terms fully matching a safe-subset regex (ascending)."""
+        import re
+
+        from .analysis.text import regex_pattern_parts
+
+        _, rx_src = regex_pattern_parts(pattern)
+        rx = re.compile(rx_src)
+        return [t for t in self.terms_sorted if rx.fullmatch(t)]
+
+    def search_regex(
+        self, pattern: str, k: int = 10, skip: int = 0,
+        constant_boost: bool = False, avail_boost: bool = False,
+    ) -> QueryResult:
+        """Atlas/Lucene ``regex`` operator: safe-subset full-match expansion
+        scored as one disjunction — the wildcard operator's general form."""
+        expanded = self.expand_regex(pattern)
+        if not expanded:
+            return QueryResult(total=0)
+        scores = self._score_terms(expanded, conjunctive=False)
+        return self._rank_page(scores, k, skip, constant_boost, avail_boost)
+
     def more_like_this(
         self, text: str, k: int = 10, skip: int = 0,
         max_query_terms: int = 25, min_term_freq: int = 1,
@@ -511,6 +533,15 @@ class OracleMultiFieldIndex:
                 rx = re.compile(regex)
                 vocab = sorted(t for (ff, t) in self.postings if ff == f)
                 return [(f, t) for t in vocab if rx.match(t)]
+            if kind == "regex":
+                import re
+
+                from .analysis.text import regex_pattern_parts
+
+                _, rx_src = regex_pattern_parts(c["query"])
+                rx = re.compile(rx_src)
+                vocab = sorted(t for (ff, t) in self.postings if ff == f)
+                return [(f, t) for t in vocab if rx.fullmatch(t)]
             raise ValueError(f"unknown clause kind {kind!r}")
 
         if must_not and not (must or should or filter):

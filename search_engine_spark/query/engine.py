@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from ..analysis.text import (
     edit_distance_leq,
     preprocess_query,
+    regex_pattern_parts,
     tokenize,
     wildcard_pattern_parts,
 )
@@ -531,6 +532,69 @@ class SearchEngine:
             return [r["term"] for r in q.collect()]
         return out[:max_expansions] if max_expansions else out
 
+    def expand_regex(
+        self, pattern: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Dictionary terms fully matching an Atlas/Lucene ``regex``-operator
+        pattern (the dialect-safe subset ``regex_pattern_parts`` pins: the
+        same pattern text means the same language to python ``re``, Java
+        ``rlike``, and DuckDB's RE2).  Same shape as ``expand_wildcard``:
+        fixed-prefix-bounded range scan + fullmatch on the cached
+        dictionary; ``startswith`` + anchored ``rlike`` JVM-side above the
+        cache budget; first-N-ascending cap."""
+        self._require_single_field("expand_regex")
+        fixed, rx_src = regex_pattern_parts(pattern)
+        if self._terms_arr is not None:
+            lo = np.searchsorted(self._terms_arr, fixed)
+            hi = np.searchsorted(self._terms_arr, fixed + "\U0010ffff")
+            rx = re.compile(rx_src)
+            out = [str(t) for t in self._terms_arr[lo:hi] if rx.fullmatch(str(t))]
+        else:
+            q = (
+                self.spark.read.parquet(self.cat.term_stats)
+                .select("term").distinct()
+                .filter(
+                    F.col("term").startswith(fixed)
+                    & F.col("term").rlike(f"^(?:{rx_src})$")
+                )
+                .orderBy("term")
+            )
+            if max_expansions:
+                q = q.limit(max_expansions)
+            out = [r["term"] for r in q.collect()]
+        return out[:max_expansions] if max_expansions else out
+
+    def _expand_regex_in_field(
+        self, field: str, pattern: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Regex expansion scoped to one field's vocabulary (the Atlas
+        ``regex`` operator's ``path``), mirroring the wildcard form."""
+        fixed, rx_src = regex_pattern_parts(pattern)
+        sep = self.field_sep
+        kpfx = f"{field}{sep}{fixed}"
+        if self._terms_arr is not None:
+            lo = np.searchsorted(self._terms_arr, kpfx)
+            hi = np.searchsorted(self._terms_arr, kpfx + "\U0010ffff")
+            rx = re.compile(rx_src)
+            plen = len(field) + len(sep)
+            return [
+                str(t) for t in self._terms_arr[lo:hi]
+                if rx.fullmatch(str(t)[plen:])
+            ][: max_expansions or None]
+        suffix = F.substring(F.col("term"), len(field) + len(sep) + 1, 1_000_000)
+        q = (
+            self.spark.read.parquet(self.cat.term_stats)
+            .select("term").distinct()
+            .filter(
+                F.col("term").startswith(kpfx)
+                & suffix.rlike(f"^(?:{rx_src})$")
+            )
+            .orderBy("term")
+        )
+        if max_expansions:
+            q = q.limit(max_expansions)
+        return [r["term"] for r in q.collect()]
+
     def expand_prefix_fuzzy(
         self, term: str, fuzzy: int, max_expansions: int | None = None
     ) -> list[str]:
@@ -969,6 +1033,11 @@ class SearchEngine:
             # would be stripped); expansion is field-scoped like every
             # other clause kind
             return self._expand_wildcard_in_field(
+                field, clause["query"], max_expansions
+            )
+        if kind == "regex":
+            # same contract as wildcard: raw pattern, field-scoped expansion
+            return self._expand_regex_in_field(
                 field, clause["query"], max_expansions
             )
         raise ValueError(f"unknown clause kind {kind!r}")
@@ -1697,6 +1766,7 @@ class SearchEngine:
         prefix_fuzzy: int = 0,
         phonetic: bool = False,
         wildcard: bool = False,
+        regex: bool = False,
         exact_terms: list | None = None,
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
@@ -1725,16 +1795,22 @@ class SearchEngine:
         if fuzzy_transpositions and not fuzzy:
             raise ValueError("fuzzy_transpositions requires fuzzy >= 1")
         if phonetic and (fuzzy or prefix_fuzzy or conjunctive or phrase
-                         or min_should_match or wildcard):
+                         or min_should_match or wildcard or regex):
             raise ValueError(
                 "phonetic is its own expansion surface (not combinable with "
                 "fuzzy/prefix_fuzzy/conjunctive/phrase/min_should_match/"
-                "wildcard)"
+                "wildcard/regex)"
             )
         if wildcard and (fuzzy or prefix_fuzzy or conjunctive or phrase
-                         or min_should_match):
+                         or min_should_match or regex):
             raise ValueError(
                 "wildcard is its own expansion surface (not combinable with "
+                "fuzzy/prefix_fuzzy/conjunctive/phrase/min_should_match/regex)"
+            )
+        if regex and (fuzzy or prefix_fuzzy or conjunctive or phrase
+                      or min_should_match):
+            raise ValueError(
+                "regex is its own expansion surface (not combinable with "
                 "fuzzy/prefix_fuzzy/conjunctive/phrase/min_should_match)"
             )
         msm = int(min_should_match)
@@ -1768,7 +1844,7 @@ class SearchEngine:
                 force_distributed, highlight=highlight, max_gap=max_gap,
             )
         if exact_terms is not None and (
-            wildcard or fuzzy or prefix_fuzzy or phonetic or phrase
+            wildcard or regex or fuzzy or prefix_fuzzy or phonetic or phrase
         ):
             raise ValueError(
                 "exact_terms is a pre-analyzed term list (no expansion "
@@ -1778,7 +1854,7 @@ class SearchEngine:
         # metacharacters, so the pattern bypasses preprocess_query (Lucene
         # wildcard queries are not analyzed either); exact_terms callers
         # (more_like_this) did their own analysis
-        raw = wildcard or exact_terms is not None
+        raw = wildcard or regex or exact_terms is not None
         terms = preprocess_query(keyword) if not raw else []
         if not raw and not terms:
             return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
@@ -1790,6 +1866,9 @@ class SearchEngine:
             conj = conjunctive
         elif wildcard:
             match_terms = self.expand_wildcard(keyword, max_expansions)
+            conj = False
+        elif regex:
+            match_terms = self.expand_regex(keyword, max_expansions)
             conj = False
         elif prefix_fuzzy:
             # Atlas autocomplete + fuzzy: a single-term surface (the

@@ -266,6 +266,28 @@ def test_wildcard_clause_field_scoped(mf_engine, mf_oracle, q_terms):
         mf_engine._terms_arr = saved
 
 
+def test_regex_clause_field_scoped(mf_engine, mf_oracle, q_terms):
+    t_title, t_body, _ = q_terms
+    pattern = f"({t_title}|{t_body})"
+    clause = [{"field": "body", "query": pattern, "kind": "regex"}]
+    exp = _check(mf_engine, mf_oracle, [], clause, 1)
+    assert exp.total > 0
+    keys = mf_engine._clause_terms(clause[0])
+    sep = mf_engine.field_sep
+    # scoped to BODY: only body-prefixed keys, exactly the alternation hits
+    want = sorted(
+        f"body{sep}{t}" for (f, t) in mf_oracle.postings
+        if f == "body" and t in (t_title, t_body)
+    )
+    assert keys == want
+    saved = mf_engine._terms_arr
+    try:
+        mf_engine._terms_arr = None
+        assert mf_engine._clause_terms(clause[0]) == want
+    finally:
+        mf_engine._terms_arr = saved
+
+
 def test_clause_boost_wand_parity(mf_engine, mf_oracle, q_terms):
     # boosts fold into per-key idf, so WAND's block bounds scale with them:
     # wand == sort == oracle on a boosted pure-should disjunction
@@ -560,6 +582,8 @@ def test_multifield_index_rejects_bare_dictionary_surfaces(mf_engine):
         mf_engine.suggest("milk")
     with pytest.raises(ValueError, match="multi-field"):
         mf_engine.expand_wildcard("m?lk")
+    with pytest.raises(ValueError, match="multi-field"):
+        mf_engine.expand_regex("m.lk")
     with pytest.raises(ValueError, match="multi-field"):
         mf_engine.more_like_this("milk oil")
 

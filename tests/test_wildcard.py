@@ -91,3 +91,61 @@ def test_validation(engine):
         engine.search("o?l", wildcard=True, phonetic=True)
     with pytest.raises(ValueError, match="wildcard pattern"):
         engine.search("a[b", wildcard=True)
+
+
+# ---------------------------------------------------------------------------
+# regex operator (wildcard's general form, same dialect-safe-subset policy)
+# ---------------------------------------------------------------------------
+
+from search_engine_spark.analysis.text import regex_pattern_parts
+
+
+def test_regex_pattern_parts():
+    assert regex_pattern_parts("oil") == ("oil", "oil")
+    assert regex_pattern_parts("sc*an") == ("s", "sc*an")
+    assert regex_pattern_parts("tab[lr]e?") == ("tab", "tab[lr]e?")
+    assert regex_pattern_parts("s(can|low)|gr.up")[0] == ""  # alternation: no prefix
+    for bad in ("", "a{2}", "(?i)x", "a\\d", "a[", "A*", "a^b", "x$"):
+        with pytest.raises(ValueError):
+            regex_pattern_parts(bad)
+
+
+def _brute_rx(oracle, pattern):
+    _, src = regex_pattern_parts(pattern)
+    rx = re.compile(src)
+    return [t for t in oracle.terms_sorted if rx.fullmatch(t)]
+
+
+RX_PATTERNS = ["o.l", "m.*k", "(mil|oi)[kl]", "r(ice|s)|belt", "zzz+q"]
+
+
+def test_regex_expansion_parity_both_dictionary_paths(engine, oracle_tiny):
+    nonempty = 0
+    for p in RX_PATTERNS:
+        want = _brute_rx(oracle_tiny, p)
+        assert engine.expand_regex(p) == want, p
+        assert oracle_tiny.expand_regex(p) == want, p
+        nonempty += bool(want)
+    assert nonempty >= 3
+    engine._terms_arr = None  # JVM rlike path must agree with python re
+    for p in RX_PATTERNS:
+        assert engine.expand_regex(p) == _brute_rx(oracle_tiny, p), ("dist", p)
+
+
+@pytest.mark.parametrize("force_dist", [False, True])
+@pytest.mark.parametrize("pattern", RX_PATTERNS)
+def test_regex_rank_identity(engine, oracle_tiny, pattern, force_dist):
+    from tests.test_index_engine import assert_rank_identical
+
+    got = engine.search(pattern, k=10, regex=True, force_distributed=force_dist)
+    want = oracle_tiny.search_regex(pattern, k=10)
+    assert_rank_identical(got, want, f"regex {pattern} dist={force_dist}")
+
+
+def test_regex_validation(engine):
+    for bad in (dict(fuzzy=1), dict(wildcard=True), dict(phrase=True),
+                dict(min_should_match=1)):
+        with pytest.raises(ValueError, match="wildcard|regex"):
+            engine.search("o.l", regex=True, **bad)
+    with pytest.raises(ValueError, match="regex"):
+        engine.search("a{2}", regex=True)
