@@ -308,3 +308,33 @@ def test_r5late_surfaces_at_1m():
         q["mf_filter"]["total"]
         == q["mf_must_should"]["total"] + q["mf_mustnot"]["total"]
     )
+
+
+def test_r5late_surfaces_at_8m():
+    """The same late-round surfaces re-measured at 8x the docs
+    (BENCH/r5late_8m.json, BENCH §9a): the dictionary side of the split is
+    SCALE-INVARIANT — the worst-case whole-dictionary regex walk costs the
+    same milliseconds over the same 50k-term dict at 8M docs as at 1M —
+    while the serve side grows sublinearly in postings (every warm wall
+    grows < 8x across the 8x doc step)."""
+    d1 = _load(os.path.join(os.path.dirname(ART), "r5late_1m.json"))
+    d8 = _load(os.path.join(os.path.dirname(ART), "r5late_8m.json"))
+    assert d8["n_docs"] == 8_000_000
+    q1, q8 = d1["queries"], d8["queries"]
+    # dictionary work unchanged: same dict size, same ~ms expansion cost
+    assert d8["n_dict_terms"] == d1["n_dict_terms"] == 50_000
+    assert q8["wildcard_all_capped"]["expand_s_cold"] < 0.25
+    # identical expansions (same synthetic dictionary at both scales)
+    for name in ("wildcard_tail", "wildcard_head", "wildcard_all_capped"):
+        assert q8[name]["expansions"] == q1[name]["expansions"], name
+    # serve walls grow sublinearly across the 8x doc step
+    for name in (
+        "wildcard_tail", "wildcard_head", "wildcard_all_capped",
+        "mlt_seed_doc", "mlt_short_text",
+    ):
+        w1, w8 = min(q1[name]["walls_s"]), min(q8[name]["walls_s"])
+        assert w8 < 8.0 * w1, (name, w1, w8)
+        assert w8 < 10.0, name  # still interactive at 8M docs
+    # candidate totals scale with the corpus: ~8x more matched docs
+    for name in ("wildcard_head", "mlt_short_text"):
+        assert q8[name]["total"] > 6 * q1[name]["total"], name
