@@ -123,6 +123,14 @@ class BuildConfig:
     # gain per-field df/doc_count/avgdl so each clause scores BM25 against
     # ITS field's statistics.  None = the classic single-'text'-field build.
     field_cols: tuple | None = None
+    # doc-values sidecar (Lucene's column-stride DocValues re-expressed as
+    # parquet columns on the doc_stats table): each listed corpus column is
+    # stored per doc_id so the engine can evaluate Atlas ``range`` /
+    # ``equals`` filter clauses (compound.filter operators beyond text) as a
+    # predicate-pushed doc_stats scan + semi-join against the candidate set.
+    # Postings stay untouched — doc values are a per-doc columnar sidecar,
+    # never an inverted structure.
+    docvalues_cols: tuple = ()
 
     def __post_init__(self):
         # a typo like "panda" would otherwise silently fall through to the
@@ -143,6 +151,21 @@ class BuildConfig:
                     "field_cols builds use the JVM tokenizer; NFC-normalize at "
                     "ingest (the pandas multi-field tokenizer is not implemented)"
                 )
+        self.docvalues_cols = tuple(self.docvalues_cols or ())
+        reserved = {"doc_id", "url", "dl", "doc_id_pre"}
+        for c in self.docvalues_cols:
+            if not isinstance(c, str) or not c:
+                raise ValueError(f"docvalues_cols entries must be column names; got {c!r}")
+            if c in reserved:
+                raise ValueError(
+                    f"docvalues column {c!r} collides with a reserved doc_stats column"
+                )
+        content = set(self.field_cols or ("text",))
+        bad = content & set(self.docvalues_cols)
+        if bad:
+            raise ValueError(
+                f"docvalues_cols overlap the indexed content columns: {sorted(bad)}"
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -822,10 +845,12 @@ def build_index(
     # of the resuming run
     use_pos = bool(cfg.positions)
     field_cols = tuple(cfg.field_cols) if cfg.field_cols else None
+    dv_cols = tuple(cfg.docvalues_cols or ())
     if phase1_done:
         _committed = cat.read_corpus_stats()
         use_pos = bool(_committed.get("with_positions", False))
         field_cols = tuple(_committed["field_cols"]) if _committed.get("field_cols") else None
+        dv_cols = tuple(_committed.get("docvalues_cols") or ())
     content_cols = list(field_cols) if field_cols else ["text"]
 
     # multi-field corpora carry their named field columns directly; the
@@ -916,6 +941,17 @@ def build_index(
         doc_stats = doc_ids.join(dl_df, "doc_id", "left").select(
             "doc_id", "url", F.coalesce("dl", F.lit(0)).alias("dl")
         )
+        if dv_cols:
+            # doc-values sidecar: ride the per-doc attribute columns on the
+            # doc_stats parquet (column-pruned away by every existing reader;
+            # predicate-pushed by the engine's range/equals filter scan)
+            missing = [c for c in dv_cols if c not in docs.columns]
+            if missing:
+                raise ValueError(
+                    f"docvalues_cols not in the corpus: {missing}; "
+                    f"corpus columns: {sorted(docs.columns)}"
+                )
+            doc_stats = doc_stats.join(docs.select("url", *dv_cols), "url", "left")
         _mark("plan_phase1")
         doc_stats.write.mode("overwrite").parquet(cat.doc_stats)
         _mark("doc_stats")
@@ -1008,6 +1044,7 @@ def build_index(
                 "max_dl": max_dl,
                 "corpus_path": corpus_path,
                 "with_positions": bool(use_pos),
+                **({"docvalues_cols": list(dv_cols)} if dv_cols else {}),
                 **(
                     {
                         "field_cols": list(field_cols),

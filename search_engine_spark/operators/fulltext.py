@@ -1418,12 +1418,13 @@ def _mf_index_for(spark, sf_dir: str) -> str:
     from ..index.builder import BuildConfig, build_index
 
     tag = sf_dir.strip("/").replace("/", "_")
-    corpus_dir = os.path.join(tempfile.gettempdir(), "ses_mfcorp_" + tag)
-    # "mfidxp": positional multi-field layout (the phrase-clause gate reads
-    # positions; the other mf gates prune the column at the scan) — the dir
-    # prefix changed with the layout so stale non-positional caches from
-    # earlier runs can't be picked up
-    index_dir = os.path.join(tempfile.gettempdir(), "ses_mfidxp_" + tag)
+    corpus_dir = os.path.join(tempfile.gettempdir(), "ses_mfcorpdv_" + tag)
+    # "mfidxdv": positional multi-field layout with the (lang, n_chars)
+    # doc-values sidecar (the dv-filter gate reads it; every other mf gate
+    # prunes the columns at the scan) — the dir prefix changes with the
+    # layout so stale pre-docvalues caches from earlier runs can't be
+    # picked up ("mfidxp" was the pre-docvalues positional layout)
+    index_dir = os.path.join(tempfile.gettempdir(), "ses_mfidxdv_" + tag)
     if not os.path.exists(os.path.join(index_dir, "corpus_stats.json")):
         (
             _mf_fields_df(spark, sf_dir)
@@ -1432,13 +1433,17 @@ def _mf_index_for(spark, sf_dir: str) -> str:
                 F.array_join("title", " ").alias("title"),
                 F.array_join("body", " ").alias("body"),
             )
+            .join(
+                t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+                "doc_id",
+            )
             .write.mode("overwrite")
             .parquet(corpus_dir)
         )
         cfg = BuildConfig(
             block_docs=256, target_ranges=64, min_range_docs=256,
             n_partitions=16, waves=2, field_cols=("title", "body"),
-            positions=True,
+            positions=True, docvalues_cols=("lang", "n_chars"),
         )
         build_index(spark, corpus_dir, index_dir, cfg=cfg, id_col="doc_id")
     _MF_ENGINE_CACHE[sf_dir] = index_dir
@@ -1670,6 +1675,77 @@ WHERE rk <= 20
 
 
 # --------------------------------------------------------------------------
+# Doc-values range/equals filter clauses (Atlas compound.filter operators
+# beyond text; Lucene FILTER occur + DocValues column-stride storage).  The
+# build bakes per-doc attribute columns (lang, n_chars) onto the doc_stats
+# sidecar via BuildConfig(docvalues_cols=...); the engine evaluates the
+# clauses as a predicate-pushed doc_stats scan semi-joined with the
+# term-driven candidates — required, scoring nothing, BEFORE pagination.
+# --------------------------------------------------------------------------
+
+_DV_LANG = "en"
+_DV_LO, _DV_HI = 150, 400  # n_chars band: 111 of 500 sf0.01 docs pass
+
+
+def mf_dv_filter_topk(spark, sf_dir, k=20):
+    """Declarative twin: should over (title, body) on the flagship term,
+    filtered by equals(lang) + range(n_chars) — the filter constrains the
+    match set (total and page both shrink) and contributes zero score."""
+    scored = _mf_scored(spark, sf_dir, _MF_Q, _MF_Q, require_both=False)
+    attrs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    kept = (
+        scored.join(attrs, "doc_id")
+        .filter(
+            (F.col("lang") == _DV_LANG)
+            & (F.col("n_chars") >= _DV_LO)
+            & (F.col("n_chars") < _DV_HI)
+        )
+        .select("doc_id", "score")
+    )
+    return ranked_topk(kept, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rk"
+    )
+
+
+MF_DV_FILTER_TOPK_SQL = (
+    "\nWITH "
+    + _MF_CTES_TMPL.format(
+        tt=_MF_Q, tb=_MF_Q, cond="tft > 0 OR tfb > 0", bt="1.0", bb="1.0"
+    )
+    + f"""
+SELECT doc_id, score, rk
+FROM (SELECT s.doc_id, s.score,
+             row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rk
+      FROM scored s JOIN documents d USING (doc_id)
+      WHERE d.lang = '{_DV_LANG}'
+        AND d.n_chars >= {_DV_LO} AND d.n_chars < {_DV_HI})
+WHERE rk <= 20
+"""
+)
+
+
+def engine_mf_dv_filter_topk(spark, sf_dir, k=20):
+    """The real engine's doc-values filter path: the same compound should
+    plus Atlas range/equals operator objects on the filter list."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
+    res = eng.search_fields(
+        should=[("title", _MF_Q), ("body", _MF_Q)],
+        minimum_should_match=1,
+        filter=[
+            {"equals": {"path": "lang", "value": _DV_LANG}},
+            {"range": {"path": "n_chars", "gte": _DV_LO, "lt": _DV_HI}},
+        ],
+        k=60,
+    )
+    return _engine_page_frame(spark, res, k)
+
+
+ENGINE_MF_DV_FILTER_TOPK_SQL = MF_DV_FILTER_TOPK_SQL
+
+
+# --------------------------------------------------------------------------
 # minimumShouldMatch m-of-n (Lucene general form; the reference only ever
 # sets m=1, search_utils.py:134,188): docs matching at least m of the n
 # query terms, scored as the plain disjunction over their matched terms.
@@ -1796,6 +1872,8 @@ QUERIES = {
     "ft_engine_prefix_fuzzy_topk": engine_prefix_fuzzy_topk,
     "ft_multifield_topk": multifield_topk,
     "ft_engine_multifield_topk": engine_multifield_topk,
+    "ft_mf_dv_filter_topk": mf_dv_filter_topk,
+    "ft_engine_mf_dv_filter_topk": engine_mf_dv_filter_topk,
     "ft_engine_multifield_must": engine_multifield_must,
     "ft_engine_multifield_mustnot": engine_multifield_mustnot,
     "ft_engine_multifield_boost": engine_multifield_boost,
@@ -1862,6 +1940,8 @@ ORACLES = {
     "ft_engine_grouped_topk": GROUPED_TOPK_SQL,
     "ft_multifield_topk": MULTIFIELD_TOPK_SQL,
     "ft_engine_multifield_topk": ENGINE_MULTIFIELD_TOPK_SQL,
+    "ft_mf_dv_filter_topk": MF_DV_FILTER_TOPK_SQL,
+    "ft_engine_mf_dv_filter_topk": ENGINE_MF_DV_FILTER_TOPK_SQL,
     "ft_engine_multifield_must": ENGINE_MULTIFIELD_MUST_SQL,
     "ft_engine_multifield_mustnot": ENGINE_MULTIFIELD_MUSTNOT_SQL,
     "ft_engine_multifield_boost": ENGINE_MULTIFIELD_BOOST_SQL,

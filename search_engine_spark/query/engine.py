@@ -336,6 +336,10 @@ class SearchEngine:
         # Pre-r5 multi-field indexes baked at max field avgdl (sound upper
         # bound only) and carry no flag → floor stays disabled for them.
         self.per_field_mtn = bool(self.stats.get("per_field_mtn", False))
+        # doc-values sidecar columns (builder.BuildConfig.docvalues_cols):
+        # per-doc attributes stored on doc_stats for Atlas range/equals
+        # filter clauses.  Empty = no doc values baked.
+        self.docvalues_cols: tuple = tuple(self.stats.get("docvalues_cols") or ())
         self._segments_df = spark.read.parquet(self.cat.segments)
         # small term dicts: one-time sorted load, then O(log V) lookups with
         # zero Spark jobs per query (the reference's Atlas term dictionary is
@@ -1091,6 +1095,52 @@ class SearchEngine:
         self._fuzzy_cache[key] = out
         return list(out)
 
+    def _dv_predicate(self, clauses):
+        """Atlas ``range`` / ``equals`` filter clauses -> one Spark predicate
+        over the doc-values sidecar (doc_stats columns baked by
+        ``BuildConfig(docvalues_cols=...)``).
+
+        Clause shapes (Atlas ``compound.filter`` operator objects beyond
+        text):
+
+        - ``{"range":  {"path": col, "gte"/"gt"/"lte"/"lt": value, ...}}``
+        - ``{"equals": {"path": col, "value": v}}``
+
+        Doc values are per-doc attributes, not postings: the predicate is
+        evaluated as a column-pruned, predicate-pushed parquet scan of
+        doc_stats intersected with the term-driven candidate set — Lucene
+        FILTER semantics (required, scores nothing), Lucene DocValues
+        storage (column-stride, never inverted).
+        """
+        cond = F.lit(True)
+        for c in clauses:
+            op = "range" if "range" in c else "equals"
+            spec = dict(c[op])
+            path = spec.pop("path", None)
+            if path not in self.docvalues_cols:
+                raise ValueError(
+                    f"{op} clause path {path!r} is not a doc-values column of "
+                    f"this index (baked: {sorted(self.docvalues_cols)}); "
+                    "build with BuildConfig(docvalues_cols=(...,))"
+                )
+            col = F.col(path)
+            if op == "equals":
+                if set(spec) != {"value"}:
+                    raise ValueError(
+                        f"equals clause takes exactly path+value; got {sorted(c[op])}"
+                    )
+                cond = cond & (col == F.lit(spec["value"]))
+                continue
+            if not spec:
+                raise ValueError("range clause needs at least one of gt/gte/lt/lte")
+            ops = {"gt": col.__gt__, "gte": col.__ge__,
+                   "lt": col.__lt__, "lte": col.__le__}
+            for bop, v in sorted(spec.items()):
+                if bop not in ops:
+                    raise ValueError(f"unknown range bound {bop!r} (gt/gte/lt/lte)")
+                cond = cond & ops[bop](F.lit(v))
+        return cond
+
     def search_fields(
         self,
         must: list = (),
@@ -1129,9 +1179,38 @@ class SearchEngine:
         engine.  Boosts fold into the per-key idf, so every physical path
         (driver, sort, WAND — whose block bounds scale by the same idf) is
         bit-identical without special cases.
+
+        The ``filter`` list additionally accepts Atlas ``range`` / ``equals``
+        operator objects (``{"range": {"path": col, "gte"/"gt"/"lte"/"lt":
+        v}}``, ``{"equals": {"path": col, "value": v}}``) over doc-values
+        columns baked by ``BuildConfig(docvalues_cols=...)`` — required,
+        scoring nothing, evaluated as a predicate-pushed doc_stats scan
+        semi-joined with the term-driven candidates (see
+        :meth:`_dv_predicate`).  They require at least one term-bearing
+        clause: a match set defined by doc values alone is a relational
+        scan, which the relational operators already express.
         """
         if mode not in ("sort", "wand", "auto"):
             raise ValueError(f"mode must be 'sort', 'wand', or 'auto'; got {mode!r}")
+        # doc-values operators (range/equals) ride the filter list as Atlas
+        # operator objects; term clauses (tuples / kind-dicts) stay text
+        dv_clauses = [
+            c for c in filter
+            if isinstance(c, dict) and ("range" in c or "equals" in c)
+        ]
+        filter = [
+            c for c in filter
+            if not (isinstance(c, dict) and ("range" in c or "equals" in c))
+        ]
+        dv_pred = self._dv_predicate(dv_clauses) if dv_clauses else None
+        if dv_pred is not None and not (must or should or filter):
+            # candidate generation is postings-driven: a match set defined by
+            # doc values alone is a relational scan, not a search (use the
+            # relational operators for that)
+            raise ValueError(
+                "range/equals filter clauses require at least one term-bearing "
+                "must/should/filter clause"
+            )
         if must_not and not (must or should or filter):
             raise ValueError(
                 "must_not requires at least one must/should/filter clause"
@@ -1141,7 +1220,7 @@ class SearchEngine:
         should_terms = [self._clause_terms(c, max_expansions) for c in should]
         must_not_terms = [self._clause_terms(c, max_expansions) for c in must_not]
         filter_terms = [self._clause_terms(c, max_expansions) for c in filter]
-        if mode != "sort" and (must or must_not or filter
+        if mode != "sort" and (must or must_not or filter or dv_clauses
                                or int(minimum_should_match) > 1 or skip):
             # WAND's θ-pruning scope on the compound path: pure-should
             # msm<=1 key disjunctions from page 1 (must/must_not/filter/
@@ -1254,12 +1333,12 @@ class SearchEngine:
         elif not force_distributed and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS:
             res = self._driver_search_fields(
                 present, idf, avgdl_map, present_must, present_should, msm, k, skip,
-                must_not_terms=present_must_not,
+                must_not_terms=present_must_not, dv_pred=dv_pred,
             )
         else:
             res = self._dist_search_fields(
                 present, idf, avgdl_map, present_must, present_should, msm, k, skip,
-                must_not_terms=present_must_not,
+                must_not_terms=present_must_not, dv_pred=dv_pred,
             )
         if with_url and len(res.page):
             ids = [int(d) for d in res.page["doc_id"]]
@@ -1276,7 +1355,7 @@ class SearchEngine:
 
     def _driver_search_fields(
         self, present, idf, avgdl_map, must_terms, should_terms, msm, k, skip,
-        must_not_terms=(),
+        must_not_terms=(), dv_pred=None,
     ) -> SearchResult:
         """Driver-side compound evaluation (small candidate sets)."""
         rows = self._candidate_segments(present).select("term", "postings").collect()
@@ -1324,6 +1403,23 @@ class SearchEngine:
         for ts in must_not_terms:  # Lucene MUST_NOT: any hit excludes the doc
             keep &= ~clause_ok(ts)
         uniq, acc = uniq[keep], acc[keep]
+        if dv_pred is not None and uniq.size:
+            # doc-values filter: one predicate-pushed doc_stats scan, semi-
+            # joined against the (small, broadcast) candidate set — never a
+            # collect of the eligible universe
+            cand = self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": uniq.astype("int64")})
+            )
+            elig = (
+                self.spark.read.parquet(self.cat.doc_stats)
+                .filter(dv_pred)
+                .join(F.broadcast(cand), "doc_id", "semi")
+                .select("doc_id")
+                .toPandas()["doc_id"]
+                .to_numpy()
+            )
+            dv_keep = np.isin(uniq, elig)
+            uniq, acc = uniq[dv_keep], acc[dv_keep]
         if uniq.size == 0:
             return empty
         order = np.lexsort((uniq, -acc))[skip : skip + k]
@@ -1334,7 +1430,7 @@ class SearchEngine:
 
     def _dist_search_fields(
         self, present, idf, avgdl_map, must_terms, should_terms, msm, k, skip,
-        must_not_terms=(),
+        must_not_terms=(), dv_pred=None,
     ) -> SearchResult:
         """Distributed compound evaluation: one decode+score pass, clause
         logic as JVM array expressions over the per-doc matched-key set."""
@@ -1359,7 +1455,19 @@ class SearchEngine:
             cond = cond & (n_should >= msm)
         for ts in must_not_terms:  # Lucene MUST_NOT: any hit excludes the doc
             cond = cond & ~clause_ok(ts)
-        kept = agg.filter(cond).select("doc_id", "score").persist()
+        kept = agg.filter(cond).select("doc_id", "score")
+        if dv_pred is not None:
+            # doc-values filter: predicate pushes into the doc_stats parquet
+            # scan (only the filtered columns are read); the semi-join keys
+            # on doc_id and shrinks with the predicate's selectivity — AQE
+            # broadcasts the eligible side when it is small
+            elig = (
+                self.spark.read.parquet(self.cat.doc_stats)
+                .filter(dv_pred)
+                .select("doc_id")
+            )
+            kept = kept.join(elig, "doc_id", "semi")
+        kept = kept.persist()
         ranked = kept.orderBy(F.desc("score"), F.asc("doc_id"))
         page_df = ranked.offset(skip).limit(k) if skip else ranked.limit(k)
         page = (

@@ -1,0 +1,261 @@
+"""Doc-values range/equals filter clauses (Atlas compound.filter operators
+beyond text; Lucene FILTER occur + DocValues storage).
+
+``BuildConfig(docvalues_cols=...)`` bakes per-doc attribute columns onto the
+doc_stats sidecar; ``search_fields(filter=[{"range": ...}, {"equals": ...}])``
+evaluates them as a predicate-pushed doc_stats scan semi-joined with the
+term-driven candidate set.  These tests pin both physical paths (driver and
+distributed) rank- AND score-identical to the multi-field oracle post-filtered
+by the same predicate, plus the fail-loud validation surface.
+"""
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from search_engine_spark.analysis.text import tokenize
+from search_engine_spark.oracle import OracleMultiFieldIndex
+
+TITLE_LEN = 6
+LANGS = ("en", "en", "de", "fr")  # en-heavy, deterministic by url hash
+
+
+def _lang_of(url: str) -> str:
+    return LANGS[int(hashlib.md5(url.encode()).hexdigest(), 16) % len(LANGS)]
+
+
+@pytest.fixture(scope="module")
+def dv_rows(webtext_tiny):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(webtext_tiny, "part-00000.parquet"))
+    rows = []
+    for url, text in zip(tbl.column("url").to_pylist(), tbl.column("text").to_pylist()):
+        toks = tokenize(text)
+        rows.append(
+            (
+                url,
+                {"title": " ".join(toks[:TITLE_LEN]), "body": " ".join(toks[TITLE_LEN:])},
+                {"lang": _lang_of(url), "n_chars": len(text)},
+            )
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def dv_oracle(dv_rows):
+    return OracleMultiFieldIndex([(u, f) for u, f, _ in dv_rows])
+
+
+@pytest.fixture(scope="module")
+def dv_attrs(dv_rows):
+    """doc_id -> attribute dict, under the builder's url-lex-rank id rule."""
+    urls = sorted(u for u, _, _ in dv_rows)
+    rank = {u: i for i, u in enumerate(urls)}
+    return {rank[u]: a for u, _, a in dv_rows}
+
+
+@pytest.fixture(scope="module")
+def dv_index(spark, dv_rows, tmp_path_factory):
+    from search_engine_spark.index.builder import BuildConfig, build_index
+
+    corpus = str(tmp_path_factory.mktemp("dv") / "corpus")
+    spark.createDataFrame(
+        [(u, f["title"], f["body"], a["lang"], a["n_chars"]) for u, f, a in dv_rows],
+        "url string, title string, body string, lang string, n_chars long",
+    ).write.mode("overwrite").parquet(corpus)
+    index_dir = str(tmp_path_factory.mktemp("dv") / "index")
+    cfg = BuildConfig(
+        block_docs=64, target_ranges=16, min_range_docs=64, n_partitions=8,
+        waves=2, field_cols=("title", "body"),
+        docvalues_cols=("lang", "n_chars"),
+    )
+    metrics = build_index(spark, corpus, index_dir, cfg=cfg)
+    assert metrics["n_docs"] == len(dv_rows)
+    return index_dir
+
+
+@pytest.fixture(scope="module")
+def dv_engine(spark, dv_index):
+    from search_engine_spark.query.engine import SearchEngine
+
+    return SearchEngine(spark, dv_index)
+
+
+@pytest.fixture(scope="module")
+def dv_term(dv_oracle):
+    """Highest-df title term (df desc, term asc tiebreak) — a dense clause."""
+    cands = [
+        (len(pl), t) for (f, t), pl in dv_oracle.postings.items() if f == "title"
+    ]
+    return min(cands, key=lambda c: (-c[0], c[1]))[1]
+
+
+@pytest.fixture(scope="module")
+def chars_band(dv_attrs):
+    """[median, p90) of n_chars — a selective but non-empty band."""
+    vals = sorted(a["n_chars"] for a in dv_attrs.values())
+    return vals[len(vals) // 2], vals[(len(vals) * 9) // 10]
+
+
+def _expected(oracle, attrs, pred, k=15, **kw):
+    """Oracle compound evaluation post-filtered by the attribute predicate
+    BEFORE pagination (filter clauses constrain matching, not the page)."""
+    exp = oracle.search_compound(k=oracle.n_docs, **kw)
+    hits = [(d, s) for d, s in exp.hits if pred(attrs[d])]
+    return hits[:k], len(hits)
+
+
+def _check(eng, oracle, attrs, pred, dv_filter, k=15, **kw):
+    hits, total = _expected(oracle, attrs, pred, k=k, **kw)
+    text_filter = list(kw.pop("filter", ()))
+    for fd in (False, True):
+        res = eng.search_fields(
+            k=k, force_distributed=fd,
+            filter=text_filter + list(dv_filter), **kw,
+        )
+        got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
+        assert [g[0] for g in got] == [h[0] for h in hits], (dv_filter, fd)
+        assert np.allclose(
+            [g[1] for g in got], [h[1] for h in hits], rtol=0, atol=1e-12
+        ), (dv_filter, fd)
+        assert res.total == total, (dv_filter, fd, res.total, total)
+    return hits, total
+
+
+def test_docvalues_baked(spark, dv_engine):
+    assert dv_engine.docvalues_cols == ("lang", "n_chars")
+    cols = spark.read.parquet(dv_engine.cat.doc_stats).columns
+    assert {"doc_id", "url", "dl", "lang", "n_chars"} <= set(cols)
+
+
+def test_range_filter_both_paths(dv_engine, dv_oracle, dv_attrs, dv_term, chars_band):
+    lo, hi = chars_band
+    hits, total = _check(
+        dv_engine, dv_oracle, dv_attrs,
+        lambda a: lo <= a["n_chars"] < hi,
+        [{"range": {"path": "n_chars", "gte": lo, "lt": hi}}],
+        should=[("title", dv_term), ("body", dv_term)], minimum_should_match=1,
+    )
+    base = dv_oracle.search_compound(
+        should=[("title", dv_term), ("body", dv_term)], k=dv_oracle.n_docs
+    )
+    assert 0 < total < base.total  # selective, non-empty
+    # FILTER scores nothing: survivors keep their unfiltered score bit-for-bit
+    base_scores = dict(base.hits)
+    for d, s in hits:
+        assert s == base_scores[d], d
+
+
+def test_equals_filter(dv_engine, dv_oracle, dv_attrs, dv_term):
+    hits, total = _check(
+        dv_engine, dv_oracle, dv_attrs,
+        lambda a: a["lang"] == "de",
+        [{"equals": {"path": "lang", "value": "de"}}],
+        must=[("title", dv_term)],
+    )
+    assert total == sum(
+        1 for d in dv_oracle.postings[("title", dv_term)]
+        if dv_attrs[d]["lang"] == "de"
+    )
+
+
+def test_combined_dv_and_text_filter(dv_engine, dv_oracle, dv_attrs, dv_term, chars_band):
+    lo, _ = chars_band
+    _check(
+        dv_engine, dv_oracle, dv_attrs,
+        lambda a: a["lang"] == "en" and a["n_chars"] >= lo,
+        [
+            {"equals": {"path": "lang", "value": "en"}},
+            {"range": {"path": "n_chars", "gte": lo}},
+        ],
+        should=[("title", dv_term)],
+        filter=[("body", dv_term)],
+    )
+
+
+def test_dv_with_must_not(dv_engine, dv_oracle, dv_attrs, dv_term, chars_band):
+    lo, hi = chars_band
+    body_term = min(
+        ((len(pl), t) for (f, t), pl in dv_oracle.postings.items() if f == "body"),
+        key=lambda c: (-c[0], c[1]),
+    )[1]
+    _check(
+        dv_engine, dv_oracle, dv_attrs,
+        lambda a: lo <= a["n_chars"] < hi,
+        [{"range": {"path": "n_chars", "gte": lo, "lt": hi}}],
+        must=[("title", dv_term)],
+        must_not=[("body", body_term)],
+    )
+
+
+def test_empty_after_filter(dv_engine, dv_term):
+    res = dv_engine.search_fields(
+        must=[("title", dv_term)],
+        filter=[{"range": {"path": "n_chars", "gte": 10**9}}],
+    )
+    assert res.total == 0 and len(res.page) == 0
+
+
+def test_dv_requires_term_clause(dv_engine):
+    with pytest.raises(ValueError, match="term-bearing"):
+        dv_engine.search_fields(
+            filter=[{"equals": {"path": "lang", "value": "en"}}]
+        )
+
+
+def test_dv_unknown_path_raises(dv_engine, dv_term):
+    with pytest.raises(ValueError, match="doc-values column"):
+        dv_engine.search_fields(
+            must=[("title", dv_term)],
+            filter=[{"range": {"path": "url", "gte": "a"}}],
+        )
+
+
+def test_dv_bad_bound_raises(dv_engine, dv_term):
+    with pytest.raises(ValueError, match="unknown range bound"):
+        dv_engine.search_fields(
+            must=[("title", dv_term)],
+            filter=[{"range": {"path": "n_chars", "between": 3}}],
+        )
+    with pytest.raises(ValueError, match="at least one of"):
+        dv_engine.search_fields(
+            must=[("title", dv_term)],
+            filter=[{"range": {"path": "n_chars"}}],
+        )
+
+
+def test_dv_rejects_wand_mode(dv_engine, dv_term):
+    with pytest.raises(ValueError, match="pure-should"):
+        dv_engine.search_fields(
+            should=[("title", dv_term)],
+            filter=[{"equals": {"path": "lang", "value": "en"}}],
+            mode="wand",
+        )
+
+
+def test_unbaked_index_rejects_dv(spark, dv_rows, tmp_path_factory):
+    """An index built WITHOUT docvalues_cols fails loud on a dv clause."""
+    from search_engine_spark.index.builder import BuildConfig, build_index
+    from search_engine_spark.query.engine import SearchEngine
+
+    corpus = str(tmp_path_factory.mktemp("nodv") / "corpus")
+    spark.createDataFrame(
+        [(u, f["title"], f["body"]) for u, f, _ in dv_rows[:200]],
+        "url string, title string, body string",
+    ).write.mode("overwrite").parquet(corpus)
+    index_dir = str(tmp_path_factory.mktemp("nodv") / "index")
+    cfg = BuildConfig(
+        block_docs=64, target_ranges=8, min_range_docs=64, n_partitions=4,
+        waves=1, field_cols=("title", "body"),
+    )
+    build_index(spark, corpus, index_dir, cfg=cfg)
+    eng = SearchEngine(spark, index_dir)
+    assert eng.docvalues_cols == ()
+    with pytest.raises(ValueError, match="doc-values column"):
+        eng.search_fields(
+            must=[("title", "the")],
+            filter=[{"equals": {"path": "lang", "value": "en"}}],
+        )
