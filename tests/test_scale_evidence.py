@@ -338,3 +338,31 @@ def test_r5late_surfaces_at_8m():
     # candidate totals scale with the corpus: ~8x more matched docs
     for name in ("wildcard_head", "mlt_short_text"):
         assert q8[name]["total"] > 6 * q1[name]["total"], name
+
+
+def test_dv_filter_at_1m():
+    """Doc-values filters at 10^6 docs (BENCH/dv_r5_1m.json, BENCH §9b): the
+    filter costs a selectivity-INDEPENDENT constant (one predicate-pushed
+    doc_stats scan + semi-join) on top of the unfiltered baseline — posting
+    traffic is identical — and the lang partitions tile the baseline."""
+    d = _load(os.path.join(os.path.dirname(ART), "dv_r5_1m.json"))
+    assert d["n_docs"] == 1_000_000
+    q = d["queries"]
+    base_w = min(q["mf_must_should"]["walls_s"])
+    for name in ("dv_equals_rare", "dv_equals_head", "dv_range_band"):
+        w = min(q[name]["walls_s"])
+        # constant overhead: bounded absolutely, NOT proportional to matches
+        assert w <= base_w + 1.0, (name, w, base_w)
+        assert w < 5.0, name
+    # 2.5%-selective 'es' vs 95%-selective 'en' cost within noise of each
+    # other despite a 37x match-count gap
+    assert abs(min(q["dv_equals_rare"]["walls_s"])
+               - min(q["dv_equals_head"]["walls_s"])) < 0.5
+    # exact tiling: es + en + hi = baseline (hi is the 2.5% remainder)
+    base, es, en = (q["mf_must_should"]["total"],
+                    q["dv_equals_rare"]["total"], q["dv_equals_head"]["total"])
+    assert 0 < base - (es + en) < 0.05 * base
+    # the (300, 500) n_chars band intersected with 'es' nests inside 'es'
+    assert 0 < q["dv_range_band"]["total"] < es
+    # the doc-values sidecar does not regress the build
+    assert d["index_docs_per_sec"] > 4000
