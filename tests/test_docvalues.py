@@ -32,13 +32,17 @@ def dv_rows(webtext_tiny):
 
     tbl = pq.read_table(os.path.join(webtext_tiny, "part-00000.parquet"))
     rows = []
-    for url, text in zip(tbl.column("url").to_pylist(), tbl.column("text").to_pylist()):
+    for url, text, ts in zip(
+        tbl.column("url").to_pylist(),
+        tbl.column("text").to_pylist(),
+        tbl.column("warc_ts").to_pylist(),
+    ):
         toks = tokenize(text)
         rows.append(
             (
                 url,
                 {"title": " ".join(toks[:TITLE_LEN]), "body": " ".join(toks[TITLE_LEN:])},
-                {"lang": _lang_of(url), "n_chars": len(text)},
+                {"lang": _lang_of(url), "n_chars": len(text), "warc_ts": ts},
             )
         )
     return rows
@@ -63,14 +67,18 @@ def dv_index(spark, dv_rows, tmp_path_factory):
 
     corpus = str(tmp_path_factory.mktemp("dv") / "corpus")
     spark.createDataFrame(
-        [(u, f["title"], f["body"], a["lang"], a["n_chars"]) for u, f, a in dv_rows],
-        "url string, title string, body string, lang string, n_chars long",
+        [
+            (u, f["title"], f["body"], a["lang"], a["n_chars"], a["warc_ts"])
+            for u, f, a in dv_rows
+        ],
+        "url string, title string, body string, lang string, n_chars long, "
+        "warc_ts timestamp",
     ).write.mode("overwrite").parquet(corpus)
     index_dir = str(tmp_path_factory.mktemp("dv") / "index")
     cfg = BuildConfig(
         block_docs=64, target_ranges=16, min_range_docs=64, n_partitions=8,
         waves=2, field_cols=("title", "body"),
-        docvalues_cols=("lang", "n_chars"),
+        docvalues_cols=("lang", "n_chars", "warc_ts"),
     )
     metrics = build_index(spark, corpus, index_dir, cfg=cfg)
     assert metrics["n_docs"] == len(dv_rows)
@@ -126,9 +134,22 @@ def _check(eng, oracle, attrs, pred, dv_filter, k=15, **kw):
 
 
 def test_docvalues_baked(spark, dv_engine):
-    assert dv_engine.docvalues_cols == ("lang", "n_chars")
+    assert dv_engine.docvalues_cols == ("lang", "n_chars", "warc_ts")
     cols = spark.read.parquet(dv_engine.cat.doc_stats).columns
-    assert {"doc_id", "url", "dl", "lang", "n_chars"} <= set(cols)
+    assert {"doc_id", "url", "dl", "lang", "n_chars", "warc_ts"} <= set(cols)
+
+
+def test_timestamp_range_filter(dv_engine, dv_oracle, dv_attrs, dv_term):
+    """The input-hint's natural dv type: a warc_ts crawl-window range.
+    Timestamp literals flow through F.lit into the parquet pushdown."""
+    times = sorted(a["warc_ts"] for a in dv_attrs.values())
+    lo, hi = times[len(times) // 4], times[(len(times) * 3) // 4]
+    _check(
+        dv_engine, dv_oracle, dv_attrs,
+        lambda a: lo <= a["warc_ts"] < hi,
+        [{"range": {"path": "warc_ts", "gte": lo, "lt": hi}}],
+        should=[("title", dv_term), ("body", dv_term)],
+    )
 
 
 def test_range_filter_both_paths(dv_engine, dv_oracle, dv_attrs, dv_term, chars_band):
