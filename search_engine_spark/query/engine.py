@@ -1105,6 +1105,11 @@ class SearchEngine:
 
         - ``{"range":  {"path": col, "gte"/"gt"/"lte"/"lt": value, ...}}``
         - ``{"equals": {"path": col, "value": v}}``
+        - ``{"exists": {"path": col}}`` — the attribute is non-null
+
+        SQL three-valued logic gives range/equals Atlas semantics for free:
+        a null attribute compares to null, which the filter drops — exists
+        is the explicit form.
 
         Doc values are per-doc attributes, not postings: the predicate is
         evaluated as a column-pruned, predicate-pushed parquet scan of
@@ -1114,7 +1119,7 @@ class SearchEngine:
         """
         cond = F.lit(True)
         for c in clauses:
-            op = "range" if "range" in c else "equals"
+            op = next(o for o in ("range", "equals", "exists") if o in c)
             spec = dict(c[op])
             path = spec.pop("path", None)
             if path not in self.docvalues_cols:
@@ -1124,6 +1129,13 @@ class SearchEngine:
                     "build with BuildConfig(docvalues_cols=(...,))"
                 )
             col = F.col(path)
+            if op == "exists":
+                if spec:
+                    raise ValueError(
+                        f"exists clause takes only path; got {sorted(c[op])}"
+                    )
+                cond = cond & col.isNotNull()
+                continue
             if op == "equals":
                 if set(spec) != {"value"}:
                     raise ValueError(
@@ -1194,13 +1206,14 @@ class SearchEngine:
             raise ValueError(f"mode must be 'sort', 'wand', or 'auto'; got {mode!r}")
         # doc-values operators (range/equals) ride the filter list as Atlas
         # operator objects; term clauses (tuples / kind-dicts) stay text
+        _DV_OPS = ("range", "equals", "exists")
         dv_clauses = [
             c for c in filter
-            if isinstance(c, dict) and ("range" in c or "equals" in c)
+            if isinstance(c, dict) and any(o in c for o in _DV_OPS)
         ]
         filter = [
             c for c in filter
-            if not (isinstance(c, dict) and ("range" in c or "equals" in c))
+            if not (isinstance(c, dict) and any(o in c for o in _DV_OPS))
         ]
         dv_pred = self._dv_predicate(dv_clauses) if dv_clauses else None
         if dv_pred is not None and not (must or should or filter):

@@ -19,10 +19,12 @@ from search_engine_spark.analysis.text import tokenize
 from search_engine_spark.oracle import OracleMultiFieldIndex
 
 TITLE_LEN = 6
-LANGS = ("en", "en", "de", "fr")  # en-heavy, deterministic by url hash
+# en-heavy, deterministic by url hash; ~10% None (lang-ID abstained) so the
+# exists operator and equals/range null semantics have real rows to drop
+LANGS = ("en", "en", "de", "fr", "en", "en", "de", "fr", "en", None)
 
 
-def _lang_of(url: str) -> str:
+def _lang_of(url: str):
     return LANGS[int(hashlib.md5(url.encode()).hexdigest(), 16) % len(LANGS)]
 
 
@@ -137,6 +139,42 @@ def test_docvalues_baked(spark, dv_engine):
     assert dv_engine.docvalues_cols == ("lang", "n_chars", "warc_ts")
     cols = spark.read.parquet(dv_engine.cat.doc_stats).columns
     assert {"doc_id", "url", "dl", "lang", "n_chars", "warc_ts"} <= set(cols)
+
+
+def test_exists_filter(dv_engine, dv_oracle, dv_attrs, dv_term):
+    """Atlas ``exists``: the attribute is non-null.  ~10% of the fixture's
+    lang values are None (lang-ID abstained)."""
+    assert any(a["lang"] is None for a in dv_attrs.values())
+    _check(
+        dv_engine, dv_oracle, dv_attrs,
+        lambda a: a["lang"] is not None,
+        [{"exists": {"path": "lang"}}],
+        should=[("title", dv_term), ("body", dv_term)],
+    )
+
+
+def test_equals_drops_nulls(dv_engine, dv_oracle, dv_attrs, dv_term):
+    """SQL three-valued logic = Atlas semantics: a null attribute never
+    equals anything, so equals('en') and exists+equals agree exactly."""
+    a_hits = dv_engine.search_fields(
+        must=[("title", dv_term)],
+        filter=[{"equals": {"path": "lang", "value": "en"}}], k=50,
+    )
+    b_hits = dv_engine.search_fields(
+        must=[("title", dv_term)],
+        filter=[{"exists": {"path": "lang"}},
+                {"equals": {"path": "lang", "value": "en"}}], k=50,
+    )
+    assert a_hits.total == b_hits.total
+    assert list(a_hits.page["doc_id"]) == list(b_hits.page["doc_id"])
+
+
+def test_exists_extra_key_raises(dv_engine, dv_term):
+    with pytest.raises(ValueError, match="only path"):
+        dv_engine.search_fields(
+            must=[("title", dv_term)],
+            filter=[{"exists": {"path": "lang", "value": "en"}}],
+        )
 
 
 def test_timestamp_range_filter(dv_engine, dv_oracle, dv_attrs, dv_term):
