@@ -1745,6 +1745,60 @@ def engine_mf_dv_filter_topk(spark, sf_dir, k=20):
 ENGINE_MF_DV_FILTER_TOPK_SQL = MF_DV_FILTER_TOPK_SQL
 
 
+def mf_dv_sort_topk(spark, sf_dir, k=20):
+    """Declarative twin of the Atlas ``$search.sort`` option: the same
+    compound should, ordered by the n_chars doc value (desc, doc_id asc
+    tiebreak) instead of score — score still computed and returned."""
+    scored = _mf_scored(spark, sf_dir, _MF_Q, _MF_Q, require_both=False)
+    attrs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = scored.join(attrs, "doc_id")
+    return ranked_topk(
+        joined, [F.desc_nulls_last("n_chars"), F.asc("doc_id")], k
+    ).select("doc_id", "score", "n_chars", "rk")
+
+
+MF_DV_SORT_TOPK_SQL = (
+    "\nWITH "
+    + _MF_CTES_TMPL.format(
+        tt=_MF_Q, tb=_MF_Q, cond="tft > 0 OR tfb > 0", bt="1.0", bb="1.0"
+    )
+    + """
+SELECT doc_id, score, n_chars, rk
+FROM (SELECT s.doc_id, s.score, d.n_chars,
+             row_number() OVER (ORDER BY d.n_chars DESC NULLS LAST,
+                                s.doc_id ASC) AS rk
+      FROM scored s JOIN documents d USING (doc_id))
+WHERE rk <= 20
+"""
+)
+
+
+def engine_mf_dv_sort_topk(spark, sf_dir, k=20):
+    """The real engine's field-sort path (sort= on search_fields): the
+    page arrives in (n_chars desc, doc_id asc) order with the sort
+    attribute as a column — no score re-rank, the field order IS the rank."""
+    from ..numerics import round_half_away
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
+    res = eng.search_fields(
+        should=[("title", _MF_Q), ("body", _MF_Q)],
+        minimum_should_match=1,
+        sort={"path": "n_chars", "order": "desc"},
+        k=k,
+    )
+    pdf = res.page.copy()
+    pdf["score"] = round_half_away(pdf["score"], 6)
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(
+        pdf[["doc_id", "score", "n_chars", "rk"]],
+        "doc_id long, score double, n_chars long, rk int",
+    )
+
+
+ENGINE_MF_DV_SORT_TOPK_SQL = MF_DV_SORT_TOPK_SQL
+
+
 # --------------------------------------------------------------------------
 # minimumShouldMatch m-of-n (Lucene general form; the reference only ever
 # sets m=1, search_utils.py:134,188): docs matching at least m of the n
@@ -1874,6 +1928,8 @@ QUERIES = {
     "ft_engine_multifield_topk": engine_multifield_topk,
     "ft_mf_dv_filter_topk": mf_dv_filter_topk,
     "ft_engine_mf_dv_filter_topk": engine_mf_dv_filter_topk,
+    "ft_mf_dv_sort_topk": mf_dv_sort_topk,
+    "ft_engine_mf_dv_sort_topk": engine_mf_dv_sort_topk,
     "ft_engine_multifield_must": engine_multifield_must,
     "ft_engine_multifield_mustnot": engine_multifield_mustnot,
     "ft_engine_multifield_boost": engine_multifield_boost,
@@ -1942,6 +1998,8 @@ ORACLES = {
     "ft_engine_multifield_topk": ENGINE_MULTIFIELD_TOPK_SQL,
     "ft_mf_dv_filter_topk": MF_DV_FILTER_TOPK_SQL,
     "ft_engine_mf_dv_filter_topk": ENGINE_MF_DV_FILTER_TOPK_SQL,
+    "ft_mf_dv_sort_topk": MF_DV_SORT_TOPK_SQL,
+    "ft_engine_mf_dv_sort_topk": ENGINE_MF_DV_SORT_TOPK_SQL,
     "ft_engine_multifield_must": ENGINE_MULTIFIELD_MUST_SQL,
     "ft_engine_multifield_mustnot": ENGINE_MULTIFIELD_MUSTNOT_SQL,
     "ft_engine_multifield_boost": ENGINE_MULTIFIELD_BOOST_SQL,

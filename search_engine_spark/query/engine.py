@@ -1166,6 +1166,7 @@ class SearchEngine:
         mode: str = "sort",
         must_not: list = (),
         filter: list = (),
+        sort: dict | None = None,
     ) -> SearchResult:
         """Compound multi-field search (reference ``$search.compound`` over
         named paths: should over name+barcode for single-term queries,
@@ -1201,6 +1202,15 @@ class SearchEngine:
         :meth:`_dv_predicate`).  They require at least one term-bearing
         clause: a match set defined by doc values alone is a relational
         scan, which the relational operators already express.
+
+        ``sort`` (the Atlas ``$search.sort`` option / Lucene SortField)
+        orders the matched docs by a doc-values column instead of score:
+        ``{"path": col, "order": "asc"|"desc"}`` (default desc).  Nulls
+        sort LAST under either order (the attribute is missing, not
+        small), ties break doc_id asc, the page gains the sort column,
+        and the BM25 score is still computed and returned (Atlas does the
+        same).  Score-bound pruning is meaningless under a field sort, so
+        WAND mode rejects it like every non-pure-should shape.
         """
         if mode not in ("sort", "wand", "auto"):
             raise ValueError(f"mode must be 'sort', 'wand', or 'auto'; got {mode!r}")
@@ -1228,12 +1238,32 @@ class SearchEngine:
             raise ValueError(
                 "must_not requires at least one must/should/filter clause"
             )
-        empty = SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
+        sort_path, sort_desc = None, True
+        if sort is not None:
+            bad = set(sort) - {"path", "order"}
+            if bad:
+                raise ValueError(f"sort takes path+order; unknown keys {sorted(bad)}")
+            sort_path = sort.get("path")
+            if sort_path not in self.docvalues_cols:
+                raise ValueError(
+                    f"sort path {sort_path!r} is not a doc-values column of "
+                    f"this index (baked: {sorted(self.docvalues_cols)}); "
+                    "build with BuildConfig(docvalues_cols=(...,))"
+                )
+            order = sort.get("order", "desc")
+            if order not in ("asc", "desc"):
+                raise ValueError(f"sort order must be 'asc' or 'desc'; got {order!r}")
+            sort_desc = order == "desc"
+        empty_cols: dict = {"doc_id": [], "score": []}
+        if sort_path is not None:
+            empty_cols[sort_path] = []
+        empty = SearchResult(total=0, page=pd.DataFrame(empty_cols))
         must_terms = [self._clause_terms(c, max_expansions) for c in must]
         should_terms = [self._clause_terms(c, max_expansions) for c in should]
         must_not_terms = [self._clause_terms(c, max_expansions) for c in must_not]
         filter_terms = [self._clause_terms(c, max_expansions) for c in filter]
         if mode != "sort" and (must or must_not or filter or dv_clauses
+                               or sort is not None
                                or int(minimum_should_match) > 1 or skip):
             # WAND's θ-pruning scope on the compound path: pure-should
             # msm<=1 key disjunctions from page 1 (must/must_not/filter/
@@ -1347,11 +1377,13 @@ class SearchEngine:
             res = self._driver_search_fields(
                 present, idf, avgdl_map, present_must, present_should, msm, k, skip,
                 must_not_terms=present_must_not, dv_pred=dv_pred,
+                sort_path=sort_path, sort_desc=sort_desc,
             )
         else:
             res = self._dist_search_fields(
                 present, idf, avgdl_map, present_must, present_should, msm, k, skip,
                 must_not_terms=present_must_not, dv_pred=dv_pred,
+                sort_path=sort_path, sort_desc=sort_desc,
             )
         if with_url and len(res.page):
             ids = [int(d) for d in res.page["doc_id"]]
@@ -1368,7 +1400,7 @@ class SearchEngine:
 
     def _driver_search_fields(
         self, present, idf, avgdl_map, must_terms, should_terms, msm, k, skip,
-        must_not_terms=(), dv_pred=None,
+        must_not_terms=(), dv_pred=None, sort_path=None, sort_desc=True,
     ) -> SearchResult:
         """Driver-side compound evaluation (small candidate sets)."""
         rows = self._candidate_segments(present).select("term", "postings").collect()
@@ -1435,6 +1467,30 @@ class SearchEngine:
             uniq, acc = uniq[dv_keep], acc[dv_keep]
         if uniq.size == 0:
             return empty
+        if sort_path is not None:
+            # field sort: fetch the candidates' attribute values with the
+            # same broadcast-the-small-side probe as the dv filter, then
+            # order (attr, doc_id asc) with nulls last in pandas
+            cand = self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": uniq.astype("int64")})
+            )
+            attrs = (
+                self.spark.read.parquet(self.cat.doc_stats)
+                .join(F.broadcast(cand), "doc_id", "inner")
+                .select("doc_id", sort_path)
+                .toPandas()
+            )
+            page = (
+                pd.DataFrame({"doc_id": uniq, "score": acc})
+                .merge(attrs, on="doc_id", how="left")
+                .sort_values(
+                    [sort_path, "doc_id"], ascending=[not sort_desc, True],
+                    na_position="last",
+                )
+                .iloc[skip : skip + k]
+                .reset_index(drop=True)[["doc_id", "score", sort_path]]
+            )
+            return SearchResult(total=int(uniq.size), page=page)
         order = np.lexsort((uniq, -acc))[skip : skip + k]
         return SearchResult(
             total=int(uniq.size),
@@ -1443,7 +1499,7 @@ class SearchEngine:
 
     def _dist_search_fields(
         self, present, idf, avgdl_map, must_terms, should_terms, msm, k, skip,
-        must_not_terms=(), dv_pred=None,
+        must_not_terms=(), dv_pred=None, sort_path=None, sort_desc=True,
     ) -> SearchResult:
         """Distributed compound evaluation: one decode+score pass, clause
         logic as JVM array expressions over the per-doc matched-key set."""
@@ -1481,13 +1537,33 @@ class SearchEngine:
             )
             kept = kept.join(elig, "doc_id", "semi")
         kept = kept.persist()
-        ranked = kept.orderBy(F.desc("score"), F.asc("doc_id"))
+        if sort_path is not None:
+            # field sort (Atlas $search.sort): join the sort attribute from
+            # doc_stats (column-pruned scan) and order by it, nulls last,
+            # doc_id tiebreak — score-bound pruning never applies here
+            withattr = kept.join(
+                self.spark.read.parquet(self.cat.doc_stats)
+                .select("doc_id", sort_path),
+                "doc_id", "left",
+            )
+            ranked = withattr.orderBy(
+                F.desc_nulls_last(sort_path) if sort_desc
+                else F.asc_nulls_last(sort_path),
+                F.asc("doc_id"),
+            )
+        else:
+            ranked = kept.orderBy(F.desc("score"), F.asc("doc_id"))
         page_df = ranked.offset(skip).limit(k) if skip else ranked.limit(k)
-        page = (
-            page_df.toPandas()
-            .sort_values(["score", "doc_id"], ascending=[False, True])
-            .reset_index(drop=True)
-        )
+        page = page_df.toPandas()
+        if sort_path is not None:
+            page = page.sort_values(
+                [sort_path, "doc_id"], ascending=[not sort_desc, True],
+                na_position="last",
+            ).reset_index(drop=True)[["doc_id", "score", sort_path]]
+        else:
+            page = page.sort_values(
+                ["score", "doc_id"], ascending=[False, True]
+            ).reset_index(drop=True)
         total = kept.count()
         kept.unpersist()
         return SearchResult(total=int(total), page=page)

@@ -13,6 +13,7 @@ import hashlib
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from search_engine_spark.analysis.text import tokenize
@@ -317,4 +318,102 @@ def test_unbaked_index_rejects_dv(spark, dv_rows, tmp_path_factory):
         eng.search_fields(
             must=[("title", "the")],
             filter=[{"equals": {"path": "lang", "value": "en"}}],
+        )
+
+
+# ----------------------------------------------------------- field sort
+def _sorted_hits(oracle, attrs, path, desc, pred=None, **kw):
+    """Oracle matches ordered by (attr, doc_id asc) with nulls LAST."""
+    exp = oracle.search_compound(k=oracle.n_docs, **kw)
+    hits = [(d, s) for d, s in exp.hits if pred is None or pred(attrs[d])]
+    nn = [h for h in hits if attrs[h[0]][path] is not None]
+    ns = sorted((h for h in hits if attrs[h[0]][path] is None), key=lambda h: h[0])
+    nn.sort(key=lambda h: (attrs[h[0]][path], h[0]) if not desc else h[0])
+    if desc:
+        nn.sort(key=lambda h: attrs[h[0]][path], reverse=True)
+    return nn + ns, len(hits)
+
+
+def _check_sorted(eng, oracle, attrs, path, desc, k=15, skip=0, dv_filter=(),
+                  pred=None, **kw):
+    hits, total = _sorted_hits(oracle, attrs, path, desc, pred=pred, **kw)
+    want = hits[skip : skip + k]
+    for fd in (False, True):
+        res = eng.search_fields(
+            k=k, skip=skip, force_distributed=fd, filter=list(dv_filter),
+            sort={"path": path, "order": "desc" if desc else "asc"}, **kw,
+        )
+        assert list(res.page.columns) == ["doc_id", "score", path], fd
+        got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
+        assert [g[0] for g in got] == [h[0] for h in want], (path, desc, fd)
+        assert np.allclose(
+            [g[1] for g in got], [h[1] for h in want], rtol=0, atol=1e-12
+        ), (path, desc, fd)
+        # the page carries the sort attribute verbatim
+        for d, v in zip(res.page["doc_id"], res.page[path]):
+            a = attrs[int(d)][path]
+            assert (a is None and pd.isna(v)) or v == a, d
+        assert res.total == total, (path, desc, fd)
+
+
+
+def test_sort_numeric_desc(dv_engine, dv_oracle, dv_attrs, dv_term):
+    _check_sorted(
+        dv_engine, dv_oracle, dv_attrs, "n_chars", True,
+        should=[("title", dv_term), ("body", dv_term)],
+    )
+
+
+def test_sort_numeric_asc_with_skip(dv_engine, dv_oracle, dv_attrs, dv_term):
+    _check_sorted(
+        dv_engine, dv_oracle, dv_attrs, "n_chars", False, skip=7,
+        must=[("title", dv_term)],
+    )
+
+
+def test_sort_timestamp_desc_with_filter(dv_engine, dv_oracle, dv_attrs, dv_term):
+    """The freshest-first crawl query: filter lang + order by warc_ts."""
+    _check_sorted(
+        dv_engine, dv_oracle, dv_attrs, "warc_ts", True,
+        dv_filter=[{"equals": {"path": "lang", "value": "en"}}],
+        pred=lambda a: a["lang"] == "en",
+        should=[("title", dv_term), ("body", dv_term)],
+    )
+
+
+def test_sort_nulls_last_either_order(dv_engine, dv_oracle, dv_attrs, dv_term):
+    """lang has ~10% Nones: under asc AND desc they sort LAST (missing,
+    not small), doc_id asc within."""
+    for desc in (True, False):
+        hits, total = _sorted_hits(
+            dv_oracle, dv_attrs, "lang", desc,
+            should=[("title", dv_term), ("body", dv_term)],
+        )
+        res = dv_engine.search_fields(
+            should=[("title", dv_term), ("body", dv_term)], k=total,
+            sort={"path": "lang", "order": "desc" if desc else "asc"},
+        )
+        assert [int(d) for d in res.page["doc_id"]] == [h[0] for h in hits], desc
+        n_null = sum(1 for h in hits if dv_attrs[h[0]]["lang"] is None)
+        assert n_null > 0
+        tail = [int(d) for d in res.page["doc_id"][-n_null:]]
+        assert all(dv_attrs[d]["lang"] is None for d in tail), desc
+        assert tail == sorted(tail), desc
+
+
+def test_sort_validation(dv_engine, dv_term):
+    should = [("title", dv_term)]
+    with pytest.raises(ValueError, match="doc-values column"):
+        dv_engine.search_fields(should=should, sort={"path": "dl"})
+    with pytest.raises(ValueError, match="asc.*desc|desc.*asc"):
+        dv_engine.search_fields(
+            should=should, sort={"path": "n_chars", "order": "down"}
+        )
+    with pytest.raises(ValueError, match="unknown keys"):
+        dv_engine.search_fields(
+            should=should, sort={"path": "n_chars", "nulls": "first"}
+        )
+    with pytest.raises(ValueError, match="pure-should"):
+        dv_engine.search_fields(
+            should=should, sort={"path": "n_chars"}, mode="wand"
         )
