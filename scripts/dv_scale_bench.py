@@ -142,6 +142,18 @@ def main():
                 {"equals": {"path": "lang", "value": "es"}},
             ],
         ),
+        # field sort over the full match set: attr join + distributed top-k
+        # by (n_chars desc, doc_id) in place of the score rank
+        "dv_sort_desc": lambda: eng.search_fields(
+            must=[("title", "the")], should=[("body", "oil")], k=10,
+            sort={"path": "n_chars", "order": "desc"},
+        ),
+        # freshest-first with a selective filter: the Atlas crawl query
+        "dv_filter_plus_sort": lambda: eng.search_fields(
+            must=[("title", "the")], should=[("body", "oil")], k=10,
+            filter=[{"equals": {"path": "lang", "value": "es"}}],
+            sort={"path": "n_chars", "order": "desc"},
+        ),
     }
     for name, fn in suite.items():
         walls, res = timed(fn, args.reps)

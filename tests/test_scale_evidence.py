@@ -366,3 +366,17 @@ def test_dv_filter_at_1m():
     assert 0 < q["dv_range_band"]["total"] < es
     # the doc-values sidecar does not regress the build
     assert d["index_docs_per_sec"] > 4000
+
+
+def test_dv_sort_at_1m():
+    """Field sort at 10^6 docs (BENCH/dv_r5_1m.json): ordering the FULL 36.5k
+    match set by a doc-values attribute costs ~the score rank (the attr join
+    replaces the score orderBy; both are one distributed top-k), and the
+    filter+sort composition still totals the filtered count."""
+    d = _load(os.path.join(os.path.dirname(ART), "dv_r5_1m.json"))
+    q = d["queries"]
+    assert q["dv_sort_desc"]["total"] == q["mf_must_should"]["total"]
+    assert q["dv_filter_plus_sort"]["total"] == q["dv_equals_rare"]["total"]
+    base_w = min(q["mf_must_should"]["walls_s"])
+    assert min(q["dv_sort_desc"]["walls_s"]) <= base_w + 1.0
+    assert min(q["dv_filter_plus_sort"]["walls_s"]) <= base_w + 1.0
