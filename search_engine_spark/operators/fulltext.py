@@ -1799,6 +1799,83 @@ def engine_mf_dv_sort_topk(spark, sf_dir, k=20):
 ENGINE_MF_DV_SORT_TOPK_SQL = MF_DV_SORT_TOPK_SQL
 
 
+# Atlas $searchMeta facets over doc values: bucket counts on the MATCHED
+# set (never a page) — a string facet per distinct lang and a numeric facet
+# over half-open n_chars bands labeled by their lower boundary.
+_FACET_BOUNDS = (100, 250, 400, 550)
+
+
+def engine_mf_facet_lang(spark, sf_dir):
+    """String facet: matched-set counts per non-null lang, count desc then
+    bucket asc (Atlas's bucket order)."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
+    out = eng.facet_fields(
+        should=[("title", _MF_Q), ("body", _MF_Q)],
+        facets={"langs": {"type": "string", "path": "lang"}},
+    )
+    pdf = out["facet"]["langs"].copy()
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(pdf, "bucket string, count long, rk int")
+
+
+ENGINE_MF_FACET_LANG_SQL = (
+    "\nWITH "
+    + _MF_CTES_TMPL.format(
+        tt=_MF_Q, tb=_MF_Q, cond="tft > 0 OR tfb > 0", bt="1.0", bb="1.0"
+    )
+    + """
+SELECT bucket, cnt AS count,
+       row_number() OVER (ORDER BY cnt DESC, bucket ASC) AS rk
+FROM (SELECT d.lang AS bucket, COUNT(*) AS cnt
+      FROM scored s JOIN documents d USING (doc_id)
+      WHERE d.lang IS NOT NULL GROUP BY d.lang)
+"""
+)
+
+
+def engine_mf_facet_nchars(spark, sf_dir):
+    """Numeric facet: half-open n_chars bands labeled by lower boundary;
+    out-of-range matched docs land in no bucket (Atlas's rule)."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
+    out = eng.facet_fields(
+        should=[("title", _MF_Q), ("body", _MF_Q)],
+        facets={
+            "sizes": {
+                "type": "number", "path": "n_chars",
+                "boundaries": list(_FACET_BOUNDS),
+            }
+        },
+    )
+    pdf = out["facet"]["sizes"].copy()
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(pdf, "bucket string, count long, rk int")
+
+
+_FB = _FACET_BOUNDS
+ENGINE_MF_FACET_NCHARS_SQL = (
+    "\nWITH "
+    + _MF_CTES_TMPL.format(
+        tt=_MF_Q, tb=_MF_Q, cond="tft > 0 OR tfb > 0", bt="1.0", bb="1.0"
+    )
+    + f"""
+SELECT bucket, cnt AS count,
+       row_number() OVER (ORDER BY CAST(bucket AS BIGINT) ASC) AS rk
+FROM (SELECT CASE
+        WHEN d.n_chars >= {_FB[0]} AND d.n_chars < {_FB[1]} THEN '{_FB[0]}'
+        WHEN d.n_chars >= {_FB[1]} AND d.n_chars < {_FB[2]} THEN '{_FB[1]}'
+        WHEN d.n_chars >= {_FB[2]} AND d.n_chars < {_FB[3]} THEN '{_FB[2]}'
+      END AS bucket, COUNT(*) AS cnt
+      FROM scored s JOIN documents d USING (doc_id)
+      GROUP BY 1)
+WHERE bucket IS NOT NULL
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # minimumShouldMatch m-of-n (Lucene general form; the reference only ever
 # sets m=1, search_utils.py:134,188): docs matching at least m of the n
@@ -1930,6 +2007,8 @@ QUERIES = {
     "ft_engine_mf_dv_filter_topk": engine_mf_dv_filter_topk,
     "ft_mf_dv_sort_topk": mf_dv_sort_topk,
     "ft_engine_mf_dv_sort_topk": engine_mf_dv_sort_topk,
+    "ft_engine_mf_facet_lang": engine_mf_facet_lang,
+    "ft_engine_mf_facet_nchars": engine_mf_facet_nchars,
     "ft_engine_multifield_must": engine_multifield_must,
     "ft_engine_multifield_mustnot": engine_multifield_mustnot,
     "ft_engine_multifield_boost": engine_multifield_boost,
@@ -2000,6 +2079,8 @@ ORACLES = {
     "ft_engine_mf_dv_filter_topk": ENGINE_MF_DV_FILTER_TOPK_SQL,
     "ft_mf_dv_sort_topk": MF_DV_SORT_TOPK_SQL,
     "ft_engine_mf_dv_sort_topk": ENGINE_MF_DV_SORT_TOPK_SQL,
+    "ft_engine_mf_facet_lang": ENGINE_MF_FACET_LANG_SQL,
+    "ft_engine_mf_facet_nchars": ENGINE_MF_FACET_NCHARS_SQL,
     "ft_engine_multifield_must": ENGINE_MULTIFIELD_MUST_SQL,
     "ft_engine_multifield_mustnot": ENGINE_MULTIFIELD_MUSTNOT_SQL,
     "ft_engine_multifield_boost": ENGINE_MULTIFIELD_BOOST_SQL,

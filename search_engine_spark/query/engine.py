@@ -1095,6 +1095,17 @@ class SearchEngine:
         self._fuzzy_cache[key] = out
         return list(out)
 
+    @staticmethod
+    def _split_dv_clauses(filter_list):
+        """Partition a filter list into (text clauses, doc-values operator
+        objects) — dv operators are dicts keyed range/equals/exists."""
+        ops = ("range", "equals", "exists")
+        dv = [c for c in filter_list
+              if isinstance(c, dict) and any(o in c for o in ops)]
+        text = [c for c in filter_list
+                if not (isinstance(c, dict) and any(o in c for o in ops))]
+        return text, dv
+
     def _dv_predicate(self, clauses):
         """Atlas ``range`` / ``equals`` filter clauses -> one Spark predicate
         over the doc-values sidecar (doc_stats columns baked by
@@ -1214,17 +1225,9 @@ class SearchEngine:
         """
         if mode not in ("sort", "wand", "auto"):
             raise ValueError(f"mode must be 'sort', 'wand', or 'auto'; got {mode!r}")
-        # doc-values operators (range/equals) ride the filter list as Atlas
-        # operator objects; term clauses (tuples / kind-dicts) stay text
-        _DV_OPS = ("range", "equals", "exists")
-        dv_clauses = [
-            c for c in filter
-            if isinstance(c, dict) and any(o in c for o in _DV_OPS)
-        ]
-        filter = [
-            c for c in filter
-            if not (isinstance(c, dict) and any(o in c for o in _DV_OPS))
-        ]
+        # doc-values operators (range/equals/exists) ride the filter list as
+        # Atlas operator objects; term clauses (tuples / kind-dicts) stay text
+        filter, dv_clauses = self._split_dv_clauses(filter)
         dv_pred = self._dv_predicate(dv_clauses) if dv_clauses else None
         if dv_pred is not None and not (must or should or filter):
             # candidate generation is postings-driven: a match set defined by
@@ -1398,6 +1401,179 @@ class SearchEngine:
             )
         return res
 
+    def facet_fields(
+        self,
+        must: list = (),
+        should: list = (),
+        minimum_should_match: int = 1,
+        must_not: list = (),
+        filter: list = (),
+        facets: dict | None = None,
+        max_expansions: int | None = None,
+    ) -> dict:
+        """Atlas ``$searchMeta`` facet collection over doc values.
+
+        Evaluates the same compound clause set as :meth:`search_fields`
+        (all four occur types, dv filter operators) but returns bucket
+        counts over the MATCHED set instead of a ranked page — scoring
+        never happens, so there is no driver fast path to dispatch: facets
+        are an analytic aggregation, served distributed.
+
+        ``facets`` maps facet names to Atlas facet specs over doc-values
+        columns:
+
+        - ``{"type": "string", "path": col, "num_buckets": N}`` — one
+          bucket per distinct non-null value, count desc then bucket asc,
+          top ``num_buckets`` (default 10, Atlas's default);
+        - ``{"type": "number", "path": col, "boundaries": [b0, b1, ...]}``
+          — half-open buckets ``[b_i, b_{i+1})`` labeled by their LOWER
+          boundary (Atlas's rule); out-of-range and null docs land in no
+          bucket; empty buckets are omitted.
+
+        Returns ``{"count": <matched total>, "facet": {name: pandas
+        (bucket, count)}}`` — bucket is always a string, deterministic
+        order as above.
+        """
+        if not facets:
+            raise ValueError("facet_fields requires at least one facet spec")
+        filter, dv_clauses = self._split_dv_clauses(filter)
+        dv_pred = self._dv_predicate(dv_clauses) if dv_clauses else None
+        if not (must or should or filter):
+            raise ValueError(
+                "facet_fields requires at least one term-bearing "
+                "must/should/filter clause"
+            )
+        specs: dict = {}
+        for name, spec in facets.items():
+            kind = spec.get("type")
+            if kind not in ("string", "number"):
+                raise ValueError(
+                    f"facet {name!r}: type must be 'string' or 'number'; got {kind!r}"
+                )
+            path = spec.get("path")
+            if path not in self.docvalues_cols:
+                raise ValueError(
+                    f"facet {name!r}: path {path!r} is not a doc-values column "
+                    f"of this index (baked: {sorted(self.docvalues_cols)})"
+                )
+            if kind == "number":
+                bounds = list(spec.get("boundaries") or ())
+                if len(bounds) < 2 or sorted(bounds) != bounds:
+                    raise ValueError(
+                        f"facet {name!r}: boundaries must be >= 2 ascending values"
+                    )
+                specs[name] = ("number", path, bounds)
+            else:
+                nb = int(spec.get("num_buckets", 10))
+                if nb < 1:
+                    raise ValueError(f"facet {name!r}: num_buckets must be >= 1")
+                specs[name] = ("string", path, nb)
+
+        def _empty():
+            return {
+                "count": 0,
+                "facet": {
+                    n: pd.DataFrame({"bucket": [], "count": []}) for n in specs
+                },
+            }
+
+        must_terms = [self._clause_terms(c, max_expansions) for c in must]
+        should_terms = [self._clause_terms(c, max_expansions) for c in should]
+        must_not_terms = [self._clause_terms(c, max_expansions) for c in must_not]
+        filter_terms = [self._clause_terms(c, max_expansions) for c in filter]
+        msm = int(minimum_should_match)
+        if not should_terms:
+            msm = 0
+        elif not must_terms and not filter_terms:
+            msm = max(msm, 1)
+        if msm > len(should_terms):
+            return _empty()
+        all_terms = sorted({
+            t
+            for ts in must_terms + should_terms + must_not_terms + filter_terms
+            for t in ts
+        })
+        if not all_terms:
+            return _empty()
+        dfs = self.term_dfs(all_terms)
+        for ts in must_terms + filter_terms:
+            if not any(t in dfs for t in ts):
+                return _empty()
+        present = sorted(dfs)
+        if not present:
+            return _empty()
+        avgdl_map = {
+            t: float(self.fields[t.split(self.field_sep, 1)[0]]["avgdl"])
+            for t in present
+        }
+        present_must = [
+            [t for t in ts if t in dfs] for ts in must_terms + filter_terms
+        ]
+        present_should = [[t for t in ts if t in dfs] for ts in should_terms]
+        present_must_not = [
+            [t for t in ts if t in dfs] for ts in must_not_terms if any(
+                t in dfs for t in ts
+            )
+        ]
+        # membership only — decode with unit idf, throw the scores away
+        scored = self._scored_rows(
+            present, {t: 1.0 for t in present}, avgdl_map=avgdl_map
+        )
+        agg = scored.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("term")).alias("ts")
+        )
+        kept = agg.filter(
+            self._occur_cond(present_must, present_should, msm, present_must_not)
+        ).select("doc_id")
+        paths = sorted({p for _, p, _ in specs.values()})
+        stats_df = self.spark.read.parquet(self.cat.doc_stats)
+        if dv_pred is not None:
+            kept = kept.join(
+                stats_df.filter(dv_pred).select("doc_id"), "doc_id", "semi"
+            )
+        joined = kept.join(
+            stats_df.select("doc_id", *paths), "doc_id", "left"
+        ).persist()
+        count = joined.count()
+        out: dict = {"count": int(count), "facet": {}}
+        for name, (kind, path, arg) in specs.items():
+            col = F.col(path)
+            if kind == "number":
+                bounds = arg
+                lab = F.lit(None).cast("string")
+                for lo, hi in zip(bounds, bounds[1:]):
+                    lab = F.when(
+                        (col >= F.lit(lo)) & (col < F.lit(hi)),
+                        F.lit(str(lo)),
+                    ).otherwise(lab)
+                buckets = (
+                    joined.select(lab.alias("bucket"))
+                    .filter(F.col("bucket").isNotNull())
+                    .groupBy("bucket").count()
+                    .orderBy(F.asc("bucket"))
+                    .toPandas()
+                )
+                # deterministic numeric order of the lower-bound labels
+                order = {str(b): i for i, b in enumerate(bounds)}
+                buckets = buckets.sort_values(
+                    "bucket", key=lambda s: s.map(order)
+                ).reset_index(drop=True)
+            else:
+                buckets = (
+                    joined.filter(col.isNotNull())
+                    .groupBy(col.cast("string").alias("bucket")).count()
+                    .orderBy(F.desc("count"), F.asc("bucket"))
+                    .limit(arg)
+                    .toPandas()
+                    .sort_values(
+                        ["count", "bucket"], ascending=[False, True]
+                    )
+                    .reset_index(drop=True)
+                )
+            out["facet"][name] = buckets
+        joined.unpersist()
+        return out
+
     def _driver_search_fields(
         self, present, idf, avgdl_map, must_terms, should_terms, msm, k, skip,
         must_not_terms=(), dv_pred=None, sort_path=None, sort_desc=True,
@@ -1497,6 +1673,25 @@ class SearchEngine:
             page=pd.DataFrame({"doc_id": uniq[order], "score": acc[order]}),
         )
 
+    @staticmethod
+    def _occur_cond(must_terms, should_terms, msm, must_not_terms):
+        """All four BooleanQuery occur types as ONE JVM array predicate over
+        a per-doc matched-key array column ``ts`` (must+filter required,
+        >= msm shoulds, no must_not)."""
+        def clause_ok(ts):
+            return F.arrays_overlap(F.col("ts"), F.array(*[F.lit(t) for t in ts]))
+        cond = F.lit(True)
+        for ts in must_terms:
+            cond = cond & clause_ok(ts)
+        if msm:
+            n_should = sum(
+                (clause_ok(ts).cast("int") for ts in should_terms), F.lit(0)
+            )
+            cond = cond & (n_should >= msm)
+        for ts in must_not_terms:  # Lucene MUST_NOT: any hit excludes the doc
+            cond = cond & ~clause_ok(ts)
+        return cond
+
     def _dist_search_fields(
         self, present, idf, avgdl_map, must_terms, should_terms, msm, k, skip,
         must_not_terms=(), dv_pred=None, sort_path=None, sort_desc=True,
@@ -1512,19 +1707,9 @@ class SearchEngine:
             F.aggregate("parts", F.lit(0.0), lambda a, x: a + x["score"]).alias("score"),
             ts_col.alias("ts"),
         )
-        def clause_ok(ts):
-            return F.arrays_overlap(F.col("ts"), F.array(*[F.lit(t) for t in ts]))
-        cond = F.lit(True)
-        for ts in must_terms:
-            cond = cond & clause_ok(ts)
-        if msm:
-            n_should = sum(
-                (clause_ok(ts).cast("int") for ts in should_terms), F.lit(0)
-            )
-            cond = cond & (n_should >= msm)
-        for ts in must_not_terms:  # Lucene MUST_NOT: any hit excludes the doc
-            cond = cond & ~clause_ok(ts)
-        kept = agg.filter(cond).select("doc_id", "score")
+        kept = agg.filter(
+            self._occur_cond(must_terms, should_terms, msm, must_not_terms)
+        ).select("doc_id", "score")
         if dv_pred is not None:
             # doc-values filter: predicate pushes into the doc_stats parquet
             # scan (only the filtered columns are read); the semi-join keys

@@ -417,3 +417,102 @@ def test_sort_validation(dv_engine, dv_term):
         dv_engine.search_fields(
             should=should, sort={"path": "n_chars"}, mode="wand"
         )
+
+
+# -------------------------------------------------------------- facets
+def _oracle_matched(oracle, **kw):
+    exp = oracle.search_compound(k=oracle.n_docs, **kw)
+    return [d for d, _ in exp.hits]
+
+
+def test_string_facet_counts(dv_engine, dv_oracle, dv_attrs, dv_term):
+    should = [("title", dv_term), ("body", dv_term)]
+    matched = _oracle_matched(dv_oracle, should=should)
+    out = dv_engine.facet_fields(
+        should=should, facets={"langs": {"type": "string", "path": "lang"}}
+    )
+    assert out["count"] == len(matched)
+    from collections import Counter
+    exp = Counter(
+        dv_attrs[d]["lang"] for d in matched if dv_attrs[d]["lang"] is not None
+    )
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = list(zip(out["facet"]["langs"]["bucket"], out["facet"]["langs"]["count"]))
+    assert [(b, int(c)) for b, c in got] == want
+    # null-lang docs are counted in count but bucketed nowhere (Atlas rule)
+    assert sum(exp.values()) < len(matched)
+
+
+def test_number_facet_boundaries(dv_engine, dv_oracle, dv_attrs, dv_term):
+    should = [("title", dv_term), ("body", dv_term)]
+    matched = _oracle_matched(dv_oracle, should=should)
+    vals = sorted(dv_attrs[d]["n_chars"] for d in matched)
+    b = [vals[0], vals[len(vals) // 3], vals[(2 * len(vals)) // 3], vals[-1]]
+    out = dv_engine.facet_fields(
+        should=should,
+        facets={"sizes": {"type": "number", "path": "n_chars", "boundaries": b}},
+    )
+    got = list(zip(out["facet"]["sizes"]["bucket"], out["facet"]["sizes"]["count"]))
+    exp = []
+    for lo, hi in zip(b, b[1:]):
+        n = sum(1 for d in matched if lo <= dv_attrs[d]["n_chars"] < hi)
+        if n:
+            exp.append((str(lo), n))
+    assert [(bk, int(c)) for bk, c in got] == exp
+    # the max value sits ON the last boundary -> excluded (half-open), so
+    # the buckets do NOT tile the matched count
+    assert sum(c for _, c in exp) < len(matched)
+
+
+def test_facet_with_filter_and_mustnot(dv_engine, dv_oracle, dv_attrs, dv_term):
+    body_term = min(
+        ((len(pl), t) for (f, t), pl in dv_oracle.postings.items() if f == "body"),
+        key=lambda c: (-c[0], c[1]),
+    )[1]
+    matched = [
+        d for d in _oracle_matched(
+            dv_oracle, must=[("title", dv_term)], must_not=[("body", body_term)]
+        )
+        if dv_attrs[d]["lang"] is not None
+    ]
+    out = dv_engine.facet_fields(
+        must=[("title", dv_term)],
+        must_not=[("body", body_term)],
+        filter=[{"exists": {"path": "lang"}}],
+        facets={"langs": {"type": "string", "path": "lang"}},
+    )
+    assert out["count"] == len(matched)
+    assert int(out["facet"]["langs"]["count"].sum()) == len(matched)
+
+
+def test_string_facet_num_buckets_cap(dv_engine, dv_term):
+    out = dv_engine.facet_fields(
+        should=[("title", dv_term), ("body", dv_term)],
+        facets={"langs": {"type": "string", "path": "lang", "num_buckets": 2}},
+    )
+    assert len(out["facet"]["langs"]) == 2  # top-2 by count
+
+
+def test_facet_validation(dv_engine, dv_term):
+    should = [("title", dv_term)]
+    with pytest.raises(ValueError, match="at least one facet"):
+        dv_engine.facet_fields(should=should, facets={})
+    with pytest.raises(ValueError, match="doc-values column"):
+        dv_engine.facet_fields(
+            should=should, facets={"x": {"type": "string", "path": "dl"}}
+        )
+    with pytest.raises(ValueError, match="'string' or 'number'"):
+        dv_engine.facet_fields(
+            should=should, facets={"x": {"type": "date", "path": "lang"}}
+        )
+    with pytest.raises(ValueError, match="ascending"):
+        dv_engine.facet_fields(
+            should=should,
+            facets={"x": {"type": "number", "path": "n_chars",
+                          "boundaries": [5, 3]}},
+        )
+    with pytest.raises(ValueError, match="term-bearing"):
+        dv_engine.facet_fields(
+            filter=[{"exists": {"path": "lang"}}],
+            facets={"x": {"type": "string", "path": "lang"}},
+        )
