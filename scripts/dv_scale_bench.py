@@ -154,9 +154,31 @@ def main():
             filter=[{"equals": {"path": "lang", "value": "es"}}],
             sort={"path": "n_chars", "order": "desc"},
         ),
+        # $searchMeta facets: two bucket aggregations over the matched set,
+        # scoring skipped (membership decode only)
+        "dv_facets": lambda: eng.facet_fields(
+            must=[("title", "the")], should=[("body", "oil")],
+            facets={
+                "langs": {"type": "string", "path": "lang"},
+                "sizes": {"type": "number", "path": "n_chars",
+                          "boundaries": [0, 400, 800, 1600]},
+            },
+        ),
     }
     for name, fn in suite.items():
         walls, res = timed(fn, args.reps)
+        if isinstance(res, dict):  # facet_fields: {"count", "facet"}
+            results["queries"][name] = {
+                "walls_s": walls,
+                "total": int(res["count"]),
+                "buckets": {
+                    fname: {str(b): int(c)
+                            for b, c in zip(pdf["bucket"], pdf["count"])}
+                    for fname, pdf in res["facet"].items()
+                },
+            }
+            print(f"{name}: walls={walls} total={res['count']}", flush=True)
+            continue
         results["queries"][name] = {
             "walls_s": walls,
             "total": int(res.total),

@@ -380,3 +380,22 @@ def test_dv_sort_at_1m():
     base_w = min(q["mf_must_should"]["walls_s"])
     assert min(q["dv_sort_desc"]["walls_s"]) <= base_w + 1.0
     assert min(q["dv_filter_plus_sort"]["walls_s"]) <= base_w + 1.0
+
+
+def test_dv_facets_at_1m():
+    """Facets at 10^6 docs (BENCH/dv_r5_1m.json): the string facet's buckets
+    REPRODUCE the independent filter queries' totals bucket-for-bucket
+    (langs.en == dv_equals_head.total, langs.es == dv_equals_rare.total),
+    the buckets tile the matched count exactly, and the aggregation serves
+    in seconds (an analytic groupBy over the matched set, not a page)."""
+    d = _load(os.path.join(os.path.dirname(ART), "dv_r5_1m.json"))
+    q = d["queries"]
+    f = q["dv_facets"]
+    assert f["total"] == q["mf_must_should"]["total"]
+    langs = f["buckets"]["langs"]
+    assert langs["en"] == q["dv_equals_head"]["total"]
+    assert langs["es"] == q["dv_equals_rare"]["total"]
+    assert sum(langs.values()) == f["total"]  # en+es+hi tile exactly
+    # the [0,1600) boundary set covers every doc -> sizes tile too
+    assert sum(f["buckets"]["sizes"].values()) == f["total"]
+    assert min(f["walls_s"]) < 10.0
