@@ -125,8 +125,12 @@ def compact_index(
     range_docs, block_docs = int(stats["range_docs"]), int(stats["block_docs"])
     n_partitions = int(stats["n_partitions"])
 
-    # doc stats: the union of generations IS the batch table
-    doc_stats = spark.read.parquet(cat.doc_stats).select("doc_id", "url", "dl")
+    # doc stats: the union of generations IS the batch table; the doc-values
+    # sidecar columns ride along unchanged
+    dv_cols = tuple(stats.get("docvalues_cols") or ())
+    doc_stats = spark.read.parquet(cat.doc_stats).select(
+        "doc_id", "url", "dl", *dv_cols
+    )
     doc_stats.write.mode("overwrite").parquet(out.doc_stats)
     agg = spark.read.parquet(out.doc_stats).agg(
         F.count("*").alias("n"), F.sum("dl").alias("s"), F.max("dl").alias("m"),
@@ -244,6 +248,7 @@ def compact_index(
             "corpus_path": f"compacted:{index_dir}",
             "wand_bound_scale": 1.0,
             "with_positions": bool(use_pos),
+            **({"docvalues_cols": list(dv_cols)} if dv_cols else {}),
         }
     )
     out.append_manifest(

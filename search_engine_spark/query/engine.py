@@ -2150,6 +2150,7 @@ class SearchEngine:
         wildcard: bool = False,
         regex: bool = False,
         exact_terms: list | None = None,
+        dv_filter: list = (),
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
 
@@ -2213,6 +2214,31 @@ class SearchEngine:
                 "highlight requires a positional index "
                 "(build with BuildConfig(positions=True))"
             )
+        dv_pred = None
+        if dv_filter:
+            # doc-values filter on the single-field surface (the incremental
+            # crawl case: filter a plain keyword query by lang/warc_ts).  The
+            # filter is one predicate-pushed doc_stats scan semi-joined with
+            # the scored candidates, so it rides the distributed sort path:
+            # the driver shortcut has nothing to short-cut (the scan is a
+            # Spark job either way) and WAND's score bounds cannot see the
+            # filter.
+            text_f, dv_clauses = self._split_dv_clauses(dv_filter)
+            if text_f:
+                raise ValueError(
+                    "dv_filter takes doc-values operator objects only "
+                    "(range/equals/exists dicts); terms belong in the keyword"
+                )
+            dv_pred = self._dv_predicate(dv_clauses)
+            if mode == "wand":
+                raise ValueError(
+                    "dv_filter is not supported with mode='wand' (score-bound "
+                    "pruning cannot see the filter); use sort or auto"
+                )
+            if group_by or phrase:
+                raise ValueError(
+                    "dv_filter is not supported with group_by or phrase"
+                )
         if phrase:
             if group_by:
                 raise ValueError("group_by is not supported with phrase search")
@@ -2308,7 +2334,8 @@ class SearchEngine:
             return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
         idf = {t: _math_idf(self.n_docs, d) for t, d in dfs.items()}
 
-        if not force_distributed and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS:
+        if (not force_distributed and dv_pred is None
+                and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS):
             res = self._driver_search(
                 present, idf, conj, constant_boost, avail_boost, k, skip,
                 group_by=group_by, min_should_match=msm,
@@ -2342,7 +2369,7 @@ class SearchEngine:
         # compound A/B) sits where total - 3*predicted clears the fixed cost.
         wand_meta = None
         if mode == "auto":
-            if skip != 0 or group_by:
+            if skip != 0 or group_by or dv_pred is not None:
                 mode = "sort"  # WAND is unsound for these; no estimate needed
             else:
                 wand_meta = self._wand_meta(present)
@@ -2369,6 +2396,12 @@ class SearchEngine:
             elif msm:
                 scored = scored.filter(F.col("n_terms") >= msm)
             scored = self._apply_boosts(scored, constant_boost, avail_boost)
+            if dv_pred is not None:
+                scored = scored.join(
+                    self.spark.read.parquet(self.cat.doc_stats)
+                    .filter(dv_pred).select("doc_id"),
+                    "doc_id", "semi",
+                )
             if group_by:
                 scored = self._group_rollup(scored)
             # one-pass count + page over a single cached plan — the Spark

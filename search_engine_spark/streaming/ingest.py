@@ -257,19 +257,39 @@ def ingest_batch(
                 f"index at {index_dir} was frozen with tokenizer={tokenizer!r}; "
                 f"ingest cfg.tokenizer={cfg.tokenizer!r} does not match"
             )
+    # doc-values sidecar columns are frozen index geometry like the
+    # tokenizer: generation 0's cfg decides them; later generations honor
+    # the record (an explicit disagreeing pin raises), and every batch must
+    # carry the columns
+    if frozen_pre is None:
+        dv_cols = tuple(cfg.docvalues_cols or ())
+    else:
+        dv_cols = tuple(frozen_pre.get("docvalues_cols") or ())
+        if cfg.docvalues_cols and tuple(cfg.docvalues_cols) != dv_cols:
+            raise ValueError(
+                f"index at {index_dir} was frozen with docvalues_cols="
+                f"{dv_cols}; ingest cfg.docvalues_cols="
+                f"{tuple(cfg.docvalues_cols)} does not match"
+            )
+    missing_dv = [c for c in dv_cols if c not in docs.columns]
+    if missing_dv:
+        raise ValueError(
+            f"batch is missing docvalues columns {missing_dv}; "
+            f"batch columns: {sorted(docs.columns)}"
+        )
     if id_col is not None:
         ranked = None
         with_ids = docs.withColumn("doc_id", F.col(id_col).cast("long"))
         if "url" not in with_ids.columns:
             with_ids = with_ids.withColumn("url", F.col("doc_id").cast("string"))
-        with_ids = with_ids.select("doc_id", "url", "text")
+        with_ids = with_ids.select("doc_id", "url", "text", *dv_cols)
     else:
         ids, ranked, n_pre = assign_doc_ids(docs, n_parts=cfg.n_partitions)
         ids = ids.select("url", (F.col("doc_id") + F.lit(prior_n)).alias("doc_id"))
         # broadcast budget mirrors build_index: a catch-up batch draining a
         # huge backlog must fall back to the shuffled join
         ids = F.broadcast(ids) if n_pre <= _BCAST_DOCS_MAX else ids
-        with_ids = docs.join(ids, "url").select("doc_id", "url", "text")
+        with_ids = docs.join(ids, "url").select("doc_id", "url", "text", *dv_cols)
 
     _mark("ids_plan")
     # Materialize the generation's token stream as compressed columnar
@@ -280,16 +300,18 @@ def ingest_batch(
     # Every downstream consumer (doc stats, term stats, encode) re-reads
     # column-pruned.
     tokens_tmp = _gen_dir(os.path.join(index_dir, "tokens_tmp"), epoch)
-    _tokenize_like_builder(with_ids, tokenizer, positions=use_pos).write.mode(
-        "overwrite"
-    ).parquet(tokens_tmp)
+    _tokenize_like_builder(
+        with_ids.select("doc_id", "url", "text"), tokenizer, positions=use_pos
+    ).write.mode("overwrite").parquet(tokens_tmp)
     tokens = spark.read.parquet(tokens_tmp)
     _mark("tokenize")
 
     # per-generation doc stats (hydration + dl); docs with zero tokens keep dl=0
     dl_df = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-    doc_stats = with_ids.select("doc_id", "url").join(dl_df, "doc_id", "left").select(
-        "doc_id", "url", F.coalesce("dl", F.lit(0)).alias("dl")
+    doc_stats = (
+        with_ids.select("doc_id", "url", *dv_cols)
+        .join(dl_df, "doc_id", "left")
+        .select("doc_id", "url", F.coalesce("dl", F.lit(0)).alias("dl"), *dv_cols)
     )
     doc_stats.write.mode("overwrite").parquet(_gen_dir(cat.doc_stats, epoch))
     _mark("doc_stats")
@@ -348,6 +370,7 @@ def ingest_batch(
             "n_partitions": n_partitions,
             "with_positions": bool(use_pos),
             "tokenizer": tokenizer,
+            "docvalues_cols": list(dv_cols),
         }
         _write_frozen(index_dir, frozen)
     cuts = list(frozen["term_cuts"])
@@ -565,6 +588,11 @@ def _refresh_corpus_stats(spark: SparkSession, cat: IndexCatalog) -> dict:
         "wand_floor_scale": float(floor_scale),
         "generations": [int(r["gen"]) for r in gens],
         "with_positions": bool(frozen.get("with_positions", False)),
+        **(
+            {"docvalues_cols": list(frozen["docvalues_cols"])}
+            if frozen.get("docvalues_cols")
+            else {}
+        ),
     }
     cat.write_corpus_stats(stats)
     return stats

@@ -516,3 +516,156 @@ def test_facet_validation(dv_engine, dv_term):
             filter=[{"exists": {"path": "lang"}}],
             facets={"x": {"type": "string", "path": "lang"}},
         )
+
+
+# --------------------------------- single-field surface + incremental ingest
+@pytest.fixture(scope="module")
+def sf_dv_index(spark, webtext_tiny, tmp_path_factory):
+    """Single-field build over the RAW fixture corpus (url, warc_ts, html,
+    text, lang), baking (lang, warc_ts) — the incremental-crawl shape."""
+    from search_engine_spark.index.builder import BuildConfig, build_index
+
+    idx = str(tmp_path_factory.mktemp("sfdv") / "index")
+    cfg = BuildConfig(
+        block_docs=64, target_ranges=16, min_range_docs=64, n_partitions=8,
+        waves=2, docvalues_cols=("lang", "warc_ts"),
+    )
+    build_index(spark, webtext_tiny, idx, cfg=cfg)
+    return idx
+
+
+def _attrs_from_doc_stats(spark, eng):
+    pdf = (
+        spark.read.parquet(eng.cat.doc_stats)
+        .select("doc_id", "lang", "warc_ts").toPandas()
+    )
+    return {
+        int(r.doc_id): {"lang": r.lang, "warc_ts": r.warc_ts}
+        for r in pdf.itertuples()
+    }
+
+
+def _check_sf_filter(spark, eng, keyword, dv_filter, pred, k=15):
+    base = eng.search(keyword, k=10**6)
+    attrs = _attrs_from_doc_stats(spark, eng)
+    exp = [
+        (int(d), float(s))
+        for d, s in zip(base.page["doc_id"], base.page["score"])
+        if pred(attrs[int(d)])
+    ]
+    res = eng.search(keyword, k=k, dv_filter=dv_filter)
+    got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
+    assert got == exp[:k]
+    assert res.total == len(exp)
+    return res
+
+
+def test_single_field_dv_filter(spark, sf_dv_index):
+    from search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, sf_dv_index)
+    assert eng.docvalues_cols == ("lang", "warc_ts")
+    _check_sf_filter(
+        spark, eng, "the oil",
+        [{"equals": {"path": "lang", "value": "en"}}],
+        lambda a: a["lang"] == "en",
+    )
+    # timestamp crawl window
+    attrs = _attrs_from_doc_stats(spark, eng)
+    times = sorted(a["warc_ts"] for a in attrs.values())
+    lo, hi = times[len(times) // 4], times[(3 * len(times)) // 4]
+    _check_sf_filter(
+        spark, eng, "the oil",
+        [{"range": {"path": "warc_ts", "gte": lo, "lt": hi}}],
+        lambda a: lo <= a["warc_ts"] < hi,
+    )
+
+
+def test_single_field_dv_dispatch_and_raises(spark, sf_dv_index):
+    from search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, sf_dv_index)
+    flt = [{"equals": {"path": "lang", "value": "en"}}]
+    # auto mode routes to sort (WAND cannot see the filter; the short-circuit
+    # skips the cost model entirely, like skip/group_by)
+    res = eng.search("the oil", k=5, dv_filter=flt, mode="auto")
+    ref = eng.search("the oil", k=5, dv_filter=flt, mode="sort")
+    assert list(res.page["doc_id"]) == list(ref.page["doc_id"])
+    assert res.total == ref.total
+    with pytest.raises(ValueError, match="mode='wand'"):
+        eng.search("the oil", dv_filter=flt, mode="wand")
+    with pytest.raises(ValueError, match="group_by or phrase"):
+        eng.search("the oil", dv_filter=flt, group_by=True)
+    with pytest.raises(ValueError, match="operator objects only"):
+        eng.search("the oil", dv_filter=[("lang", "en")])
+
+
+def test_incremental_ingest_carries_docvalues(spark, webtext_tiny, tmp_path_factory):
+    """The streaming-crawl case end-to-end: docvalues_cols freeze at
+    generation 0, every generation's doc_stats carries the sidecar, dv
+    filters work on the grown index, a disagreeing later pin raises, and
+    compaction preserves the sidecar."""
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.index.builder import BuildConfig
+    from search_engine_spark.index.compact import compact_index
+    from search_engine_spark.query.engine import SearchEngine
+    from search_engine_spark.streaming.ingest import ingest_batch
+
+    tbl = pq.read_table(os.path.join(webtext_tiny, "part-00000.parquet"))
+    rows = sorted(
+        zip(
+            tbl.column("url").to_pylist(),
+            tbl.column("text").to_pylist(),
+            tbl.column("lang").to_pylist(),
+            tbl.column("warc_ts").to_pylist(),
+        )
+    )[:400]
+    idx = str(tmp_path_factory.mktemp("ingdv") / "index")
+    cfg = BuildConfig(
+        block_docs=64, target_ranges=8, min_range_docs=64, n_partitions=4,
+        waves=1, docvalues_cols=("lang", "warc_ts"),
+    )
+    schema = "url string, text string, lang string, warc_ts timestamp"
+    for epoch, lo in enumerate(range(0, 400, 200)):
+        r = ingest_batch(
+            spark, spark.createDataFrame(rows[lo : lo + 200], schema),
+            idx, epoch, cfg=cfg, expected_docs=400,
+        )
+        assert not r.skipped
+    eng = SearchEngine(spark, idx)
+    assert eng.docvalues_cols == ("lang", "warc_ts")
+    res = _check_sf_filter(
+        spark, eng, "the oil",
+        [{"equals": {"path": "lang", "value": "en"}}],
+        lambda a: a["lang"] == "en",
+    )
+    assert res.total > 0
+    # a later generation pinning different docvalues fails loud
+    bad_cfg = BuildConfig(
+        block_docs=64, target_ranges=8, min_range_docs=64, n_partitions=4,
+        waves=1, docvalues_cols=("lang",),
+    )
+    with pytest.raises(ValueError, match="frozen with docvalues_cols"):
+        ingest_batch(
+            spark, spark.createDataFrame(rows[:10], schema), idx, 2, cfg=bad_cfg
+        )
+    # a batch missing a frozen docvalues column fails loud
+    with pytest.raises(ValueError, match="missing docvalues columns"):
+        ingest_batch(
+            spark,
+            spark.createDataFrame(
+                [(u, t) for u, t, _, _ in rows[:10]], "url string, text string"
+            ),
+            idx, 2, cfg=cfg,
+        )
+    # compaction preserves the sidecar and the filter result
+    out = str(tmp_path_factory.mktemp("ingdv") / "compacted")
+    compact_index(spark, idx, out)
+    ceng = SearchEngine(spark, out)
+    assert ceng.docvalues_cols == ("lang", "warc_ts")
+    cres = ceng.search(
+        "the oil", k=15, dv_filter=[{"equals": {"path": "lang", "value": "en"}}]
+    )
+    assert cres.total == res.total
+    assert list(cres.page["doc_id"]) == list(res.page["doc_id"])
