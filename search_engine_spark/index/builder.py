@@ -152,7 +152,10 @@ class BuildConfig:
                     "ingest (the pandas multi-field tokenizer is not implemented)"
                 )
         self.docvalues_cols = tuple(self.docvalues_cols or ())
-        reserved = {"doc_id", "url", "dl", "doc_id_pre"}
+        # doc_id/url/dl/doc_id_pre live on doc_stats already; "score" would
+        # collide with the engine's score column in the field-sort joins;
+        # "gen" is the streaming generation partition key inside doc_stats
+        reserved = {"doc_id", "url", "dl", "doc_id_pre", "score", "gen"}
         for c in self.docvalues_cols:
             if not isinstance(c, str) or not c:
                 raise ValueError(f"docvalues_cols entries must be column names; got {c!r}")
@@ -944,14 +947,26 @@ def build_index(
         if dv_cols:
             # doc-values sidecar: ride the per-doc attribute columns on the
             # doc_stats parquet (column-pruned away by every existing reader;
-            # predicate-pushed by the engine's range/equals filter scan)
+            # predicate-pushed by the engine's range/equals filter scan).
+            # Join key = the corpus's identity: doc_id_pre when the caller
+            # supplied unique ids (urls may then repeat — a url join would
+            # multiply doc_stats rows and corrupt n_docs/avgdl), url
+            # otherwise (unique by contract; ids are its dense rank).
             missing = [c for c in dv_cols if c not in docs.columns]
             if missing:
                 raise ValueError(
                     f"docvalues_cols not in the corpus: {missing}; "
                     f"corpus columns: {sorted(docs.columns)}"
                 )
-            doc_stats = doc_stats.join(docs.select("url", *dv_cols), "url", "left")
+            if id_col is not None:
+                dv_df = docs.select(
+                    F.col("doc_id_pre").alias("doc_id"), *dv_cols
+                )
+                doc_stats = doc_stats.join(dv_df, "doc_id", "left")
+            else:
+                doc_stats = doc_stats.join(
+                    docs.select("url", *dv_cols), "url", "left"
+                )
         _mark("plan_phase1")
         doc_stats.write.mode("overwrite").parquet(cat.doc_stats)
         _mark("doc_stats")

@@ -1813,7 +1813,9 @@ def engine_mf_facet_lang(spark, sf_dir):
     eng = SearchEngine(spark, _mf_index_for(spark, sf_dir))
     out = eng.facet_fields(
         should=[("title", _MF_Q), ("body", _MF_Q)],
-        facets={"langs": {"type": "string", "path": "lang"}},
+        # pinned explicitly AND mirrored by the oracle's rk <= 10, so the
+        # gate stays honest if a fixture ever grows an 11th lang
+        facets={"langs": {"type": "string", "path": "lang", "num_buckets": 10}},
     )
     pdf = out["facet"]["langs"].copy()
     pdf["rk"] = range(1, len(pdf) + 1)
@@ -1826,11 +1828,13 @@ ENGINE_MF_FACET_LANG_SQL = (
         tt=_MF_Q, tb=_MF_Q, cond="tft > 0 OR tfb > 0", bt="1.0", bb="1.0"
     )
     + """
-SELECT bucket, cnt AS count,
-       row_number() OVER (ORDER BY cnt DESC, bucket ASC) AS rk
-FROM (SELECT d.lang AS bucket, COUNT(*) AS cnt
-      FROM scored s JOIN documents d USING (doc_id)
-      WHERE d.lang IS NOT NULL GROUP BY d.lang)
+SELECT bucket, count, rk
+FROM (SELECT bucket, cnt AS count,
+             row_number() OVER (ORDER BY cnt DESC, bucket ASC) AS rk
+      FROM (SELECT d.lang AS bucket, COUNT(*) AS cnt
+            FROM scored s JOIN documents d USING (doc_id)
+            WHERE d.lang IS NOT NULL GROUP BY d.lang))
+WHERE rk <= 10
 """
 )
 

@@ -1261,10 +1261,6 @@ class SearchEngine:
         if sort_path is not None:
             empty_cols[sort_path] = []
         empty = SearchResult(total=0, page=pd.DataFrame(empty_cols))
-        must_terms = [self._clause_terms(c, max_expansions) for c in must]
-        should_terms = [self._clause_terms(c, max_expansions) for c in should]
-        must_not_terms = [self._clause_terms(c, max_expansions) for c in must_not]
-        filter_terms = [self._clause_terms(c, max_expansions) for c in filter]
         if mode != "sort" and (must or must_not or filter or dv_clauses
                                or sort is not None
                                or int(minimum_should_match) > 1 or skip):
@@ -1277,14 +1273,17 @@ class SearchEngine:
                 "mode='wand'/'auto' on search_fields applies to pure-should "
                 "minimum_should_match<=1 queries with skip=0"
             )
-        msm = int(minimum_should_match)
-        if not should_terms:
-            msm = 0
-        elif not must_terms and not filter_terms:
-            # Lucene: with no required clause, at least one SHOULD must match
-            msm = max(msm, 1)
-        if msm > len(should_terms):
+        prep = self._compound_prep(
+            must, should, must_not, filter, minimum_should_match, max_expansions
+        )
+        if prep is None:
             return empty
+        must_terms, should_terms = prep["must_terms"], prep["should_terms"]
+        msm, dfs, present = prep["msm"], prep["dfs"], prep["present"]
+        avgdl_map = prep["avgdl_map"]
+        present_must = prep["present_must"]
+        present_should = prep["present_should"]
+        present_must_not = prep["present_must_not"]
         # per-key boost = max over the positive clauses naming the key
         weight: dict[str, float] = {}
         for c, ts in zip(list(must) + list(should), must_terms + should_terms):
@@ -1293,41 +1292,13 @@ class SearchEngine:
                 raise ValueError(f"clause boost must be >= 0, got {b}")
             for t in ts:
                 weight[t] = max(weight.get(t, 0.0), b)
-        all_terms = sorted({
-            t
-            for ts in must_terms + should_terms + must_not_terms + filter_terms
-            for t in ts
-        })
-        if not all_terms:
-            return empty
-        dfs = self.term_dfs(all_terms)
-        # a must/filter clause with no present term can never match
-        for ts in must_terms + filter_terms:
-            if not any(t in dfs for t in ts):
-                return empty
-        present = sorted(dfs)
-        if not present:
-            return empty
         sep = self.field_sep
         idf: dict[str, float] = {}
-        avgdl_map: dict[str, float] = {}
         for t in present:
             fs = self.fields[t.split(sep, 1)[0]]
             # must_not-only keys carry weight 0.0: decoded for membership,
             # contributing exactly nothing to the fold (Lucene MUST_NOT)
             idf[t] = weight.get(t, 0.0) * _math_idf(int(fs["doc_count"]), dfs[t])
-            avgdl_map[t] = float(fs["avgdl"])
-        # filter clauses ARE must clauses whose keys carry weight 0 (scoring
-        # is governed entirely by the weight fold), so they merge here
-        present_must = [
-            [t for t in ts if t in dfs] for ts in must_terms + filter_terms
-        ]
-        present_should = [[t for t in ts if t in dfs] for ts in should_terms]
-        present_must_not = [
-            [t for t in ts if t in dfs] for ts in must_not_terms if any(
-                t in dfs for t in ts
-            )
-        ]
 
         wand_meta = None
         if mode == "auto":
@@ -1477,53 +1448,24 @@ class SearchEngine:
                 },
             }
 
-        must_terms = [self._clause_terms(c, max_expansions) for c in must]
-        should_terms = [self._clause_terms(c, max_expansions) for c in should]
-        must_not_terms = [self._clause_terms(c, max_expansions) for c in must_not]
-        filter_terms = [self._clause_terms(c, max_expansions) for c in filter]
-        msm = int(minimum_should_match)
-        if not should_terms:
-            msm = 0
-        elif not must_terms and not filter_terms:
-            msm = max(msm, 1)
-        if msm > len(should_terms):
+        prep = self._compound_prep(
+            must, should, must_not, filter, minimum_should_match, max_expansions
+        )
+        if prep is None:
             return _empty()
-        all_terms = sorted({
-            t
-            for ts in must_terms + should_terms + must_not_terms + filter_terms
-            for t in ts
-        })
-        if not all_terms:
-            return _empty()
-        dfs = self.term_dfs(all_terms)
-        for ts in must_terms + filter_terms:
-            if not any(t in dfs for t in ts):
-                return _empty()
-        present = sorted(dfs)
-        if not present:
-            return _empty()
-        avgdl_map = {
-            t: float(self.fields[t.split(self.field_sep, 1)[0]]["avgdl"])
-            for t in present
-        }
-        present_must = [
-            [t for t in ts if t in dfs] for ts in must_terms + filter_terms
-        ]
-        present_should = [[t for t in ts if t in dfs] for ts in should_terms]
-        present_must_not = [
-            [t for t in ts if t in dfs] for ts in must_not_terms if any(
-                t in dfs for t in ts
-            )
-        ]
+        present = prep["present"]
         # membership only — decode with unit idf, throw the scores away
         scored = self._scored_rows(
-            present, {t: 1.0 for t in present}, avgdl_map=avgdl_map
+            present, {t: 1.0 for t in present}, avgdl_map=prep["avgdl_map"]
         )
         agg = scored.groupBy("doc_id").agg(
             F.sort_array(F.collect_set("term")).alias("ts")
         )
         kept = agg.filter(
-            self._occur_cond(present_must, present_should, msm, present_must_not)
+            self._occur_cond(
+                prep["present_must"], prep["present_should"], prep["msm"],
+                prep["present_must_not"],
+            )
         ).select("doc_id")
         paths = sorted({p for _, p, _ in specs.values()})
         stats_df = self.spark.read.parquet(self.cat.doc_stats)
@@ -1592,7 +1534,12 @@ class SearchEngine:
             dl = np.concatenate([p[2] for p in parts]).astype(np.float64)
             decoded[t] = (ids, tf, dl)
             all_ids.append(ids)
-        empty = SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
+        # the empty page keeps the documented shape: sorted results carry
+        # the sort attribute column even when nothing matched
+        empty_cols: dict = {"doc_id": [], "score": []}
+        if sort_path is not None:
+            empty_cols[sort_path] = []
+        empty = SearchResult(total=0, page=pd.DataFrame(empty_cols))
         if not all_ids:
             return empty
         uniq = np.unique(np.concatenate(all_ids))
@@ -1624,38 +1571,32 @@ class SearchEngine:
         for ts in must_not_terms:  # Lucene MUST_NOT: any hit excludes the doc
             keep &= ~clause_ok(ts)
         uniq, acc = uniq[keep], acc[keep]
-        if dv_pred is not None and uniq.size:
-            # doc-values filter: one predicate-pushed doc_stats scan, semi-
-            # joined against the (small, broadcast) candidate set — never a
-            # collect of the eligible universe
+        attrs = None
+        if (dv_pred is not None or sort_path is not None) and uniq.size:
+            # ONE predicate-pushed doc_stats probe serves both the dv filter
+            # (membership) and the field sort (attribute values): the scan
+            # is filtered when a predicate exists, semi-join semantics come
+            # from the inner join against the (small, broadcast) candidate
+            # set — never a collect of the eligible universe
             cand = self.spark.createDataFrame(
                 pd.DataFrame({"doc_id": uniq.astype("int64")})
             )
-            elig = (
-                self.spark.read.parquet(self.cat.doc_stats)
-                .filter(dv_pred)
-                .join(F.broadcast(cand), "doc_id", "semi")
-                .select("doc_id")
-                .toPandas()["doc_id"]
-                .to_numpy()
+            probe = self.spark.read.parquet(self.cat.doc_stats)
+            if dv_pred is not None:
+                probe = probe.filter(dv_pred)
+            cols = ["doc_id"] + ([sort_path] if sort_path is not None else [])
+            attrs = (
+                probe.join(F.broadcast(cand), "doc_id", "inner")
+                .select(*cols)
+                .toPandas()
             )
-            dv_keep = np.isin(uniq, elig)
-            uniq, acc = uniq[dv_keep], acc[dv_keep]
+            if dv_pred is not None:
+                dv_keep = np.isin(uniq, attrs["doc_id"].to_numpy())
+                uniq, acc = uniq[dv_keep], acc[dv_keep]
         if uniq.size == 0:
             return empty
         if sort_path is not None:
-            # field sort: fetch the candidates' attribute values with the
-            # same broadcast-the-small-side probe as the dv filter, then
             # order (attr, doc_id asc) with nulls last in pandas
-            cand = self.spark.createDataFrame(
-                pd.DataFrame({"doc_id": uniq.astype("int64")})
-            )
-            attrs = (
-                self.spark.read.parquet(self.cat.doc_stats)
-                .join(F.broadcast(cand), "doc_id", "inner")
-                .select("doc_id", sort_path)
-                .toPandas()
-            )
             page = (
                 pd.DataFrame({"doc_id": uniq, "score": acc})
                 .merge(attrs, on="doc_id", how="left")
@@ -1672,6 +1613,71 @@ class SearchEngine:
             total=int(uniq.size),
             page=pd.DataFrame({"doc_id": uniq[order], "score": acc[order]}),
         )
+
+    def _compound_prep(
+        self, must, should, must_not, filter, minimum_should_match,
+        max_expansions,
+    ) -> dict | None:
+        """Shared clause preparation for :meth:`search_fields` and
+        :meth:`facet_fields`: analyze every clause to its prefixed posting
+        keys, normalize Lucene's minimum_should_match rule (no shoulds →
+        msm 0; shoulds with no required clause → msm ≥ 1), drop absent
+        keys, and return None when no document can match (msm exceeds the
+        should count, every key absent, or a must/filter clause has no
+        present key — required clauses with nothing to match kill the
+        query).  Filter clauses merge into ``present_must``: they ARE must
+        clauses whose keys carry weight 0 (scoring is governed entirely by
+        the caller's weight fold)."""
+        must_terms = [self._clause_terms(c, max_expansions) for c in must]
+        should_terms = [self._clause_terms(c, max_expansions) for c in should]
+        must_not_terms = [self._clause_terms(c, max_expansions) for c in must_not]
+        filter_terms = [self._clause_terms(c, max_expansions) for c in filter]
+        msm = int(minimum_should_match)
+        if not should_terms:
+            msm = 0
+        elif not must_terms and not filter_terms:
+            # Lucene: with no required clause, at least one SHOULD must match
+            msm = max(msm, 1)
+        if msm > len(should_terms):
+            return None
+        all_terms = sorted({
+            t
+            for ts in must_terms + should_terms + must_not_terms + filter_terms
+            for t in ts
+        })
+        if not all_terms:
+            return None
+        dfs = self.term_dfs(all_terms)
+        # a must/filter clause with no present term can never match
+        for ts in must_terms + filter_terms:
+            if not any(t in dfs for t in ts):
+                return None
+        present = sorted(dfs)
+        if not present:
+            return None
+        sep = self.field_sep
+        return {
+            "must_terms": must_terms,
+            "should_terms": should_terms,
+            "must_not_terms": must_not_terms,
+            "filter_terms": filter_terms,
+            "msm": msm,
+            "dfs": dfs,
+            "present": present,
+            "avgdl_map": {
+                t: float(self.fields[t.split(sep, 1)[0]]["avgdl"])
+                for t in present
+            },
+            "present_must": [
+                [t for t in ts if t in dfs] for ts in must_terms + filter_terms
+            ],
+            "present_should": [[t for t in ts if t in dfs] for ts in should_terms],
+            "present_must_not": [
+                [t for t in ts if t in dfs] for ts in must_not_terms if any(
+                    t in dfs for t in ts
+                )
+            ],
+        }
 
     @staticmethod
     def _occur_cond(must_terms, should_terms, msm, must_not_terms):
@@ -1710,28 +1716,39 @@ class SearchEngine:
         kept = agg.filter(
             self._occur_cond(must_terms, should_terms, msm, must_not_terms)
         ).select("doc_id", "score")
-        if dv_pred is not None:
+        if dv_pred is not None and sort_path is not None:
+            # ONE predicate-pushed, column-pruned doc_stats scan serves both
+            # the dv filter and the field sort: the inner join IS the
+            # semi-join (doc_id is unique per side) and attaches the sort
+            # attribute in the same pass
+            kept = kept.join(
+                self.spark.read.parquet(self.cat.doc_stats)
+                .filter(dv_pred).select("doc_id", sort_path),
+                "doc_id", "inner",
+            )
+        elif dv_pred is not None:
             # doc-values filter: predicate pushes into the doc_stats parquet
             # scan (only the filtered columns are read); the semi-join keys
             # on doc_id and shrinks with the predicate's selectivity — AQE
             # broadcasts the eligible side when it is small
-            elig = (
+            kept = kept.join(
                 self.spark.read.parquet(self.cat.doc_stats)
-                .filter(dv_pred)
-                .select("doc_id")
+                .filter(dv_pred).select("doc_id"),
+                "doc_id", "semi",
             )
-            kept = kept.join(elig, "doc_id", "semi")
-        kept = kept.persist()
-        if sort_path is not None:
-            # field sort (Atlas $search.sort): join the sort attribute from
-            # doc_stats (column-pruned scan) and order by it, nulls last,
-            # doc_id tiebreak — score-bound pruning never applies here
-            withattr = kept.join(
+        elif sort_path is not None:
+            # field sort alone: attach the attribute (column-pruned scan);
+            # left join keeps null-attribute docs, which sort last
+            kept = kept.join(
                 self.spark.read.parquet(self.cat.doc_stats)
                 .select("doc_id", sort_path),
                 "doc_id", "left",
             )
-            ranked = withattr.orderBy(
+        kept = kept.persist()
+        if sort_path is not None:
+            # field sort (Atlas $search.sort): order by the attribute, nulls
+            # last, doc_id tiebreak — score-bound pruning never applies here
+            ranked = kept.orderBy(
                 F.desc_nulls_last(sort_path) if sort_desc
                 else F.asc_nulls_last(sort_path),
                 F.asc("doc_id"),

@@ -669,3 +669,58 @@ def test_incremental_ingest_carries_docvalues(spark, webtext_tiny, tmp_path_fact
     )
     assert cres.total == res.total
     assert list(cres.page["doc_id"]) == list(res.page["doc_id"])
+
+
+# ------------------------------------------------- review-found edge cases
+def test_idcol_duplicate_urls_join_on_doc_id(spark, tmp_path_factory):
+    """An id_col corpus may repeat urls (the id is the identity); the dv
+    sidecar must join on doc_id, never multiplying doc_stats rows."""
+    from search_engine_spark.index.builder import BuildConfig, build_index
+
+    corpus = str(tmp_path_factory.mktemp("dupurl") / "corpus")
+    rows = [
+        (i, "http://dup.example/page", f"spark doc {i} " + "filler " * (i % 7),
+         ("en", "de")[i % 2])
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        rows, "my_id long, url string, text string, lang string"
+    ).write.mode("overwrite").parquet(corpus)
+    idx = str(tmp_path_factory.mktemp("dupurl") / "index")
+    cfg = BuildConfig(
+        block_docs=64, target_ranges=8, min_range_docs=64, n_partitions=4,
+        waves=1, docvalues_cols=("lang",),
+    )
+    metrics = build_index(spark, corpus, idx, cfg=cfg, id_col="my_id")
+    assert metrics["n_docs"] == 300  # one row per id, not per (id x url-dup)
+    from search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, idx)
+    stats = spark.read.parquet(eng.cat.doc_stats)
+    assert stats.count() == 300
+    res = eng.search(
+        "spark", k=5, dv_filter=[{"equals": {"path": "lang", "value": "de"}}]
+    )
+    assert res.total == 150  # every odd id
+
+
+def test_empty_sorted_result_keeps_sort_column(dv_engine, dv_term):
+    """Both physical paths: an empty page from a sorted query still carries
+    the sort attribute column (the documented page shape)."""
+    for fd in (False, True):
+        res = dv_engine.search_fields(
+            should=[("title", dv_term)],
+            filter=[{"range": {"path": "n_chars", "gte": 10**9}}],
+            sort={"path": "n_chars", "order": "desc"},
+            force_distributed=fd,
+        )
+        assert res.total == 0
+        assert list(res.page.columns) == ["doc_id", "score", "n_chars"], fd
+
+
+def test_reserved_docvalues_names_raise():
+    from search_engine_spark.index.builder import BuildConfig
+
+    for bad in ("score", "gen", "doc_id", "url", "dl"):
+        with pytest.raises(ValueError, match="reserved"):
+            BuildConfig(docvalues_cols=(bad,))
