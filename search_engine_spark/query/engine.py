@@ -1910,16 +1910,29 @@ class SearchEngine:
         highlight: bool = False,
         max_gap: int = 0,
         with_url: bool = False,
+        dv_filter: list = (),
     ) -> SearchResult:
         """Field-scoped exact-phrase search (Atlas phrase clause with a
         ``path``): the analyzed token sequence of ``keyword`` must appear
         consecutively within ``field``; matches score as one pseudo-term with
         the FIELD's docCount/avgdl.  Requires a positional multi-field index
         (``BuildConfig(field_cols=..., positions=True)``).  ``highlight``
-        adds the first phrase start as a FIELD-LOCAL token offset."""
+        adds the first phrase start as a FIELD-LOCAL token offset.
+        ``dv_filter`` takes doc-values operator objects (range/equals/exists)
+        — FILTER semantics: matching constrained, the phrase idf unchanged."""
+        dv_pred = None
+        if dv_filter:
+            text_f, dv_clauses = self._split_dv_clauses(dv_filter)
+            if text_f:
+                raise ValueError(
+                    "dv_filter takes doc-values operator objects only "
+                    "(range/equals/exists dicts)"
+                )
+            dv_pred = self._dv_predicate(dv_clauses)
         return self._phrase_search(
             keyword, k, skip, False, False, with_url, force_distributed,
             highlight=highlight, max_gap=max_gap, field=field,
+            dv_pred=dv_pred,
         )
 
     def _phrase_search(
@@ -1934,6 +1947,7 @@ class SearchEngine:
         highlight: bool = False,
         max_gap: int = 0,
         field: str | None = None,
+        dv_pred=None,
     ) -> SearchResult:
         """Exact-phrase BM25 top-k (Atlas ``$search.phrase``, the operator the
         reference's platform exposes next to its text/autocomplete clauses).
@@ -2006,7 +2020,25 @@ class SearchEngine:
             )
             if uniq.size == 0:
                 return empty
+            # Lucene FILTER never changes scoring stats: the phrase idf uses
+            # the UNfiltered phrase df; the dv mask then constrains matching
             w = _math_idf(n_docs, int(uniq.size))
+            if dv_pred is not None:
+                cand = self.spark.createDataFrame(
+                    pd.DataFrame({"doc_id": uniq.astype("int64")})
+                )
+                elig = (
+                    self.spark.read.parquet(self.cat.doc_stats)
+                    .filter(dv_pred)
+                    .join(F.broadcast(cand), "doc_id", "semi")
+                    .select("doc_id")
+                    .toPandas()["doc_id"]
+                    .to_numpy()
+                )
+                keep = np.isin(uniq, elig)
+                uniq, tfs, dls, firsts = uniq[keep], tfs[keep], dls[keep], firsts[keep]
+                if uniq.size == 0:
+                    return empty
             tf = tfs.astype(np.float64)
             dl = dls.astype(np.float64)
             acc = w * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
@@ -2021,11 +2053,24 @@ class SearchEngine:
             res = SearchResult(total=int(uniq.size), page=page)
         else:
             matched = self._phrase_matched_dist(terms_seq, max_gap=max_gap).persist()
-            total = matched.count()  # == phrase df: exact total for free
-            if total == 0:
+            df_phrase = matched.count()  # == phrase df: exact total for free
+            if df_phrase == 0:
                 matched.unpersist()
                 return empty
-            w = _math_idf(n_docs, int(total))
+            # idf from the UNfiltered phrase df (FILTER scores nothing);
+            # total = the filtered match count (FILTER constrains matching)
+            w = _math_idf(n_docs, int(df_phrase))
+            total = df_phrase
+            if dv_pred is not None:
+                matched = matched.join(
+                    self.spark.read.parquet(self.cat.doc_stats)
+                    .filter(dv_pred).select("doc_id"),
+                    "doc_id", "semi",
+                ).persist()
+                total = matched.count()
+                if total == 0:
+                    matched.unpersist()
+                    return empty
             tfd = F.col("tf").cast("double")
             dld = F.col("dl").cast("double")
             # operand-for-operand the driver path's numpy expression tree
@@ -2252,10 +2297,8 @@ class SearchEngine:
                     "dv_filter is not supported with mode='wand' (score-bound "
                     "pruning cannot see the filter); use sort or auto"
                 )
-            if group_by or phrase:
-                raise ValueError(
-                    "dv_filter is not supported with group_by or phrase"
-                )
+            if group_by:
+                raise ValueError("dv_filter is not supported with group_by")
         if phrase:
             if group_by:
                 raise ValueError("group_by is not supported with phrase search")
@@ -2267,6 +2310,7 @@ class SearchEngine:
             return self._phrase_search(
                 keyword, k, skip, constant_boost, avail_boost, with_url,
                 force_distributed, highlight=highlight, max_gap=max_gap,
+                dv_pred=dv_pred,
             )
         if exact_terms is not None and (
             wildcard or regex or fuzzy or prefix_fuzzy or phonetic or phrase

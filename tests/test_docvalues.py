@@ -80,7 +80,7 @@ def dv_index(spark, dv_rows, tmp_path_factory):
     index_dir = str(tmp_path_factory.mktemp("dv") / "index")
     cfg = BuildConfig(
         block_docs=64, target_ranges=16, min_range_docs=64, n_partitions=8,
-        waves=2, field_cols=("title", "body"),
+        waves=2, field_cols=("title", "body"), positions=True,
         docvalues_cols=("lang", "n_chars", "warc_ts"),
     )
     metrics = build_index(spark, corpus, index_dir, cfg=cfg)
@@ -528,7 +528,7 @@ def sf_dv_index(spark, webtext_tiny, tmp_path_factory):
     idx = str(tmp_path_factory.mktemp("sfdv") / "index")
     cfg = BuildConfig(
         block_docs=64, target_ranges=16, min_range_docs=64, n_partitions=8,
-        waves=2, docvalues_cols=("lang", "warc_ts"),
+        waves=2, positions=True, docvalues_cols=("lang", "warc_ts"),
     )
     build_index(spark, webtext_tiny, idx, cfg=cfg)
     return idx
@@ -594,7 +594,7 @@ def test_single_field_dv_dispatch_and_raises(spark, sf_dv_index):
     assert res.total == ref.total
     with pytest.raises(ValueError, match="mode='wand'"):
         eng.search("the oil", dv_filter=flt, mode="wand")
-    with pytest.raises(ValueError, match="group_by or phrase"):
+    with pytest.raises(ValueError, match="group_by"):
         eng.search("the oil", dv_filter=flt, group_by=True)
     with pytest.raises(ValueError, match="operator objects only"):
         eng.search("the oil", dv_filter=[("lang", "en")])
@@ -724,3 +724,59 @@ def test_reserved_docvalues_names_raise():
     for bad in ("score", "gen", "doc_id", "url", "dl"):
         with pytest.raises(ValueError, match="reserved"):
             BuildConfig(docvalues_cols=(bad,))
+
+
+# --------------------------------------------------------- phrase + dv
+def test_phrase_with_dv_filter(spark, sf_dv_index, webtext_tiny):
+    """dv filter on phrase search (both paths): matching constrained, the
+    phrase idf UNCHANGED (FILTER scores nothing) — survivors keep their
+    unfiltered score bit-for-bit and total is the filtered match count."""
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, sf_dv_index)
+    text0 = pq.read_table(
+        os.path.join(webtext_tiny, "part-00000.parquet"), columns=["text"]
+    ).column("text")[0].as_py()
+    phrase = " ".join(tokenize(text0)[:2])
+    base = eng.search(phrase, phrase=True, k=10**6)
+    assert base.total > 0
+    attrs = _attrs_from_doc_stats(spark, eng)
+    exp = [
+        (int(d), float(s))
+        for d, s in zip(base.page["doc_id"], base.page["score"])
+        if attrs[int(d)]["lang"] == "en"
+    ]
+    flt = [{"equals": {"path": "lang", "value": "en"}}]
+    for fd in (False, True):
+        res = eng.search(phrase, phrase=True, k=12, dv_filter=flt,
+                         force_distributed=fd)
+        got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
+        assert got == exp[:12], fd
+        assert res.total == len(exp), fd
+
+
+def test_field_phrase_with_dv_filter(spark, dv_engine, dv_rows):
+    """The Atlas phrase clause's path option composes with dv operators."""
+    bigram = dv_rows[0][1]["title"].split()[:2]
+    phrase = " ".join(bigram)
+    base = dv_engine.search_field_phrase("title", phrase, k=10**6)
+    assert base.total > 0
+    attrs_pdf = (
+        dv_engine.spark.read.parquet(dv_engine.cat.doc_stats)
+        .select("doc_id", "lang").toPandas()
+    )
+    lang_of = dict(zip(attrs_pdf["doc_id"].astype(int), attrs_pdf["lang"]))
+    exp = [
+        (int(d), float(s))
+        for d, s in zip(base.page["doc_id"], base.page["score"])
+        if lang_of[int(d)] == "en"
+    ]
+    res = dv_engine.search_field_phrase(
+        "title", phrase, k=12,
+        dv_filter=[{"equals": {"path": "lang", "value": "en"}}],
+    )
+    got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
+    assert got == exp[:12]
+    assert res.total == len(exp)
