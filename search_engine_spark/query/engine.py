@@ -1095,6 +1095,24 @@ class SearchEngine:
         self._fuzzy_cache[key] = out
         return list(out)
 
+    def _sort_spec(self, sort) -> tuple:
+        """Validate an Atlas ``sort`` option against the baked doc-values
+        columns -> (path, descending)."""
+        bad = set(sort) - {"path", "order"}
+        if bad:
+            raise ValueError(f"sort takes path+order; unknown keys {sorted(bad)}")
+        path = sort.get("path")
+        if path not in self.docvalues_cols:
+            raise ValueError(
+                f"sort path {path!r} is not a doc-values column of "
+                f"this index (baked: {sorted(self.docvalues_cols)}); "
+                "build with BuildConfig(docvalues_cols=(...,))"
+            )
+        order = sort.get("order", "desc")
+        if order not in ("asc", "desc"):
+            raise ValueError(f"sort order must be 'asc' or 'desc'; got {order!r}")
+        return path, order == "desc"
+
     @staticmethod
     def _split_dv_clauses(filter_list):
         """Partition a filter list into (text clauses, doc-values operator
@@ -1243,20 +1261,7 @@ class SearchEngine:
             )
         sort_path, sort_desc = None, True
         if sort is not None:
-            bad = set(sort) - {"path", "order"}
-            if bad:
-                raise ValueError(f"sort takes path+order; unknown keys {sorted(bad)}")
-            sort_path = sort.get("path")
-            if sort_path not in self.docvalues_cols:
-                raise ValueError(
-                    f"sort path {sort_path!r} is not a doc-values column of "
-                    f"this index (baked: {sorted(self.docvalues_cols)}); "
-                    "build with BuildConfig(docvalues_cols=(...,))"
-                )
-            order = sort.get("order", "desc")
-            if order not in ("asc", "desc"):
-                raise ValueError(f"sort order must be 'asc' or 'desc'; got {order!r}")
-            sort_desc = order == "desc"
+            sort_path, sort_desc = self._sort_spec(sort)
         empty_cols: dict = {"doc_id": [], "score": []}
         if sort_path is not None:
             empty_cols[sort_path] = []
@@ -1381,6 +1386,7 @@ class SearchEngine:
         filter: list = (),
         facets: dict | None = None,
         max_expansions: int | None = None,
+        keyword: str | None = None,
     ) -> dict:
         """Atlas ``$searchMeta`` facet collection over doc values.
 
@@ -1404,15 +1410,30 @@ class SearchEngine:
         Returns ``{"count": <matched total>, "facet": {name: pandas
         (bucket, count)}}`` — bucket is always a string, deterministic
         order as above.
+
+        ``keyword=`` serves the single-field surface (the incremental
+        crawl): the analyzed keyword's plain disjunction is the match set,
+        composing with dv filter operators on the filter list — clauses
+        and keyword are mutually exclusive.
         """
         if not facets:
             raise ValueError("facet_fields requires at least one facet spec")
         filter, dv_clauses = self._split_dv_clauses(filter)
         dv_pred = self._dv_predicate(dv_clauses) if dv_clauses else None
-        if not (must or should or filter):
+        if keyword is not None:
+            # single-field surface: the analyzed keyword IS the match set
+            # (plain disjunction), mirroring search()'s candidate generation
+            if self.fields:
+                raise ValueError(
+                    "keyword= facets apply to single-field indexes; use "
+                    "must/should clauses on a multi-field index"
+                )
+            if must or should or must_not or filter:
+                raise ValueError("keyword= replaces the clause lists")
+        elif not (must or should or filter):
             raise ValueError(
                 "facet_fields requires at least one term-bearing "
-                "must/should/filter clause"
+                "must/should/filter clause (or keyword= on a single-field index)"
             )
         specs: dict = {}
         for name, spec in facets.items():
@@ -1448,25 +1469,37 @@ class SearchEngine:
                 },
             }
 
-        prep = self._compound_prep(
-            must, should, must_not, filter, minimum_should_match, max_expansions
-        )
-        if prep is None:
-            return _empty()
-        present = prep["present"]
-        # membership only — decode with unit idf, throw the scores away
-        scored = self._scored_rows(
-            present, {t: 1.0 for t in present}, avgdl_map=prep["avgdl_map"]
-        )
-        agg = scored.groupBy("doc_id").agg(
-            F.sort_array(F.collect_set("term")).alias("ts")
-        )
-        kept = agg.filter(
-            self._occur_cond(
-                prep["present_must"], prep["present_should"], prep["msm"],
-                prep["present_must_not"],
+        if keyword is not None:
+            terms = sorted(set(preprocess_query(keyword)))
+            dfs = self.term_dfs(terms) if terms else {}
+            present = sorted(dfs)
+            if not present:
+                return _empty()
+            # membership only — unit idf, scores thrown away
+            kept = self._scored_docs(
+                present, {t: 1.0 for t in present}
+            ).select("doc_id")
+        else:
+            prep = self._compound_prep(
+                must, should, must_not, filter, minimum_should_match,
+                max_expansions,
             )
-        ).select("doc_id")
+            if prep is None:
+                return _empty()
+            present = prep["present"]
+            # membership only — decode with unit idf, throw the scores away
+            scored = self._scored_rows(
+                present, {t: 1.0 for t in present}, avgdl_map=prep["avgdl_map"]
+            )
+            agg = scored.groupBy("doc_id").agg(
+                F.sort_array(F.collect_set("term")).alias("ts")
+            )
+            kept = agg.filter(
+                self._occur_cond(
+                    prep["present_must"], prep["present_should"], prep["msm"],
+                    prep["present_must_not"],
+                )
+            ).select("doc_id")
         paths = sorted({p for _, p, _ in specs.values()})
         stats_df = self.spark.read.parquet(self.cat.doc_stats)
         if dv_pred is not None:
@@ -2213,6 +2246,7 @@ class SearchEngine:
         regex: bool = False,
         exact_terms: list | None = None,
         dv_filter: list = (),
+        sort: dict | None = None,
     ) -> SearchResult:
         """``total_mode`` governs the facet total under WAND pruning.
 
@@ -2299,6 +2333,19 @@ class SearchEngine:
                 )
             if group_by:
                 raise ValueError("dv_filter is not supported with group_by")
+        sort_path, sort_desc = None, True
+        if sort is not None:
+            # field sort on the single-field surface (freshest-first keyword
+            # queries over an incremental crawl): same plumbing as dv_filter
+            # — a doc_stats attribute join in place of the score rank
+            sort_path, sort_desc = self._sort_spec(sort)
+            if mode == "wand":
+                raise ValueError(
+                    "sort is not supported with mode='wand' (score-bound "
+                    "pruning is meaningless under a field sort); use sort or auto"
+                )
+            if group_by or phrase:
+                raise ValueError("sort is not supported with group_by or phrase")
         if phrase:
             if group_by:
                 raise ValueError("group_by is not supported with phrase search")
@@ -2395,7 +2442,7 @@ class SearchEngine:
             return SearchResult(total=0, page=pd.DataFrame({"doc_id": [], "score": []}))
         idf = {t: _math_idf(self.n_docs, d) for t, d in dfs.items()}
 
-        if (not force_distributed and dv_pred is None
+        if (not force_distributed and dv_pred is None and sort_path is None
                 and sum(dfs.values()) <= self.SMALL_QUERY_POSTINGS):
             res = self._driver_search(
                 present, idf, conj, constant_boost, avail_boost, k, skip,
@@ -2430,7 +2477,7 @@ class SearchEngine:
         # compound A/B) sits where total - 3*predicted clears the fixed cost.
         wand_meta = None
         if mode == "auto":
-            if skip != 0 or group_by or dv_pred is not None:
+            if skip != 0 or group_by or dv_pred is not None or sort_path is not None:
                 mode = "sort"  # WAND is unsound for these; no estimate needed
             else:
                 wand_meta = self._wand_meta(present)
@@ -2457,11 +2504,26 @@ class SearchEngine:
             elif msm:
                 scored = scored.filter(F.col("n_terms") >= msm)
             scored = self._apply_boosts(scored, constant_boost, avail_boost)
-            if dv_pred is not None:
+            if dv_pred is not None and sort_path is not None:
+                # ONE filtered, column-pruned doc_stats scan serves both:
+                # the inner join IS the semi-join with the attribute attached
+                scored = scored.join(
+                    self.spark.read.parquet(self.cat.doc_stats)
+                    .filter(dv_pred).select("doc_id", sort_path),
+                    "doc_id", "inner",
+                )
+            elif dv_pred is not None:
                 scored = scored.join(
                     self.spark.read.parquet(self.cat.doc_stats)
                     .filter(dv_pred).select("doc_id"),
                     "doc_id", "semi",
+                )
+            elif sort_path is not None:
+                # left join keeps null-attribute docs; they sort last
+                scored = scored.join(
+                    self.spark.read.parquet(self.cat.doc_stats)
+                    .select("doc_id", sort_path),
+                    "doc_id", "left",
                 )
             if group_by:
                 scored = self._group_rollup(scored)
@@ -2472,22 +2534,40 @@ class SearchEngine:
 
         # grouped results rank on the rounded score (the shared oracle rule;
         # real 6-decimal ties exist between group winners); doc-level pages
-        # keep the raw order that the rank-identity suite pins
-        score_key = F.round("score", 6) if group_by else F.col("score")
-        ranked = scored.orderBy(F.desc(score_key), F.asc("doc_id"))
+        # keep the raw order that the rank-identity suite pins; field sorts
+        # rank on the attribute (nulls last, doc_id tiebreak)
+        if sort_path is not None:
+            ranked = scored.orderBy(
+                F.desc_nulls_last(sort_path) if sort_desc
+                else F.asc_nulls_last(sort_path),
+                F.asc("doc_id"),
+            )
+        else:
+            score_key = F.round("score", 6) if group_by else F.col("score")
+            ranked = scored.orderBy(F.desc(score_key), F.asc("doc_id"))
         page_df = ranked.offset(skip).limit(k) if skip else ranked.limit(k)
         if with_url:
             urls = self.spark.read.parquet(self.cat.doc_stats).select("doc_id", "url")
             page_df = page_df.join(urls, "doc_id", "left")
-        page_cols = (["g_id", "n_docs"] if group_by else []) + (["url"] if with_url else [])
-        page = page_df.select("doc_id", "score", *page_cols).toPandas()
-        sort_col = round_half_away(page["score"], 6) if group_by else page["score"]
-        page = (
-            page.assign(_sk=sort_col)
-            .sort_values(["_sk", "doc_id"], ascending=[False, True])
-            .drop(columns="_sk")
-            .reset_index(drop=True)
+        page_cols = (
+            (["g_id", "n_docs"] if group_by else [])
+            + (["url"] if with_url else [])
+            + ([sort_path] if sort_path is not None else [])
         )
+        page = page_df.select("doc_id", "score", *page_cols).toPandas()
+        if sort_path is not None:
+            page = page.sort_values(
+                [sort_path, "doc_id"], ascending=[not sort_desc, True],
+                na_position="last",
+            ).reset_index(drop=True)
+        else:
+            sort_col = round_half_away(page["score"], 6) if group_by else page["score"]
+            page = (
+                page.assign(_sk=sort_col)
+                .sort_values(["_sk", "doc_id"], ascending=[False, True])
+                .drop(columns="_sk")
+                .reset_index(drop=True)
+            )
         for df_ in getattr(scored, "_ses_persisted", ()):
             df_.unpersist()  # WAND's phase-1 cache; page is materialized now
         if highlight and len(page):

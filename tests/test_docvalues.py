@@ -780,3 +780,75 @@ def test_field_phrase_with_dv_filter(spark, dv_engine, dv_rows):
     got = [(int(d), float(s)) for d, s in zip(res.page["doc_id"], res.page["score"])]
     assert got == exp[:12]
     assert res.total == len(exp)
+
+
+# --------------------------------------- single-field sort + keyword facets
+def test_single_field_sort(spark, sf_dv_index):
+    """search(kw, sort=...): freshest-first keyword query — page ordered by
+    the attribute (doc_id tiebreak), carries the sort column, total
+    unchanged; composes with dv_filter in ONE doc_stats probe."""
+    from search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, sf_dv_index)
+    base = eng.search("the oil", k=10**6)
+    attrs = _attrs_from_doc_stats(spark, eng)
+    ids = sorted(
+        (int(d) for d in base.page["doc_id"]),
+        key=lambda d: (attrs[d]["warc_ts"], d),
+    )
+    ids_desc = sorted(
+        (int(d) for d in base.page["doc_id"]),
+        key=lambda d: d,
+    )
+    ids_desc.sort(key=lambda d: attrs[d]["warc_ts"], reverse=True)
+    res = eng.search("the oil", k=10, sort={"path": "warc_ts", "order": "desc"})
+    assert [int(d) for d in res.page["doc_id"]] == ids_desc[:10]
+    assert list(res.page.columns) == ["doc_id", "score", "warc_ts"]
+    assert res.total == base.total
+    asc = eng.search("the oil", k=10, sort={"path": "warc_ts", "order": "asc"})
+    assert [int(d) for d in asc.page["doc_id"]] == ids[:10]
+    # filter + sort composed
+    both = eng.search(
+        "the oil", k=10, sort={"path": "warc_ts", "order": "desc"},
+        dv_filter=[{"equals": {"path": "lang", "value": "en"}}],
+    )
+    exp = [d for d in ids_desc if attrs[d]["lang"] == "en"]
+    assert [int(d) for d in both.page["doc_id"]] == exp[:10]
+    assert both.total == len(exp)
+    with pytest.raises(ValueError, match="mode='wand'"):
+        eng.search("the oil", sort={"path": "warc_ts"}, mode="wand")
+    with pytest.raises(ValueError, match="group_by or phrase"):
+        eng.search("the oil", sort={"path": "warc_ts"}, group_by=True)
+
+
+def test_single_field_keyword_facets(spark, sf_dv_index):
+    """facet_fields(keyword=...): per-lang counts over a plain keyword's
+    match set, equal to a brute Counter over the unfiltered result."""
+    from collections import Counter
+
+    from search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, sf_dv_index)
+    base = eng.search("the oil", k=10**6)
+    attrs = _attrs_from_doc_stats(spark, eng)
+    exp = Counter(attrs[int(d)]["lang"] for d in base.page["doc_id"])
+    out = eng.facet_fields(
+        keyword="the oil",
+        facets={"langs": {"type": "string", "path": "lang"}},
+    )
+    assert out["count"] == base.total
+    got = dict(zip(out["facet"]["langs"]["bucket"], out["facet"]["langs"]["count"]))
+    assert {b: int(c) for b, c in got.items()} == dict(exp)
+    with pytest.raises(ValueError, match="replaces the clause"):
+        eng.facet_fields(
+            keyword="the", must=[("title", "x")],
+            facets={"langs": {"type": "string", "path": "lang"}},
+        )
+
+
+def test_keyword_facets_rejected_on_multifield(dv_engine):
+    with pytest.raises(ValueError, match="single-field"):
+        dv_engine.facet_fields(
+            keyword="the",
+            facets={"langs": {"type": "string", "path": "lang"}},
+        )
