@@ -237,13 +237,18 @@ def _index_for(spark, sf_dir: str) -> str:
         return _ENGINE_CACHE[sf_dir]
     from ..index.builder import BuildConfig, build_index
 
+    # "idxdv": positional layout + the (lang, n_chars) doc-values sidecar
+    # (the single-field dv gates read it; every other gate prunes the
+    # columns at the scan) — prefix changed with the layout so stale
+    # pre-docvalues caches can't be picked up ("idxp" was the pre-dv one)
     index_dir = os.path.join(
-        tempfile.gettempdir(), "ses_idxp_" + sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(), "ses_idxdv_" + sf_dir.strip("/").replace("/", "_")
     )
     marker = os.path.join(index_dir, "corpus_stats.json")  # == IndexCatalog.stats_file
     if not os.path.exists(marker):
         cfg = BuildConfig(block_docs=256, target_ranges=64, min_range_docs=256,
-                          n_partitions=16, waves=2, positions=True)
+                          n_partitions=16, waves=2, positions=True,
+                          docvalues_cols=("lang", "n_chars"))
         build_index(
             spark,
             f"{sf_dir}/documents.parquet",
@@ -1859,6 +1864,106 @@ def engine_mf_facet_nchars(spark, sf_dir):
     return spark.createDataFrame(pdf, "bucket string, count long, rk int")
 
 
+# The same dv plane on the SINGLE-field surface (the incremental-crawl
+# shape): dv filter / field sort / keyword facets over the plain two-term
+# disjunction, gated against the classic BM25 CTEs joined to documents.
+# The shared gate index (_index_for) bakes (lang, n_chars) and — because it
+# builds with id_col="doc_id" — exercises the doc_id-keyed sidecar join.
+
+
+def engine_sf_dv_filter_topk(spark, sf_dir, k=20):
+    """search(kw, dv_filter=[equals lang, range n_chars]) — FILTER
+    constrains matching, survivors keep their unfiltered BM25 score."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    res = eng.search(
+        " ".join(_Q_TERMS), k=60,
+        dv_filter=[
+            {"equals": {"path": "lang", "value": _DV_LANG}},
+            {"range": {"path": "n_chars", "gte": _DV_LO, "lt": _DV_HI}},
+        ],
+    )
+    return _engine_page_frame(spark, res, k)
+
+
+ENGINE_SF_DV_FILTER_TOPK_SQL = (
+    "\nWITH "
+    + _BM25_CTES_TMPL.format(t1=_Q_TERMS[0], t2=_Q_TERMS[1])
+    + f"""
+SELECT doc_id, score, rk
+FROM (SELECT s.doc_id, s.score,
+             row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rk
+      FROM scored s JOIN documents d USING (doc_id)
+      WHERE d.lang = '{_DV_LANG}'
+        AND d.n_chars >= {_DV_LO} AND d.n_chars < {_DV_HI})
+WHERE rk <= 20
+"""
+)
+
+
+def engine_sf_dv_sort_topk(spark, sf_dir, k=20):
+    """search(kw, sort=n_chars desc): the field order IS the rank."""
+    from ..numerics import round_half_away
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    res = eng.search(
+        " ".join(_Q_TERMS), k=k, sort={"path": "n_chars", "order": "desc"}
+    )
+    pdf = res.page.copy()
+    pdf["score"] = round_half_away(pdf["score"], 6)
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(
+        pdf[["doc_id", "score", "n_chars", "rk"]],
+        "doc_id long, score double, n_chars long, rk int",
+    )
+
+
+ENGINE_SF_DV_SORT_TOPK_SQL = (
+    "\nWITH "
+    + _BM25_CTES_TMPL.format(t1=_Q_TERMS[0], t2=_Q_TERMS[1])
+    + """
+SELECT doc_id, score, n_chars, rk
+FROM (SELECT s.doc_id, s.score, d.n_chars,
+             row_number() OVER (ORDER BY d.n_chars DESC NULLS LAST,
+                                s.doc_id ASC) AS rk
+      FROM scored s JOIN documents d USING (doc_id))
+WHERE rk <= 20
+"""
+)
+
+
+def engine_sf_kw_facet_lang(spark, sf_dir):
+    """facet_fields(keyword=...): per-lang counts over the keyword's
+    matched set (the crawl dashboard query)."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    out = eng.facet_fields(
+        keyword=" ".join(_Q_TERMS),
+        facets={"langs": {"type": "string", "path": "lang", "num_buckets": 10}},
+    )
+    pdf = out["facet"]["langs"].copy()
+    pdf["rk"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(pdf, "bucket string, count long, rk int")
+
+
+ENGINE_SF_KW_FACET_LANG_SQL = (
+    "\nWITH "
+    + _BM25_CTES_TMPL.format(t1=_Q_TERMS[0], t2=_Q_TERMS[1])
+    + """
+SELECT bucket, count, rk
+FROM (SELECT bucket, cnt AS count,
+             row_number() OVER (ORDER BY cnt DESC, bucket ASC) AS rk
+      FROM (SELECT d.lang AS bucket, COUNT(*) AS cnt
+            FROM scored s JOIN documents d USING (doc_id)
+            WHERE d.lang IS NOT NULL GROUP BY d.lang))
+WHERE rk <= 10
+"""
+)
+
+
 _FB = _FACET_BOUNDS
 ENGINE_MF_FACET_NCHARS_SQL = (
     "\nWITH "
@@ -2013,6 +2118,9 @@ QUERIES = {
     "ft_engine_mf_dv_sort_topk": engine_mf_dv_sort_topk,
     "ft_engine_mf_facet_lang": engine_mf_facet_lang,
     "ft_engine_mf_facet_nchars": engine_mf_facet_nchars,
+    "ft_engine_sf_dv_filter_topk": engine_sf_dv_filter_topk,
+    "ft_engine_sf_dv_sort_topk": engine_sf_dv_sort_topk,
+    "ft_engine_sf_kw_facet_lang": engine_sf_kw_facet_lang,
     "ft_engine_multifield_must": engine_multifield_must,
     "ft_engine_multifield_mustnot": engine_multifield_mustnot,
     "ft_engine_multifield_boost": engine_multifield_boost,
@@ -2085,6 +2193,9 @@ ORACLES = {
     "ft_engine_mf_dv_sort_topk": ENGINE_MF_DV_SORT_TOPK_SQL,
     "ft_engine_mf_facet_lang": ENGINE_MF_FACET_LANG_SQL,
     "ft_engine_mf_facet_nchars": ENGINE_MF_FACET_NCHARS_SQL,
+    "ft_engine_sf_dv_filter_topk": ENGINE_SF_DV_FILTER_TOPK_SQL,
+    "ft_engine_sf_dv_sort_topk": ENGINE_SF_DV_SORT_TOPK_SQL,
+    "ft_engine_sf_kw_facet_lang": ENGINE_SF_KW_FACET_LANG_SQL,
     "ft_engine_multifield_must": ENGINE_MULTIFIELD_MUST_SQL,
     "ft_engine_multifield_mustnot": ENGINE_MULTIFIELD_MUSTNOT_SQL,
     "ft_engine_multifield_boost": ENGINE_MULTIFIELD_BOOST_SQL,
