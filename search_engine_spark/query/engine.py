@@ -1402,10 +1402,12 @@ class SearchEngine:
         - ``{"type": "string", "path": col, "num_buckets": N}`` — one
           bucket per distinct non-null value, count desc then bucket asc,
           top ``num_buckets`` (default 10, Atlas's default);
-        - ``{"type": "number", "path": col, "boundaries": [b0, b1, ...]}``
-          — half-open buckets ``[b_i, b_{i+1})`` labeled by their LOWER
-          boundary (Atlas's rule); out-of-range and null docs land in no
-          bucket; empty buckets are omitted.
+        - ``{"type": "number", "path": col, "boundaries": [b0, b1, ...],
+          "default": name}`` — half-open buckets ``[b_i, b_{i+1})`` labeled
+          by their LOWER boundary (Atlas's rule); out-of-range docs land in
+          the optional ``default`` bucket (ordered last) or, absent one, in
+          no bucket; null attributes land in no bucket either way; empty
+          buckets are omitted.
 
         Returns ``{"count": <matched total>, "facet": {name: pandas
         (bucket, count)}}`` — bucket is always a string, deterministic
@@ -1454,7 +1456,17 @@ class SearchEngine:
                     raise ValueError(
                         f"facet {name!r}: boundaries must be >= 2 ascending values"
                     )
-                specs[name] = ("number", path, bounds)
+                default = spec.get("default")
+                if default is not None and not isinstance(default, str):
+                    raise ValueError(
+                        f"facet {name!r}: default must be a bucket-name string"
+                    )
+                if default is not None and default in {str(b) for b in bounds}:
+                    raise ValueError(
+                        f"facet {name!r}: default {default!r} collides with a "
+                        "boundary label"
+                    )
+                specs[name] = ("number", path, (bounds, default))
             else:
                 nb = int(spec.get("num_buckets", 10))
                 if nb < 1:
@@ -1514,8 +1526,14 @@ class SearchEngine:
         for name, (kind, path, arg) in specs.items():
             col = F.col(path)
             if kind == "number":
-                bounds = arg
-                lab = F.lit(None).cast("string")
+                bounds, default = arg
+                # Atlas's optional default bucket collects out-of-range
+                # docs (null attributes still land in no bucket)
+                lab = (
+                    F.when(col.isNotNull(), F.lit(default))
+                    if default is not None
+                    else F.lit(None).cast("string")
+                )
                 for lo, hi in zip(bounds, bounds[1:]):
                     lab = F.when(
                         (col >= F.lit(lo)) & (col < F.lit(hi)),
@@ -1528,8 +1546,11 @@ class SearchEngine:
                     .orderBy(F.asc("bucket"))
                     .toPandas()
                 )
-                # deterministic numeric order of the lower-bound labels
+                # deterministic order: lower-bound labels ascending, the
+                # default bucket (if any) last
                 order = {str(b): i for i, b in enumerate(bounds)}
+                if default is not None:
+                    order[default] = len(bounds)
                 buckets = buckets.sort_values(
                     "bucket", key=lambda s: s.map(order)
                 ).reset_index(drop=True)

@@ -852,3 +852,29 @@ def test_keyword_facets_rejected_on_multifield(dv_engine):
             keyword="the",
             facets={"langs": {"type": "string", "path": "lang"}},
         )
+
+
+def test_number_facet_default_bucket(dv_engine, dv_oracle, dv_attrs, dv_term):
+    """Atlas's optional default bucket collects out-of-range docs (ordered
+    last); totals then tile the matched count exactly."""
+    should = [("title", dv_term), ("body", dv_term)]
+    matched = _oracle_matched(dv_oracle, should=should)
+    vals = sorted(dv_attrs[d]["n_chars"] for d in matched)
+    b = [vals[len(vals) // 4], vals[len(vals) // 2]]  # leaves both tails out
+    out = dv_engine.facet_fields(
+        should=should,
+        facets={"sizes": {"type": "number", "path": "n_chars",
+                          "boundaries": b, "default": "other"}},
+    )
+    pdf = out["facet"]["sizes"]
+    got = {bk: int(c) for bk, c in zip(pdf["bucket"], pdf["count"])}
+    in_band = sum(1 for d in matched if b[0] <= dv_attrs[d]["n_chars"] < b[1])
+    assert got[str(b[0])] == in_band
+    assert got["other"] == len(matched) - in_band
+    assert list(pdf["bucket"])[-1] == "other"  # default ordered last
+    with pytest.raises(ValueError, match="collides"):
+        dv_engine.facet_fields(
+            should=should,
+            facets={"x": {"type": "number", "path": "n_chars",
+                          "boundaries": b, "default": str(b[0])}},
+        )
