@@ -341,6 +341,13 @@ class SearchEngine:
         # filter clauses.  Empty = no doc values baked.
         self.docvalues_cols: tuple = tuple(self.stats.get("docvalues_cols") or ())
         self._segments_df = spark.read.parquet(self.cat.segments)
+        # doc_stats pinned at construction like the segments frame: dv
+        # filters / field sorts / facets / url hydration all read it, and
+        # re-planning spark.read.parquet per query pays a footer/file-listing
+        # round trip that a serving tier multiplexing queries cannot afford.
+        # (An index grown by ingest is served by a NEW engine instance —
+        # the existing contract for every cached structure here.)
+        self._doc_stats_df = spark.read.parquet(self.cat.doc_stats)
         # small term dicts: one-time sorted load, then O(log V) lookups with
         # zero Spark jobs per query (the reference's Atlas term dictionary is
         # equally memory-resident inside Lucene).  Incremental indexes store
@@ -1367,7 +1374,7 @@ class SearchEngine:
         if with_url and len(res.page):
             ids = [int(d) for d in res.page["doc_id"]]
             urls = (
-                self.spark.read.parquet(self.cat.doc_stats)
+                self._doc_stats_df
                 .filter(F.col("doc_id").isin(ids))
                 .select("doc_id", "url")
                 .toPandas()
@@ -1513,7 +1520,7 @@ class SearchEngine:
                 )
             ).select("doc_id")
         paths = sorted({p for _, p, _ in specs.values()})
-        stats_df = self.spark.read.parquet(self.cat.doc_stats)
+        stats_df = self._doc_stats_df
         if dv_pred is not None:
             kept = kept.join(
                 stats_df.filter(dv_pred).select("doc_id"), "doc_id", "semi"
@@ -1635,7 +1642,7 @@ class SearchEngine:
             cand = self.spark.createDataFrame(
                 pd.DataFrame({"doc_id": uniq.astype("int64")})
             )
-            probe = self.spark.read.parquet(self.cat.doc_stats)
+            probe = self._doc_stats_df
             if dv_pred is not None:
                 probe = probe.filter(dv_pred)
             cols = ["doc_id"] + ([sort_path] if sort_path is not None else [])
@@ -1776,7 +1783,7 @@ class SearchEngine:
             # semi-join (doc_id is unique per side) and attaches the sort
             # attribute in the same pass
             kept = kept.join(
-                self.spark.read.parquet(self.cat.doc_stats)
+                self._doc_stats_df
                 .filter(dv_pred).select("doc_id", sort_path),
                 "doc_id", "inner",
             )
@@ -1786,7 +1793,7 @@ class SearchEngine:
             # on doc_id and shrinks with the predicate's selectivity — AQE
             # broadcasts the eligible side when it is small
             kept = kept.join(
-                self.spark.read.parquet(self.cat.doc_stats)
+                self._doc_stats_df
                 .filter(dv_pred).select("doc_id"),
                 "doc_id", "semi",
             )
@@ -1794,7 +1801,7 @@ class SearchEngine:
             # field sort alone: attach the attribute (column-pruned scan);
             # left join keeps null-attribute docs, which sort last
             kept = kept.join(
-                self.spark.read.parquet(self.cat.doc_stats)
+                self._doc_stats_df
                 .select("doc_id", sort_path),
                 "doc_id", "left",
             )
@@ -2082,7 +2089,7 @@ class SearchEngine:
                     pd.DataFrame({"doc_id": uniq.astype("int64")})
                 )
                 elig = (
-                    self.spark.read.parquet(self.cat.doc_stats)
+                    self._doc_stats_df
                     .filter(dv_pred)
                     .join(F.broadcast(cand), "doc_id", "semi")
                     .select("doc_id")
@@ -2117,7 +2124,7 @@ class SearchEngine:
             total = df_phrase
             if dv_pred is not None:
                 matched = matched.join(
-                    self.spark.read.parquet(self.cat.doc_stats)
+                    self._doc_stats_df
                     .filter(dv_pred).select("doc_id"),
                     "doc_id", "semi",
                 ).persist()
@@ -2154,7 +2161,7 @@ class SearchEngine:
         if with_url and len(res.page):
             ids = [int(d) for d in res.page["doc_id"]]
             urls = (
-                self.spark.read.parquet(self.cat.doc_stats)
+                self._doc_stats_df
                 .filter(F.col("doc_id").isin(ids))
                 .select("doc_id", "url")
                 .toPandas()
@@ -2477,7 +2484,7 @@ class SearchEngine:
             if with_url and len(res.page):
                 ids = [int(d) for d in res.page["doc_id"]]
                 urls = (
-                    self.spark.read.parquet(self.cat.doc_stats)
+                    self._doc_stats_df
                     .filter(F.col("doc_id").isin(ids))
                     .select("doc_id", "url")
                     .toPandas()
@@ -2529,20 +2536,20 @@ class SearchEngine:
                 # ONE filtered, column-pruned doc_stats scan serves both:
                 # the inner join IS the semi-join with the attribute attached
                 scored = scored.join(
-                    self.spark.read.parquet(self.cat.doc_stats)
+                    self._doc_stats_df
                     .filter(dv_pred).select("doc_id", sort_path),
                     "doc_id", "inner",
                 )
             elif dv_pred is not None:
                 scored = scored.join(
-                    self.spark.read.parquet(self.cat.doc_stats)
+                    self._doc_stats_df
                     .filter(dv_pred).select("doc_id"),
                     "doc_id", "semi",
                 )
             elif sort_path is not None:
                 # left join keeps null-attribute docs; they sort last
                 scored = scored.join(
-                    self.spark.read.parquet(self.cat.doc_stats)
+                    self._doc_stats_df
                     .select("doc_id", sort_path),
                     "doc_id", "left",
                 )
@@ -2568,7 +2575,7 @@ class SearchEngine:
             ranked = scored.orderBy(F.desc(score_key), F.asc("doc_id"))
         page_df = ranked.offset(skip).limit(k) if skip else ranked.limit(k)
         if with_url:
-            urls = self.spark.read.parquet(self.cat.doc_stats).select("doc_id", "url")
+            urls = self._doc_stats_df.select("doc_id", "url")
             page_df = page_df.join(urls, "doc_id", "left")
         page_cols = (
             (["g_id", "n_docs"] if group_by else [])

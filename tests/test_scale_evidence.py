@@ -399,3 +399,16 @@ def test_dv_facets_at_1m():
     # the [0,1600) boundary set covers every doc -> sizes tile too
     assert sum(f["buckets"]["sizes"].values()) == f["total"]
     assert min(f["walls_s"]) < 10.0
+
+
+def test_dv_serving_queue_vs_multiplex():
+    """dv serving at 1M (BENCH/dv_serving_1m_*.json, BENCH §9c): the
+    sequential queue beats 8-way multiplexing on cluster-saturating
+    compound/dv/facet shapes — the documented mirror of §3b's
+    driver-path multiplexing win — and both runs replay-verify."""
+    seq = _load(os.path.join(os.path.dirname(ART), "dv_serving_1m_seq.json"))
+    con = _load(os.path.join(os.path.dirname(ART), "dv_serving_1m_c32.json"))
+    assert seq["sequential_sample_mismatches"] == 0
+    assert con["sequential_sample_mismatches"] == 0
+    assert seq["threads"] == 1 and con["threads"] == 8
+    assert seq["queries_per_sec"] > con["queries_per_sec"]
