@@ -412,3 +412,28 @@ def test_dv_serving_queue_vs_multiplex():
     assert con["sequential_sample_mismatches"] == 0
     assert seq["threads"] == 1 and con["threads"] == 8
     assert seq["queries_per_sec"] > con["queries_per_sec"]
+
+
+def test_dv_plane_at_8m():
+    """The dv plane across the 1M->8M step (BENCH/dv_r5_8m.json, BENCH
+    §9b-2): selective filters stay at the baseline wall, the exactness
+    identities (lang partition tiling; facet buckets == filter totals)
+    hold at 8M, and the documented asymmetries point the right way
+    (unselective filter > selective; sort-alone > filter+sort)."""
+    d = _load(os.path.join(os.path.dirname(ART), "dv_r5_8m.json"))
+    assert d["n_docs"] == 8_000_000
+    q = d["queries"]
+    base = q["mf_must_should"]["total"]
+    es, en = q["dv_equals_rare"]["total"], q["dv_equals_head"]["total"]
+    assert 0 < base - (es + en) < 0.05 * base  # hi remainder ~2.5%
+    f = q["dv_facets"]
+    assert f["buckets"]["langs"]["es"] == es
+    assert f["buckets"]["langs"]["en"] == en
+    assert sum(f["buckets"]["langs"].values()) == base
+    assert sum(f["buckets"]["sizes"].values()) == base  # [0,1600) covers all
+    # selective filter within ~1.5s of baseline; the asymmetries point right
+    base_w = min(q["mf_must_should"]["walls_s"])
+    assert min(q["dv_equals_rare"]["walls_s"]) <= base_w + 1.5
+    assert min(q["dv_equals_rare"]["walls_s"]) < min(q["dv_equals_head"]["walls_s"])
+    assert min(q["dv_filter_plus_sort"]["walls_s"]) < min(q["dv_sort_desc"]["walls_s"])
+    assert d["index_docs_per_sec"] > 3000
