@@ -237,6 +237,18 @@ def main():
                     ("body", "scan")], k=10),
         "search_msm2": lambda: eng.search(
             "scan window merge", k=10, min_should_match=2),
+        # the doc-values plane (round 5 late): filter / sort / facets over
+        # the (lang, n_chars) sidecar both mf indexes now bake
+        "search_dv_filter": lambda: mf_eng.search_fields(
+            should=[("title", "scan"), ("body", "scan")], k=10,
+            filter=[{"equals": {"path": "lang", "value": "en"}},
+                    {"range": {"path": "n_chars", "gte": 150, "lt": 400}}]),
+        "search_dv_sort": lambda: mf_eng.search_fields(
+            should=[("title", "scan"), ("body", "scan")], k=10,
+            sort={"path": "n_chars", "order": "desc"}),
+        "search_dv_facets": lambda: mf_eng.facet_fields(
+            should=[("title", "scan"), ("body", "scan")],
+            facets={"langs": {"type": "string", "path": "lang"}}),
     }
     heads = {
         "rel_pricing_summary": relational.pricing_summary,
