@@ -340,6 +340,11 @@ class SearchEngine:
         # per-doc attributes stored on doc_stats for Atlas range/equals
         # filter clauses.  Empty = no doc values baked.
         self.docvalues_cols: tuple = tuple(self.stats.get("docvalues_cols") or ())
+        # build-time value histograms for low-cardinality string dv columns
+        # (builder dv_value_stats): power the semi-vs-anti filter-join plan
+        self.docvalues_stats: dict = dict(self.stats.get("docvalues_stats") or {})
+        # observability: the last dv filter plan ({"fraction", "anti"})
+        self.last_dv_plan: dict | None = None
         self._segments_df = spark.read.parquet(self.cat.segments)
         # doc_stats pinned at construction like the segments frame: dv
         # filters / field sorts / facets / url hydration all read it, and
@@ -1101,6 +1106,50 @@ class SearchEngine:
             self._fuzzy_cache.clear()
         self._fuzzy_cache[key] = out
         return list(out)
+
+    def _dv_eligible_fraction(self, clauses) -> float | None:
+        """Estimated fraction of docs an equals/exists clause set keeps,
+        from the build-time value histograms — None when any clause is not
+        estimable (range clauses, unhistogrammed or non-string paths).
+        Multi-clause sets multiply per-clause fractions (independence
+        assumption — fine for the >0.5 plan heuristic this feeds)."""
+        frac = 1.0
+        n = max(1, self.n_docs)
+        for c in clauses:
+            if "equals" in c:
+                h = self.docvalues_stats.get(c["equals"].get("path"))
+                v = c["equals"].get("value")
+                if h is None or not isinstance(v, str):
+                    return None
+                frac *= h["values"].get(v, 0) / n
+            elif "exists" in c:
+                h = self.docvalues_stats.get(c["exists"].get("path"))
+                if h is None:
+                    return None
+                frac *= 1.0 - h["n_null"] / n
+            else:
+                return None
+        return frac
+
+    def _dv_plan(self, clauses):
+        """(pred, anti_pred_or_None): the filter predicate plus, when the
+        histograms say the predicate keeps MOST docs (> 0.5), the null-safe
+        complement ``~coalesce(pred, False)`` — membership sites then
+        anti-join against the small ineligible minority instead of
+        semi-joining against the corpus-sized eligible majority.  The
+        complement is mechanical and exact for ANY predicate: a doc has
+        exactly one doc_stats row, eligible == pred true, and coalesce
+        folds SQL null (attribute missing) into the ineligible side —
+        identical results, measured cheaper (BENCH §9b-2/-3)."""
+        pred = self._dv_predicate(clauses)
+        frac = self._dv_eligible_fraction(clauses)
+        anti = (
+            ~F.coalesce(pred, F.lit(False))
+            if frac is not None and frac > 0.5
+            else None
+        )
+        self.last_dv_plan = {"fraction": frac, "anti": anti is not None}
+        return pred, anti
 
     def _sort_spec(self, sort) -> tuple:
         """Validate an Atlas ``sort`` option against the baked doc-values
